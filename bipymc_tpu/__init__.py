@@ -1,0 +1,46 @@
+"""bipymc_tpu — TPU-native Bayesian MCMC.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of
+``wgurecky/bipymc`` (see SURVEY.md for the capability contract):
+
+- Sampler zoo: Metropolis, Adaptive Metropolis (Haario 2001), Delayed
+  Rejection (Green & Mira 2001), DRAM (Haario 2006), DE-MC (ter Braak 2006),
+  DE-MC-z with snooker updates (ter Braak & Vrugt 2008), DREAM-zs with
+  crossover adaptation (Vrugt 2009/2011).
+- Chains are a *batch axis*, never objects: ``vmap`` gives many chains on one
+  device; ``jax.shard_map`` over a ``Mesh(("chains",))`` gives many devices
+  with the same step function — this replaces the reference's mpi4py chain
+  pool (SURVEY.md §3.2).
+- GP regression (SE-ARD kernel, Cholesky fit/predict, exact log-marginal
+  likelihood with ``jax.grad`` hyperopt); Pallas kernels for the kernel-matrix
+  build.
+- On-device diagnostics: split Gelman-Rubin R-hat, FFT autocorrelation / ESS,
+  acceptance fractions, streaming R-hat early stopping.
+"""
+
+from bipymc_tpu.samplers.api import (
+    Metropolis,
+    AdaptiveMetropolis,
+    DrMetropolis,
+    Dram,
+    DeMc,
+    DeMcZ,
+    DreamZs,
+)
+from bipymc_tpu.utils.init import var_ball
+from bipymc_tpu.utils.diagnostics import gelman_rubin, effective_sample_size
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Metropolis",
+    "AdaptiveMetropolis",
+    "DrMetropolis",
+    "Dram",
+    "DeMc",
+    "DeMcZ",
+    "DreamZs",
+    "var_ball",
+    "gelman_rubin",
+    "effective_sample_size",
+]

@@ -1,0 +1,46 @@
+"""Vectorised sampling without replacement.
+
+DE-MC needs r₁ ≠ r₂ ≠ i drawn uniformly from the population, and DREAM-z
+needs up to 2δ+3 distinct archive rows, per chain per generation
+(SURVEY.md §4.5–4.7). The reference does this with per-chain
+``np.random.choice(..., replace=False)``; under ``vmap`` with a *traced*
+population size (the archive's fill count) that is unavailable, so we use
+the exact sequential shift method (SURVEY.md §9 "Hard parts": must be
+bias-free): the t-th draw is uniform over ``n − t`` values and is shifted
+past the already-chosen values in increasing order. O(k²) scalar ops per
+chain for static k — negligible next to the likelihood.
+"""
+
+import jax
+import jax.numpy as jnp
+
+_SENTINEL = jnp.int32(2 ** 31 - 1)
+
+
+def sample_distinct(key, k: int, n, exclude=None):
+    """Draw ``k`` distinct ints uniformly from [0, n), optionally ≠ exclude.
+
+    k: static Python int. n: scalar (may be traced — e.g. archive fill).
+    exclude: optional scalar index also excluded from the draw.
+    Caller must guarantee n ≥ k (+1 if exclude is given).
+    Returns int32 [k].
+    """
+    n = jnp.asarray(n, jnp.int32)
+    m = k + (1 if exclude is not None else 0)
+    taken = jnp.full((m,), _SENTINEL, dtype=jnp.int32)
+    n_excl = 0
+    if exclude is not None:
+        taken = taken.at[0].set(jnp.asarray(exclude, jnp.int32))
+        n_excl = 1
+    avail = n - n_excl
+
+    keys = jax.random.split(key, k)
+    out = []
+    for t in range(k):
+        r = jax.random.randint(keys[t], (), 0, avail - t, dtype=jnp.int32)
+        # shift past taken values, processed in increasing (sorted) order
+        for j in range(m):
+            r = r + (r >= taken[j]).astype(jnp.int32)
+        out.append(r)
+        taken = jnp.sort(taken.at[n_excl + t].set(r))
+    return jnp.stack(out)

@@ -1,0 +1,94 @@
+"""Analytic target posteriors and example models.
+
+The reference exercises its samplers on analytic posteriors — 1D/2D
+Gaussians, the Rosenbrock/Haario banana, multimodal mixtures, and a
+line-fit likelihood (SURVEY.md §6, `examples/` [U]; BASELINE configs 1–3).
+All targets here are pure jnp log-densities, jit/vmap/grad-safe.
+"""
+
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+
+def correlated_gaussian(mean, cov):
+    """2D+ correlated-Gaussian log-density (BASELINE config 1).
+
+    Returns ``log_prob(theta)`` for N(mean, cov), dropping additive consts
+    is avoided so tests can check exact values.
+    """
+    mean = jnp.asarray(mean)
+    cov = jnp.asarray(cov)
+    d = mean.shape[-1]
+    chol = jnp.linalg.cholesky(cov)
+    log_det = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+    inv = jnp.linalg.inv(cov)
+
+    def log_prob(theta):
+        r = theta - mean
+        return -0.5 * (r @ inv @ r + log_det + d * jnp.log(2.0 * jnp.pi))
+
+    return log_prob
+
+
+def banana(b=0.03, sigma1=10.0, d=2):
+    """Haario's twisted-Gaussian "banana" (BASELINE config 2 posterior).
+
+    y₁ = θ₁, y₂ = θ₂ + b·θ₁² − 100b with y ~ N(0, diag(σ₁², 1, …, 1)).
+    With σ₁=10 the marginal moments are E[θ₁]=0, Var[θ₁]=100, E[θ₂]=0 —
+    useful for moment-recovery tests.
+    """
+
+    def log_prob(theta):
+        y1 = theta[0]
+        y2 = theta[1] + b * theta[0] ** 2 - 100.0 * b
+        lp = -0.5 * (y1 ** 2 / sigma1 ** 2 + y2 ** 2)
+        if d > 2:
+            lp = lp - 0.5 * jnp.sum(theta[2:] ** 2)
+        return lp
+
+    return log_prob
+
+
+def rosenbrock(a=1.0, b=20.0):
+    """Rosenbrock-valley log-density: −[(a−θ₁)² + b(θ₂−θ₁²)²]."""
+
+    def log_prob(theta):
+        return -((a - theta[0]) ** 2 + b * (theta[1] - theta[0] ** 2) ** 2)
+
+    return log_prob
+
+
+def gaussian_mixture(means, sigma=1.0, weights=None):
+    """Isotropic Gaussian mixture in d dims (BASELINE config 3 posterior).
+
+    means: [k, d] component centers; sigma: shared std; weights: [k].
+    """
+    means = jnp.asarray(means)
+    k, d = means.shape
+    if weights is None:
+        log_w = jnp.full((k,), -jnp.log(k))
+    else:
+        w = jnp.asarray(weights)
+        log_w = jnp.log(w / jnp.sum(w))
+    norm = -0.5 * d * jnp.log(2.0 * jnp.pi * sigma ** 2)
+
+    def log_prob(theta):
+        sq = jnp.sum((theta[None, :] - means) ** 2, axis=-1)
+        return logsumexp(log_w + norm - 0.5 * sq / sigma ** 2)
+
+    return log_prob
+
+
+def line_fit_log_like(x, y, sigma):
+    """Gaussian likelihood for y = m·x + c (the reference's line-fit example).
+
+    theta = [m, c]. Returns the log-likelihood function.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+
+    def log_like(theta):
+        resid = y - (theta[0] * x + theta[1])
+        return -0.5 * jnp.sum(resid ** 2) / sigma ** 2
+
+    return log_like

@@ -1,0 +1,93 @@
+"""Pallas TPU kernels for the GP hot path.
+
+BASELINE.json:5 calls out "the GP regression module's kernel-matrix builds
+and Cholesky/triangular solves run as Pallas kernels". The kernel-matrix
+build is the O(n²d) op; it decomposes as ‖x‖² + ‖x′‖² − 2 x x′ᵀ
+(SURVEY.md §9 step 6), putting the O(n²d) cross term on the MXU. The
+Pallas kernel tiles the (n, m) output grid, keeps each (block, K) slab in
+VMEM, and fuses the norm/broadcast epilogue — one HBM write for the
+result, no materialised intermediate.
+
+An XLA fallback handles CPU tests and small problems; equivalence is
+tested in tests/test_gp.py (reference test model: Pallas-vs-XLA
+equivalence, SURVEY.md §6 build-side additions).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK = 256      # output tile (multiple of MXU 128)
+_K_ALIGN = 128    # lane alignment for the feature axis
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _sqdist_kernel(a_ref, b_ref, out_ref):
+    a = a_ref[:]                                   # [bm, K]
+    b = b_ref[:]                                   # [bn, K]
+    a_nrm = jnp.sum(a * a, axis=1, keepdims=True)  # [bm, 1]
+    b_nrm = jnp.sum(b * b, axis=1, keepdims=True)  # [bn, 1]
+    cross = jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)        # a @ bᵀ on the MXU
+    out_ref[:] = jnp.maximum(a_nrm + b_nrm.T - 2.0 * cross, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn"))
+def _sqdist_pallas(A, B, bm=_BLOCK, bn=_BLOCK):
+    n, k = A.shape
+    m, _ = B.shape
+    n_p, m_p, k_p = _round_up(n, bm), _round_up(m, bn), _round_up(k, _K_ALIGN)
+    # zero padding changes neither norms nor the cross term
+    A = jnp.pad(A, ((0, n_p - n), (0, k_p - k)))
+    B = jnp.pad(B, ((0, m_p - m), (0, k_p - k)))
+    out = pl.pallas_call(
+        _sqdist_kernel,
+        grid=(n_p // bm, m_p // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k_p), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, k_p), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_p, m_p), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_p * m_p * k_p,
+            bytes_accessed=4 * (n_p * k_p + m_p * k_p + n_p * m_p),
+            transcendentals=0),
+    )(A, B)
+    return out[:n, :m]
+
+
+def _sqdist_xla(A, B):
+    a_nrm = jnp.sum(A * A, axis=1, keepdims=True)
+    b_nrm = jnp.sum(B * B, axis=1, keepdims=True)
+    cross = A @ B.T
+    return jnp.maximum(a_nrm + b_nrm.T - 2.0 * cross, 0.0)
+
+
+def pairwise_sqdist(X, X2=None, use_pallas=None):
+    """Pairwise squared Euclidean distances, [n, m].
+
+    Centers the inputs first (distance-invariant) to tame the f32
+    cancellation in the ‖·‖² decomposition. ``use_pallas=None`` auto-picks
+    the Pallas path on TPU for problems big enough to tile.
+    """
+    X2 = X if X2 is None else X2
+    mu = jnp.mean(X, axis=0)
+    A = (X - mu).astype(jnp.float32)
+    B = (X2 - mu).astype(jnp.float32)
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and X.shape[0] * X2.shape[0] >= 128 * 128)
+    if use_pallas:
+        return _sqdist_pallas(A, B)
+    return _sqdist_xla(A, B)

@@ -1,0 +1,22 @@
+"""Device mesh construction for chain-level data parallelism.
+
+The reference's only parallelism strategy is chain-level data parallelism
+over an mpi4py pool (SURVEY.md §3.1). Its TPU-native equivalent: a 1-D
+``jax.sharding.Mesh`` with a ``"chains"`` axis; the population's chain axis
+is sharded over it and XLA lowers the step's collectives onto ICI. For
+multi-host pods, call ``jax.distributed.initialize()`` before building the
+mesh — the same code then spans slices (DCN between them).
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+CHAIN_AXIS = "chains"
+
+
+def chain_mesh(devices=None, axis_name: str = CHAIN_AXIS) -> Mesh:
+    """1-D mesh over ``devices`` (default: all local devices)."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (axis_name,))

@@ -1,0 +1,132 @@
+"""ChainPool — the TPU-native replacement for the reference's mpi4py pool.
+
+The reference farms per-chain log-likelihood evaluations over MPI ranks and
+gathers/broadcasts population state every generation (SURVEY.md §3.2, §5.2).
+Here the pool is a *compilation strategy*, not a communicator:
+
+- ``mesh=None`` (default): the whole population lives on one device and the
+  generation step's internal ``vmap`` evaluates all chains in lockstep —
+  the common fast path for ≤ thousands of chains.
+- with a ``Mesh(("chains",))``: the same step function runs under
+  ``jax.shard_map`` with the population sharded over devices; the
+  ``all_gather``/``psum`` calls inside the step (no-ops on the vmap path)
+  become ICI collectives. The entire ``lax.scan`` over generations sits
+  *inside* the shard_map, so a full run is one SPMD program with zero host
+  round-trips.
+
+Both paths fold RNG keys by *global* chain index, so they produce
+identical trajectories for the same seed (tested in
+tests/test_sharding.py).
+"""
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bipymc_tpu.core.scan import run_scan_thinned
+from bipymc_tpu.parallel.mesh import CHAIN_AXIS
+
+
+def _state_specs(state, sharded_fields, axis_name):
+    """PartitionSpec pytree for a population state NamedTuple.
+
+    Fields named in ``sharded_fields`` are sharded on their leading (chain)
+    axis; everything else (archive, CR weights, counters) is replicated.
+    """
+    specs = {}
+    for name in state._fields:
+        leaf = getattr(state, name)
+        if name in sharded_fields:
+            specs[name] = P(axis_name, *([None] * (jnp.ndim(leaf) - 1)))
+        else:
+            specs[name] = jax.tree_util.tree_map(lambda _: P(), leaf)
+    return type(state)(**specs)
+
+
+def _history_spec(leaf_ndim, axis_name):
+    # history leaves are [T, n_chains, ...]: shard the chain axis
+    return P(None, axis_name, *([None] * (leaf_ndim - 2)))
+
+
+class ChainPool:
+    """Runs a population sampler's generation step over many chains.
+
+    step_factory: ``axis_name -> step(state, key, t)`` (the sampler module's
+        ``make_step`` partially applied with log_prob and config).
+    sharded_fields: state fields carrying a leading chain axis.
+    """
+
+    def __init__(self, step_factory: Callable, sharded_fields,
+                 mesh: Mesh | None = None, axis_name: str = CHAIN_AXIS):
+        self.step_factory = step_factory
+        self.sharded_fields = tuple(sharded_fields)
+        self.mesh = mesh
+        self.axis_name = axis_name if mesh is not None else None
+
+    def shard_state(self, state):
+        """device_put a replicated/host state onto the mesh layout."""
+        if self.mesh is None:
+            return state
+        n_chains = getattr(state, self.sharded_fields[0]).shape[0]
+        n_dev = self.mesh.devices.size
+        if n_chains % n_dev != 0:
+            raise ValueError(
+                f"n_chains={n_chains} must be divisible by the mesh's "
+                f"{n_dev} devices")
+        specs = _state_specs(state, self.sharded_fields, self.axis_name)
+        shardings = jax.tree_util.tree_map(
+            lambda s: NamedSharding(self.mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, P))
+        return jax.device_put(state, shardings)
+
+    def run(self, state, base_key, n_steps: int, thin: int = 1,
+            collect_fn: Callable | None = None, t0: int = 0):
+        """Scan ``n_steps`` generations; collect every ``thin``-th.
+
+        Default collection: dict(x=positions, logp, accepted) per kept step.
+        Returns (final_state, history) — history chain axis is sharded on
+        the mesh path.
+        """
+        if collect_fn is None:
+            def collect_fn(state, info):
+                return {"x": state.x, "logp": info.logp,
+                        "accepted": info.accepted}
+
+        if self.mesh is None:
+            step = self.step_factory(None)
+            runner = jax.jit(partial(
+                run_scan_thinned, step, n_steps=n_steps, thin=thin,
+                collect_fn=collect_fn, t0=t0))
+            return runner(state, base_key)
+
+        axis = self.axis_name
+        step = self.step_factory(axis)
+        state_specs = _state_specs(state, self.sharded_fields, axis)
+
+        def local_run(state, key):
+            return run_scan_thinned(step, state, key, n_steps=n_steps,
+                                    thin=thin, collect_fn=collect_fn, t0=t0)
+
+        # out specs: final state like in; history [T, chains, ...] leaves.
+        # Probe shapes with the axis-free step (collectives are identities
+        # there); only leaf ranks are needed, and they match the local run.
+        step_probe = self.step_factory(None)
+
+        def probe(state, key):
+            return run_scan_thinned(step_probe, state, key, n_steps=n_steps,
+                                    thin=thin, collect_fn=collect_fn, t0=t0)
+
+        hist_shape = jax.eval_shape(probe, state, jax.random.key(0))[1]
+        hist_specs = jax.tree_util.tree_map(
+            lambda l: _history_spec(len(l.shape), axis), hist_shape)
+
+        sharded = jax.shard_map(
+            local_run, mesh=self.mesh,
+            in_specs=(state_specs, P()),
+            out_specs=(state_specs, hist_specs),
+            check_vma=False,
+        )
+        return jax.jit(sharded)(self.shard_state(state), base_key)

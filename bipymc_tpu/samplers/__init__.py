@@ -1,0 +1,9 @@
+from bipymc_tpu.samplers.api import (
+    Metropolis,
+    AdaptiveMetropolis,
+    DrMetropolis,
+    Dram,
+    DeMc,
+    DeMcZ,
+    DreamZs,
+)

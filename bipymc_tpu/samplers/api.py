@@ -1,0 +1,278 @@
+"""User-facing sampler classes with the reference's ergonomics.
+
+The reference API is ``sampler = Sampler(log_like_fn, ...);
+sampler.run_mcmc(n, theta_0)``; results via ``sampler.chain`` /
+``sampler.super_chain`` (SURVEY.md §2 L3/L6). These thin wrappers keep that
+shape while the real engine is the pure-functional core: ``lax.scan`` over
+jitted steps, chains as a batch axis, optional device-mesh sharding.
+
+Classes mirror the reference zoo 1:1 (SURVEY.md §3):
+``Metropolis``/``AdaptiveMetropolis``/``DrMetropolis``/``Dram`` (single-chain
+family, vmapped over ``n_chains``), ``DeMc`` (population DE-MC), ``DeMcZ`` /
+``DreamZs`` (archive-based ensemble; pass ``mesh=`` to shard chains over
+devices — the mpi4py-pool replacement).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bipymc_tpu.core.scan import run_scan_thinned
+from bipymc_tpu.samplers import rw, demc, dream
+from bipymc_tpu.parallel.pool import ChainPool
+from bipymc_tpu.utils.init import var_ball
+from bipymc_tpu.utils.diagnostics import acceptance_fraction
+
+
+def _as_2d_theta0(theta_0, n_chains, key, spread, dtype):
+    """Accept [d] (dispersed via var_ball) or [M, d] starting points."""
+    theta_0 = jnp.asarray(theta_0, dtype=dtype)
+    if theta_0.ndim == 1:
+        if n_chains == 1:
+            return theta_0[None, :]
+        var = jnp.full((theta_0.shape[-1],), spread ** 2, dtype=dtype)
+        return var_ball(key, var, n_chains, center=theta_0, dtype=dtype)
+    if theta_0.shape[0] != n_chains:
+        raise ValueError(
+            f"theta_0 has {theta_0.shape[0]} rows but n_chains={n_chains}")
+    return theta_0
+
+
+class McmcSampler:
+    """Base: history access + acceptance stats shared by all samplers."""
+
+    def __init__(self, log_like_fn, seed=0, dtype=jnp.float32):
+        self.log_like_fn = log_like_fn
+        self.seed = int(seed)
+        self.dtype = dtype
+        self._history = None       # dict: x [T, M, d], logp [T, M], accepted
+        self._final_state = None
+        self._steps_run = 0
+
+    # -- results ----------------------------------------------------------
+    @property
+    def chain(self):
+        """History of chain 0 as host NumPy, shape [n_kept, d]."""
+        self._require_run()
+        return np.asarray(self._history["x"][:, 0, :])
+
+    @property
+    def super_chain(self):
+        """All chains, [n_chains, n_kept, d]."""
+        self._require_run()
+        return np.asarray(jnp.swapaxes(self._history["x"], 0, 1))
+
+    @property
+    def flat_chain(self):
+        """All chains concatenated, [n_chains * n_kept, d]."""
+        sc = self.super_chain
+        return sc.reshape(-1, sc.shape[-1])
+
+    def get_chain(self, discard=0, thin=1, flat=False):
+        sc = self.super_chain[:, discard::thin, :]
+        return sc.reshape(-1, sc.shape[-1]) if flat else sc
+
+    @property
+    def acceptance_fraction(self):
+        """Per-chain acceptance fraction over the kept history."""
+        self._require_run()
+        acc = jnp.swapaxes(self._history["accepted"], 0, 1)
+        return np.asarray(acceptance_fraction(acc))
+
+    @property
+    def final_state(self):
+        """Sampler state pytree (for checkpoint/resume)."""
+        self._require_run()
+        return self._final_state
+
+    def _require_run(self):
+        if self._history is None:
+            raise RuntimeError("call run_mcmc first")
+
+    def _store(self, final_state, history, n_steps):
+        self._final_state = final_state
+        # block once so wall-clock timing by callers is honest
+        history = jax.block_until_ready(history)
+        if self._history is None:
+            self._history = {k: v for k, v in history.items()}
+        else:
+            self._history = {
+                k: jnp.concatenate([self._history[k], history[k]], axis=0)
+                for k in history}
+        self._steps_run += n_steps
+
+
+# ===========================================================================
+# Single-chain random-walk family (vmapped over chains)
+# ===========================================================================
+
+class _RwSampler(McmcSampler):
+    _make_config = staticmethod(rw.metropolis_config)
+
+    def __init__(self, log_like_fn, seed=0, n_chains=1, dtype=jnp.float32,
+                 **config_kw):
+        super().__init__(log_like_fn, seed=seed, dtype=dtype)
+        self.n_chains = int(n_chains)
+        self.cfg = self._make_config(**config_kw)
+
+    def run_mcmc(self, n_samples, theta_0, cov_est=None, thin=1, spread=1.0):
+        """Run ``n_samples`` steps from ``theta_0`` ([d] or [n_chains, d]).
+
+        cov_est: initial proposal covariance ([d] diagonal or [d,d];
+        default: identity scaled by ``spread``).
+        """
+        key = jax.random.key(self.seed)
+        k_init, k_run = jax.random.split(key)
+        theta0 = _as_2d_theta0(theta_0, self.n_chains, k_init, spread,
+                               self.dtype)
+        d = theta0.shape[-1]
+        if cov_est is None:
+            cov_est = jnp.eye(d, dtype=self.dtype) * spread ** 2
+        cov_est = jnp.asarray(cov_est, dtype=self.dtype)
+
+        if self._final_state is None:
+            state = jax.vmap(lambda t: rw.init(t, self.log_like_fn, cov_est)
+                             )(theta0)
+        else:
+            state = self._final_state
+
+        step = rw.make_step(self.log_like_fn, self.cfg)
+
+        def batched_step(state, key, t):
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                jnp.arange(self.n_chains))
+            return jax.vmap(step, in_axes=(0, 0, None))(state, keys, t)
+
+        def collect(state, info):
+            return {"x": state.theta, "logp": info.logp,
+                    "accepted": info.accepted}
+
+        runner = jax.jit(partial(
+            run_scan_thinned, batched_step, n_steps=n_samples, thin=thin,
+            collect_fn=collect, t0=self._steps_run))
+        final_state, history = runner(state, k_run)
+        self._store(final_state, history, n_samples)
+        return self
+
+
+class Metropolis(_RwSampler):
+    """Metropolis-Hastings with Gaussian random walk (SURVEY.md §4.1)."""
+    _make_config = staticmethod(rw.metropolis_config)
+
+
+class AdaptiveMetropolis(_RwSampler):
+    """Haario adaptive Metropolis (SURVEY.md §4.2)."""
+    _make_config = staticmethod(rw.adaptive_metropolis_config)
+
+
+class DrMetropolis(_RwSampler):
+    """Two-stage delayed-rejection Metropolis (SURVEY.md §4.3)."""
+    _make_config = staticmethod(rw.dr_metropolis_config)
+
+
+class Dram(_RwSampler):
+    """DRAM = delayed rejection ⊗ adaptive Metropolis (SURVEY.md §4.4)."""
+    _make_config = staticmethod(rw.dram_config)
+
+
+# ===========================================================================
+# Population / ensemble samplers
+# ===========================================================================
+
+class DeMc(McmcSampler):
+    """ter Braak DE-MC over a synchronous population (SURVEY.md §4.5)."""
+
+    def __init__(self, log_like_fn, n_chains=8, seed=0, dtype=jnp.float32,
+                 mesh=None, **config_kw):
+        super().__init__(log_like_fn, seed=seed, dtype=dtype)
+        self.n_chains = int(n_chains)
+        self.cfg = demc.DeMcConfig(n_chains=self.n_chains, **config_kw)
+        self.mesh = mesh
+
+    def run_mcmc(self, n_gens, theta_0, thin=1, spread=1.0):
+        key = jax.random.key(self.seed)
+        k_init, k_run = jax.random.split(key)
+        x0 = _as_2d_theta0(theta_0, self.n_chains, k_init, spread, self.dtype)
+
+        if self._final_state is None:
+            state = demc.init(x0, self.log_like_fn)
+        else:
+            state = self._final_state
+
+        pool = ChainPool(
+            step_factory=lambda axis: demc.make_step(
+                self.log_like_fn, self.cfg, axis_name=axis),
+            sharded_fields=("x", "logp"), mesh=self.mesh)
+        final_state, history = pool.run(state, k_run, n_gens, thin=thin,
+                                        t0=self._steps_run)
+        self._store(final_state, history, n_gens)
+        return self
+
+
+class DreamZs(McmcSampler):
+    """DREAM-zs: archive-Z DE proposals + snooker + CR adaptation
+    (SURVEY.md §4.6–4.7). ``mesh=`` shards chains over devices."""
+
+    _config_builder = staticmethod(
+        lambda n_chains, **kw: dream.DreamConfig(n_chains=n_chains, **kw))
+
+    def __init__(self, log_like_fn, n_chains=8, seed=0, dtype=jnp.float32,
+                 mesh=None, archive_capacity=None, n_archive_init=None,
+                 **config_kw):
+        super().__init__(log_like_fn, seed=seed, dtype=dtype)
+        self.n_chains = int(n_chains)
+        self.cfg = self._config_builder(self.n_chains, **config_kw)
+        self.mesh = mesh
+        self.archive_capacity = archive_capacity
+        self.n_archive_init = n_archive_init
+
+    def run_mcmc(self, n_gens, theta_0, thin=1, spread=1.0):
+        key = jax.random.key(self.seed)
+        k_init, k_z, k_run = jax.random.split(key, 3)
+        x0 = _as_2d_theta0(theta_0, self.n_chains, k_init, spread, self.dtype)
+        d = x0.shape[-1]
+
+        if self._final_state is None:
+            capacity = self.archive_capacity
+            if capacity is None:
+                appended = self.n_chains * (n_gens // self.cfg.archive_thin + 1)
+                capacity = int(min(max(256, appended), 65536))
+            n_z0 = self.n_archive_init or max(
+                2 * self.cfg.delta_max + 3, self.n_chains, 10)
+            n_z0 = min(n_z0, capacity)
+            center = jnp.mean(x0, axis=0)
+            var = jnp.maximum(jnp.var(x0, axis=0), spread ** 2)
+            z0 = var_ball(k_z, var, n_z0, center=center, dtype=self.dtype)
+            state = dream.init(x0, self.log_like_fn, self.cfg,
+                               archive_capacity=capacity, z0=z0)
+        else:
+            state = self._final_state
+
+        pool = ChainPool(
+            step_factory=lambda axis: dream.make_step(
+                self.log_like_fn, self.cfg, axis_name=axis),
+            sharded_fields=("x", "logp", "logp_sum"), mesh=self.mesh)
+
+        def collect(state, info):
+            return {"x": state.x, "logp": info.logp,
+                    "accepted": info.accepted, "snooker": info.snooker}
+
+        final_state, history = pool.run(state, k_run, n_gens, thin=thin,
+                                        collect_fn=collect, t0=self._steps_run)
+        self._store(final_state, history, n_gens)
+        return self
+
+    @property
+    def cr_probabilities(self):
+        self._require_run()
+        return np.asarray(self._final_state.cr_p)
+
+
+class DeMcZ(DreamZs):
+    """DE-MC-z (ter Braak & Vrugt 2008): DREAM-zs engine restricted to
+    single-pair differences, full-dimension crossover, no CR adaptation
+    (SURVEY.md §4.6)."""
+
+    _config_builder = staticmethod(dream.demcz_config)

@@ -1,0 +1,258 @@
+"""DE-MC-z and DREAM-zs: archive-based differential-evolution MCMC.
+
+ter Braak & Vrugt (2008) and Vrugt et al. (2009, 2011) — SURVEY.md
+§4.6–4.7; TPU-native replacement for the reference's ``DeMcZ`` /
+``DreamZs`` classes and their mpi4py pool (`bipymc/dream.py` [U]).
+
+One engine covers both samplers (DE-MC-z is DREAM-zs with δ=1, a single
+CR=1 crossover value, and no CR adaptation). A generation is one pure step
+over the population:
+
+- difference vectors come from the archive Z (fixed-shape ring buffer,
+  :mod:`bipymc_tpu.ensemble.archive`), so small populations work in high d;
+- snooker updates with the (‖x*−z‖/‖xᵢ−z‖)^{d−1} Jacobian factor fire with
+  probability ``p_snooker``;
+- crossover (CR) subspace sampling with burn-in adaptation of the CR
+  selection probabilities via normalised squared jumping distance;
+- burn-in outlier-chain reset by the IQR rule on mean log-density;
+- γ := 1 "mode-jumping" generations on a fixed schedule.
+
+Population arrays are chain-sharded over a mesh axis; the archive and CR
+state are replicated, with ``all_gather``/``psum`` replacing the
+reference's MPI gather/Bcast (SURVEY.md §5.2). Burn-in-only adaptation is
+gated by masks on the carried generation counter, so post-burn-in steps
+are time-homogeneous and ergodicity is preserved (SURVEY.md §9).
+"""
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bipymc_tpu.ensemble.archive import (
+    Archive, archive_append, archive_sample)
+from bipymc_tpu.parallel.collectives import (
+    all_gather_chains, psum_chains, chain_offset)
+
+
+class DreamConfig(NamedTuple):
+    """Static configuration. Defaults follow Vrugt et al. 2011 (DREAM-zs).
+
+    Use :func:`demcz_config` for ter Braak & Vrugt 2008 DE-MC-z defaults.
+    """
+
+    n_chains: int
+    delta_max: int = 3          # multi-pair differences, δ ~ U{1..δ_max}
+    n_cr: int = 3               # crossover values CR_m = m/n_cr
+    p_snooker: float = 0.1
+    b: float = 1e-4             # e_j ~ U(−b, b), multiplicative (1+e) factor
+    b_star: float = 1e-6        # ε_j ~ N(0, b*²) additive jitter
+    jump_interval: int = 5      # γ := 1 every 5th generation
+    archive_thin: int = 10      # append population to Z every K generations
+    adapt_cr: bool = True       # CR selection-probability adaptation (burn-in)
+    outlier_detect: bool = True # IQR outlier-chain reset (burn-in)
+    outlier_interval: int = 10
+    burnin_gens: int = 500      # adaptation window; frozen afterwards
+    snooker_lo: float = 1.2     # γ_s ~ U(lo, hi)
+    snooker_hi: float = 2.2
+
+
+def demcz_config(n_chains: int, **kw) -> DreamConfig:
+    """DE-MC-z (ter Braak & Vrugt 2008): single pair, full-dim crossover,
+    no CR adaptation, γ-jump every 10th generation (SURVEY.md §4.6)."""
+    defaults = dict(delta_max=1, n_cr=1, adapt_cr=False,
+                    outlier_detect=False, jump_interval=10)
+    defaults.update(kw)
+    return DreamConfig(n_chains=n_chains, **defaults)
+
+
+class DreamState(NamedTuple):
+    x: jax.Array          # [n_local, d] chain-sharded population
+    logp: jax.Array       # [n_local]
+    archive: Archive      # replicated
+    cr_p: jax.Array       # [n_cr] CR selection probabilities (replicated)
+    cr_jump: jax.Array    # [n_cr] accumulated normalised sq jump dist Δ_m
+    cr_count: jax.Array   # [n_cr] times CR_m was tried, L_m
+    logp_sum: jax.Array   # [n_local] running Σ logp (outlier statistic)
+    gen: jax.Array        # [] int32
+
+
+class DreamInfo(NamedTuple):
+    accepted: jax.Array   # [n_local] bool
+    snooker: jax.Array    # [n_local] bool — proposal was a snooker move
+    logp: jax.Array       # [n_local]
+
+
+def init(x0: jax.Array, log_prob: Callable, cfg: DreamConfig,
+         archive_capacity: int, z0: jax.Array) -> DreamState:
+    """x0: [n_local, d] initial population; z0: [k, d] initial archive rows.
+
+    ter Braak–Vrugt require the initial archive to hold at least
+    max(2·δ_max, 3) + 1 rows; seed it with overdispersed prior draws
+    (``utils.var_ball``). z0 must be identical on every shard.
+    """
+    logp = jax.vmap(log_prob)(x0)
+    n_cr = cfg.n_cr
+    return DreamState(
+        x=x0,
+        logp=logp,
+        archive=archive_init_checked(z0, archive_capacity, cfg),
+        cr_p=jnp.full((n_cr,), 1.0 / n_cr, dtype=x0.dtype),
+        cr_jump=jnp.zeros((n_cr,), dtype=x0.dtype),
+        cr_count=jnp.zeros((n_cr,), dtype=x0.dtype),
+        logp_sum=jnp.zeros_like(logp),
+        gen=jnp.zeros((), jnp.int32),
+    )
+
+
+def archive_init_checked(z0, capacity, cfg: DreamConfig):
+    from bipymc_tpu.ensemble.archive import archive_init
+    need = 2 * cfg.delta_max + 3   # one generation draws this many distinct rows
+    if z0.shape[0] < need:
+        raise ValueError(
+            f"initial archive needs ≥ {need} rows for δ_max={cfg.delta_max}"
+            f" + snooker draws; got {z0.shape[0]}")
+    return archive_init(z0, capacity)
+
+
+def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None) -> Callable:
+    """Build ``step(state, key, t) -> (state, info)`` for the population."""
+    n_pairs = cfg.delta_max
+
+    def propose_one(key, x_i, archive: Archive, cr_p, gamma_jump, dtype):
+        d = x_i.shape[-1]
+        (k_coin, k_rows, k_delta, k_cr, k_mask, k_e, k_eps,
+         k_gs) = jax.random.split(key, 8)
+
+        # ---------- parallel-direction move (§4.7) -----------------------
+        delta = jax.random.randint(k_delta, (), 1, n_pairs + 1)
+        rows = archive_sample(archive, k_rows, 2 * n_pairs + 3)
+        pair_mask = (jnp.arange(n_pairs) < delta).astype(dtype)[:, None]
+        z1 = rows[0:n_pairs]
+        z2 = rows[n_pairs:2 * n_pairs]
+        diff = jnp.sum(pair_mask * (z1 - z2), axis=0)
+
+        cr_idx = jax.random.choice(k_cr, cfg.n_cr, p=cr_p)
+        cr = (cr_idx + 1).astype(dtype) / cfg.n_cr
+        u = jax.random.uniform(k_mask, (d,), dtype=dtype)
+        mask = u < cr
+        # guarantee at least one crossed-over dimension
+        mask = mask.at[jnp.argmin(u)].set(True)
+        d_eff = jnp.sum(mask).astype(dtype)
+
+        gamma = 2.38 / jnp.sqrt(2.0 * delta.astype(dtype) * d_eff)
+        gamma = jnp.where(gamma_jump, jnp.asarray(1.0, dtype), gamma)
+        e = jax.random.uniform(k_e, (d,), dtype=dtype,
+                               minval=-cfg.b, maxval=cfg.b)
+        eps = cfg.b_star * jax.random.normal(k_eps, (d,), dtype=dtype)
+        x_par = x_i + mask * ((1.0 + e) * gamma * diff + eps)
+
+        # ---------- snooker move (§4.6) ----------------------------------
+        z = rows[2 * n_pairs]
+        zr1 = rows[2 * n_pairs + 1]
+        zr2 = rows[2 * n_pairs + 2]
+        u_dir = x_i - z
+        denom = jnp.maximum(jnp.dot(u_dir, u_dir), 1e-30)
+        proj = lambda v: z + (jnp.dot(v - z, u_dir) / denom) * u_dir
+        gamma_s = jax.random.uniform(k_gs, (), dtype=dtype,
+                                     minval=cfg.snooker_lo, maxval=cfg.snooker_hi)
+        x_snk = x_i + gamma_s * (proj(zr1) - proj(zr2))
+        # Jacobian factor (‖x*−z‖/‖xᵢ−z‖)^{d−1} in log space
+        log_jac_snk = (d - 1) * 0.5 * (
+            jnp.log(jnp.maximum(jnp.sum((x_snk - z) ** 2), 1e-30))
+            - jnp.log(denom))
+
+        is_snooker = (cfg.p_snooker > 0.0) & (
+            jax.random.uniform(k_coin, dtype=dtype) < cfg.p_snooker)
+        x_star = jnp.where(is_snooker, x_snk, x_par)
+        log_jac = jnp.where(is_snooker, log_jac_snk, 0.0)
+        return x_star, log_jac, is_snooker, cr_idx
+
+    def step(state: DreamState, key: jax.Array, t: jax.Array):
+        n_local, d = state.x.shape
+        dtype = state.x.dtype
+        offset = chain_offset(n_local, axis_name)
+        gamma_jump = (state.gen % cfg.jump_interval) == (cfg.jump_interval - 1)
+        in_burnin = state.gen < cfg.burnin_gens
+
+        i_locals = jnp.arange(n_local, dtype=jnp.int32)
+        chain_keys = jax.vmap(
+            lambda i: jax.random.fold_in(key, offset + i))(i_locals)
+        prop_keys = jax.vmap(lambda k: jax.random.split(k, 2))(chain_keys)
+
+        x_star, log_jac, is_snk, cr_idx = jax.vmap(
+            lambda k, x_i: propose_one(k, x_i, state.archive, state.cr_p,
+                                       gamma_jump, dtype)
+        )(prop_keys[:, 0], state.x)
+
+        logp_star = jax.vmap(log_prob)(x_star)             # dominant cost
+        log_u = jnp.log(jax.vmap(
+            lambda k: jax.random.uniform(k, dtype=dtype))(prop_keys[:, 1]))
+        log_alpha = jnp.minimum(0.0, logp_star - state.logp + log_jac)
+        # guard NaN/-inf proposals (out-of-support): always reject
+        log_alpha = jnp.where(jnp.isfinite(logp_star), log_alpha, -jnp.inf)
+        acc = log_u < log_alpha
+
+        x_new = jnp.where(acc[:, None], x_star, state.x)
+        logp_new = jnp.where(acc, logp_star, state.logp)
+
+        # ---------- CR adaptation statistics (burn-in only, §4.7) --------
+        if cfg.adapt_cr:
+            # population std per dim from generation-start positions
+            n_total = jnp.asarray(cfg.n_chains, dtype)
+            s1 = psum_chains(jnp.sum(state.x, axis=0), axis_name)
+            s2 = psum_chains(jnp.sum(state.x ** 2, axis=0), axis_name)
+            var = jnp.maximum(s2 / n_total - (s1 / n_total) ** 2, 1e-30)
+            jump2 = jnp.sum((x_new - state.x) ** 2 / var, axis=1)  # [n_local]
+            w = in_burnin.astype(dtype)
+            onehot = jax.nn.one_hot(cr_idx, cfg.n_cr, dtype=dtype)
+            d_jump = psum_chains(onehot.T @ jump2, axis_name) * w
+            d_count = psum_chains(jnp.sum(onehot, axis=0), axis_name) * w
+            cr_jump = state.cr_jump + d_jump
+            cr_count = state.cr_count + d_count
+            rate = cr_jump / jnp.maximum(cr_count, 1.0)
+            cr_p_new = rate / jnp.maximum(jnp.sum(rate), 1e-30)
+            # adapt only while burn-in and once every CR has some mass
+            use_new = in_burnin & (jnp.min(cr_count) > 4.0) & \
+                jnp.all(jnp.isfinite(cr_p_new))
+            cr_p = jnp.where(use_new, cr_p_new, state.cr_p)
+        else:
+            cr_jump, cr_count, cr_p = (
+                state.cr_jump, state.cr_count, state.cr_p)
+
+        # ---------- outlier-chain reset (burn-in only, §4.7) -------------
+        logp_sum = state.logp_sum + logp_new
+        if cfg.outlier_detect:
+            check = in_burnin & (state.gen > 0) & \
+                ((state.gen % cfg.outlier_interval) ==
+                 (cfg.outlier_interval - 1))
+            mean_lp_local = logp_sum / (state.gen + 1).astype(dtype)
+            mean_lp = all_gather_chains(mean_lp_local, axis_name)   # [N]
+            q1 = jnp.quantile(mean_lp, 0.25)
+            q3 = jnp.quantile(mean_lp, 0.75)
+            lo = q1 - 2.0 * (q3 - q1)
+            is_outlier = check & (mean_lp_local < lo)
+            # reset outliers to the current global best chain
+            lp_all = all_gather_chains(logp_new, axis_name)
+            x_all = all_gather_chains(x_new, axis_name)
+            best = jnp.argmax(lp_all)
+            x_new = jnp.where(is_outlier[:, None], x_all[best], x_new)
+            logp_new = jnp.where(is_outlier, lp_all[best], logp_new)
+            best_sum = all_gather_chains(logp_sum, axis_name)[best]
+            logp_sum = jnp.where(is_outlier, best_sum, logp_sum)
+
+        # ---------- archive append every K generations -------------------
+        do_append = (state.gen % cfg.archive_thin) == (cfg.archive_thin - 1)
+        rows = all_gather_chains(x_new, axis_name)          # [N, d]
+        appended = archive_append(state.archive, rows)
+        archive = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(do_append, b, a), state.archive, appended)
+
+        new_state = DreamState(
+            x=x_new, logp=logp_new, archive=archive,
+            cr_p=cr_p, cr_jump=cr_jump, cr_count=cr_count,
+            logp_sum=logp_sum, gen=state.gen + 1)
+        return new_state, DreamInfo(accepted=acc, snooker=is_snk,
+                                    logp=logp_new)
+
+    return step

@@ -1,0 +1,193 @@
+"""Random-walk sampler family: MH → AM → DR → DRAM, one pure step.
+
+TPU-native redesign of the reference's ``Metropolis`` / ``AdaptiveMetropolis``
+/ ``DrMetropolis`` / ``Dram`` classes (SURVEY.md §3, `bipymc/samplers.py` [U];
+math contract SURVEY.md §4.1–4.4). DRAM is the general case; MH/AM/DR are
+config restrictions, so the whole family is ONE pure
+``step(state, key, t) -> (state, info)`` that
+
+- lives inside ``lax.scan`` (no Python hot loop, SURVEY.md §5.1),
+- vmaps over a chain axis (each chain carries its own adaptation state),
+- is *branchless* in the delayed-rejection stage: both stages' proposals and
+  likelihoods are computed and the result selected with ``lax.select``.
+  Under ``vmap``, ``lax.cond`` lowers to ``select`` anyway, so for vectorised
+  chains the branchless form is optimal (SURVEY.md §9 "Hard parts").
+
+Algorithm contracts implemented here:
+- 4.1 Metropolis: symmetric Gaussian RW, α = min{1, exp(ℓ' − ℓ)}.
+- 4.2 Haario AM: C_t = s_d (Cov_t + ε I), s_d = 2.38²/d, recursive Welford
+  mean/scatter update, periodic Cholesky refresh.
+- 4.3 Green–Mira DR, two stages, C₂ = C₁/κ:
+  α₂ = min{1, [π(y₂) q₁(y₁|y₂) (1−α₁(y₂,y₁))] / [π(x) q₁(y₁|x) (1−α₁(x,y₁))]}
+  with the q₁ terms evaluated explicitly (they do not cancel).
+- 4.4 DRAM: DR with C₁ from AM adaptation.
+"""
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from bipymc_tpu.samplers.proposals import gaussian_logpdf
+
+
+class RwConfig(NamedTuple):
+    """Static configuration for the random-walk family.
+
+    adapt: Haario AM covariance adaptation on/off.
+    delayed: second delayed-rejection stage on/off.
+    t0: first step at which adapted covariance may be used (non-adaptive
+        warmup period; diminishing adaptation preserves ergodicity).
+    adapt_interval: Cholesky refresh period (adaptation statistics are
+        updated every step regardless).
+    eps: ε-regularisation added to the adapted covariance.
+    kappa: DR stage-2 covariance shrink factor, C₂ = C₁/κ ("bold then timid").
+    sd: proposal scaling; None → 2.38²/d at init time.
+    """
+
+    adapt: bool = False
+    delayed: bool = False
+    t0: int = 200
+    adapt_interval: int = 50
+    eps: float = 1e-8
+    kappa: float = 5.0
+    sd: float | None = None
+
+
+class RwState(NamedTuple):
+    theta: jax.Array        # [d] current position
+    logp: jax.Array         # [] current log-posterior
+    mean: jax.Array         # [d] running mean of visited states (AM)
+    m2: jax.Array           # [d,d] running scatter Σ(θ−μ)(θ−μ)ᵀ (AM)
+    count: jax.Array        # [] number of states folded into mean/m2
+    chol: jax.Array         # [d,d] current stage-1 proposal Cholesky
+
+
+class RwInfo(NamedTuple):
+    accepted: jax.Array     # [] bool — did the chain move this step
+    stage: jax.Array        # [] int32: 0 reject, 1 stage-1 accept, 2 stage-2
+    logp: jax.Array         # [] log-posterior after the step
+
+
+def _log1mexp(log_a):
+    """log(1 − exp(log_a)) for log_a ≤ 0, numerically stable (Mächler 2012)."""
+    log_a = jnp.minimum(log_a, -1e-30)  # exact 0 → well-defined -inf-ish
+    return jnp.where(
+        log_a > -0.6931471805599453,          # −log 2
+        jnp.log(-jnp.expm1(log_a)),
+        jnp.log1p(-jnp.exp(log_a)),
+    )
+
+
+def init(theta0: jax.Array, log_prob: Callable, cov0: jax.Array) -> RwState:
+    """Initial per-chain state. ``cov0`` is the stage-1 proposal covariance."""
+    theta0 = jnp.asarray(theta0)
+    d = theta0.shape[-1]
+    cov0 = jnp.asarray(cov0, dtype=theta0.dtype)
+    if cov0.ndim == 1:
+        cov0 = jnp.diag(cov0)
+    return RwState(
+        theta=theta0,
+        logp=log_prob(theta0),
+        mean=theta0,
+        m2=jnp.zeros((d, d), dtype=theta0.dtype),
+        count=jnp.ones((), dtype=jnp.int32),
+        chol=jnp.linalg.cholesky(cov0),
+    )
+
+
+def make_step(log_prob: Callable, cfg: RwConfig) -> Callable:
+    """Build ``step(state, key, t)`` for one chain. vmap for many chains."""
+
+    def step(state: RwState, key: jax.Array, t: jax.Array):
+        d = state.theta.shape[-1]
+        dtype = state.theta.dtype
+        sd = cfg.sd if cfg.sd is not None else 2.38 ** 2 / d
+        k_z1, k_z2, k_u1, k_u2 = jax.random.split(key, 4)
+
+        # ---- stage 1: y₁ ~ N(x, C₁) -------------------------------------
+        z1 = jax.random.normal(k_z1, (d,), dtype=dtype)
+        y1 = state.theta + state.chol @ z1
+        l1 = log_prob(y1)
+        log_a1 = jnp.minimum(0.0, l1 - state.logp)
+        u1 = jnp.log(jax.random.uniform(k_u1, dtype=dtype))
+        acc1 = u1 < log_a1
+
+        if cfg.delayed:
+            # ---- stage 2: y₂ ~ N(x, C₁/κ), Green–Mira ratio (§4.3) ------
+            inv_sqrt_kappa = jnp.asarray(1.0 / jnp.sqrt(cfg.kappa), dtype)
+            z2 = jax.random.normal(k_z2, (d,), dtype=dtype)
+            y2 = state.theta + (state.chol * inv_sqrt_kappa) @ z2
+            l2 = log_prob(y2)
+            # α₁(y₂, y₁) — reverse-path stage-1 acceptance
+            log_a1_rev = jnp.minimum(0.0, l1 - l2)
+            lq_y1_y2 = gaussian_logpdf(y1, y2, state.chol)        # q₁(y₁|y₂)
+            lq_y1_x = gaussian_logpdf(y1, state.theta, state.chol)  # q₁(y₁|x)
+            log_num = l2 + lq_y1_y2 + _log1mexp(log_a1_rev)
+            log_den = state.logp + lq_y1_x + _log1mexp(log_a1)
+            log_a2 = jnp.minimum(0.0, log_num - log_den)
+            u2 = jnp.log(jax.random.uniform(k_u2, dtype=dtype))
+            # NaN from an unused branch (α₁=1 ⇒ stage 1 accepted) compares
+            # False, so acc2 is well-defined.
+            acc2 = jnp.logical_and(jnp.logical_not(acc1), u2 < log_a2)
+        else:
+            y2, l2 = y1, l1
+            acc2 = jnp.zeros((), dtype=bool)
+
+        take1 = acc1
+        take2 = acc2
+        theta_new = jnp.where(take1, y1, jnp.where(take2, y2, state.theta))
+        logp_new = jnp.where(take1, l1, jnp.where(take2, l2, state.logp))
+        stage = jnp.where(take1, 1, jnp.where(take2, 2, 0)).astype(jnp.int32)
+
+        if cfg.adapt:
+            # ---- Haario recursion (§4.2), Welford form ------------------
+            n = state.count + 1
+            delta = theta_new - state.mean
+            mean_new = state.mean + delta / n.astype(dtype)
+            delta2 = theta_new - mean_new
+            m2_new = state.m2 + jnp.outer(delta, delta2)
+
+            do_refresh = jnp.logical_and(
+                t >= cfg.t0, (t + 1) % cfg.adapt_interval == 0
+            )
+
+            def refresh(_):
+                cov = sd * (m2_new / (n - 1).astype(dtype)
+                            + cfg.eps * jnp.eye(d, dtype=dtype))
+                c = jnp.linalg.cholesky(cov)
+                # keep the old factor if the adapted cov is not (yet) SPD
+                ok = jnp.all(jnp.isfinite(c))
+                return jnp.where(ok, c, state.chol)
+
+            chol_new = lax.cond(do_refresh, refresh,
+                                lambda _: state.chol, operand=None)
+        else:
+            mean_new, m2_new, n, chol_new = (
+                state.mean, state.m2, state.count, state.chol)
+
+        new_state = RwState(theta_new, logp_new, mean_new, m2_new, n, chol_new)
+        info = RwInfo(accepted=jnp.logical_or(take1, take2),
+                      stage=stage, logp=logp_new)
+        return new_state, info
+
+    return step
+
+
+# Named configs matching the reference sampler zoo ---------------------------
+
+def metropolis_config(**kw) -> RwConfig:
+    return RwConfig(adapt=False, delayed=False, **kw)
+
+
+def adaptive_metropolis_config(**kw) -> RwConfig:
+    return RwConfig(adapt=True, delayed=False, **kw)
+
+
+def dr_metropolis_config(**kw) -> RwConfig:
+    return RwConfig(adapt=False, delayed=True, **kw)
+
+
+def dram_config(**kw) -> RwConfig:
+    return RwConfig(adapt=True, delayed=True, **kw)

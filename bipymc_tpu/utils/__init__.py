@@ -1,0 +1,7 @@
+from bipymc_tpu.utils.init import var_ball
+from bipymc_tpu.utils.diagnostics import (
+    gelman_rubin,
+    effective_sample_size,
+    integrated_autocorr_time,
+    acceptance_fraction,
+)

@@ -1,0 +1,92 @@
+"""Convergence diagnostics — all computed on-device.
+
+Reference capability (SURVEY.md §4.8, [B]): Gelman-Rubin R-hat,
+autocorrelation / effective sample size, acceptance fraction. The reference
+computes these post-hoc on host NumPy arrays; here they are jittable jnp
+functions, so they run on-device over device-resident histories and inside
+scan-carried streaming state (see :mod:`bipymc_tpu.utils.streaming` for the
+R-hat early-stopping form used by BASELINE config 5).
+
+Chain-history convention: ``chains[M, N, d]`` = M chains × N steps × d dims
+(1-d histories ``[M, N]`` are promoted).
+"""
+
+import jax.numpy as jnp
+
+
+def _promote(chains):
+    chains = jnp.asarray(chains)
+    if chains.ndim == 2:
+        chains = chains[..., None]
+    return chains
+
+
+def gelman_rubin(chains, split=True):
+    """Split-R̂ (Gelman & Rubin 1992; split variant of Gelman et al. BDA3).
+
+    chains: [M, N, d]. Returns R̂ per dimension, shape [d].
+    W = mean within-chain variance, B/n = variance of chain means,
+    V̂ = (n−1)/n·W + B/n, R̂ = √(V̂/W)  (SURVEY.md §4.8).
+    ``split=True`` halves each chain first (detects within-chain drift).
+    """
+    chains = _promote(chains)
+    m, n, d = chains.shape
+    if split:
+        half = n // 2
+        chains = jnp.concatenate(
+            [chains[:, :half, :], chains[:, n - half:, :]], axis=0)
+        m, n = 2 * m, half
+    means = jnp.mean(chains, axis=1)                        # [m, d]
+    variances = jnp.var(chains, axis=1, ddof=1)             # [m, d]
+    w = jnp.mean(variances, axis=0)                         # within
+    b_over_n = jnp.var(means, axis=0, ddof=1)               # between / n
+    v_hat = (n - 1) / n * w + b_over_n
+    return jnp.sqrt(v_hat / w)
+
+
+def autocorr_fn(chains, max_lag=None):
+    """Normalised autocorrelation ρ_t via FFT, averaged over chains and dims.
+
+    chains: [M, N, d] → ρ[max_lag] with ρ_0 = 1. FFT of centered chains
+    (SURVEY.md §4.8), per chain/dim, then averaged.
+    """
+    chains = _promote(chains)
+    m, n, d = chains.shape
+    if max_lag is None:
+        max_lag = n
+    x = chains - jnp.mean(chains, axis=1, keepdims=True)
+    nfft = 2 * n  # zero-pad to avoid circular correlation
+    f = jnp.fft.rfft(x, n=nfft, axis=1)
+    acf = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=1)[:, :n, :]
+    acf = acf / acf[:, :1, :]                               # ρ_0 = 1 per chain
+    return jnp.mean(acf, axis=(0, 2))[:max_lag]
+
+
+def integrated_autocorr_time(chains, c=5.0):
+    """Integrated autocorrelation time τ with emcee-style auto-windowing.
+
+    τ = 1 + 2 Σ_{t≥1} ρ_t truncated at the smallest window w with w ≥ c·τ(w)
+    (Sokal's criterion as used by emcee [P]). Returns a scalar τ (averaged
+    autocorrelation across chains and dims).
+    """
+    rho = autocorr_fn(chains)
+    taus = 2.0 * jnp.cumsum(rho) - 1.0                      # τ(w) for each w
+    lags = jnp.arange(rho.shape[0])
+    ok = lags >= c * taus
+    # first index where the window criterion holds (fallback: last lag)
+    idx = jnp.argmax(ok)
+    window = jnp.where(jnp.any(ok), idx, rho.shape[0] - 1)
+    return jnp.maximum(taus[window], 1.0)
+
+
+def effective_sample_size(chains, c=5.0):
+    """ESS = M·N / τ over all chains (SURVEY.md §4.8)."""
+    chains = _promote(chains)
+    m, n, _ = chains.shape
+    tau = integrated_autocorr_time(chains, c=c)
+    return m * n / tau
+
+
+def acceptance_fraction(accepted):
+    """Mean acceptance per chain. accepted: [..., N] bool → [...]."""
+    return jnp.mean(jnp.asarray(accepted, jnp.float32), axis=-1)

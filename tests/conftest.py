@@ -1,0 +1,23 @@
+"""Test environment: 8 fake CPU devices.
+
+The reference tests ensemble samplers under ``mpiexec -n 2..4`` on one node
+(SURVEY.md §6). The JAX equivalent needs no cluster either: force the host
+platform and 8 virtual CPU devices so the shard_map path runs real
+collectives. Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU harness force-sets jax_platforms via sitecustomize; env vars
+# alone don't win. Re-pin to CPU before any backend initialisation.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+

@@ -1,0 +1,68 @@
+"""Diagnostics vs independent NumPy formulas (SURVEY.md §4.8)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bipymc_tpu.utils.diagnostics import (
+    gelman_rubin, autocorr_fn, integrated_autocorr_time,
+    effective_sample_size, acceptance_fraction)
+
+
+def _np_split_rhat(chains):
+    m, n, d = chains.shape
+    half = n // 2
+    c = np.concatenate([chains[:, :half], chains[:, n - half:]], axis=0)
+    m, n = 2 * m, half
+    means = c.mean(axis=1)
+    w = c.var(axis=1, ddof=1).mean(axis=0)
+    b_over_n = means.var(axis=0, ddof=1)
+    v = (n - 1) / n * w + b_over_n
+    return np.sqrt(v / w)
+
+
+def test_rhat_matches_numpy_formula():
+    rng = np.random.default_rng(0)
+    chains = rng.normal(size=(4, 500, 3)).astype(np.float32)
+    got = np.asarray(gelman_rubin(jnp.asarray(chains)))
+    want = _np_split_rhat(chains)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_rhat_detects_disagreement():
+    rng = np.random.default_rng(1)
+    chains = rng.normal(size=(4, 400, 1)).astype(np.float32)
+    chains[0] += 5.0  # one chain stuck elsewhere
+    rhat = float(gelman_rubin(jnp.asarray(chains))[0])
+    assert rhat > 1.5
+    good = rng.normal(size=(4, 400, 1)).astype(np.float32)
+    assert float(gelman_rubin(jnp.asarray(good))[0]) < 1.05
+
+
+def test_autocorr_iid_is_deltaish():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 4000, 1)).astype(np.float32)
+    rho = np.asarray(autocorr_fn(jnp.asarray(x), max_lag=50))
+    assert abs(rho[0] - 1.0) < 1e-5
+    assert np.all(np.abs(rho[1:]) < 0.1)
+
+
+def test_ess_on_ar1():
+    """AR(1) with coefficient φ has τ = (1+φ)/(1−φ)."""
+    phi = 0.8
+    rng = np.random.default_rng(3)
+    n, m = 20000, 4
+    x = np.zeros((m, n), dtype=np.float64)
+    eps = rng.normal(size=(m, n))
+    for t in range(1, n):
+        x[:, t] = phi * x[:, t - 1] + eps[:, t]
+    tau = float(integrated_autocorr_time(jnp.asarray(x, jnp.float32)))
+    tau_true = (1 + phi) / (1 - phi)   # = 9.0
+    assert 0.6 * tau_true < tau < 1.5 * tau_true
+    ess = float(effective_sample_size(jnp.asarray(x, jnp.float32)))
+    assert 0.5 * m * n / tau_true < ess < 2.0 * m * n / tau_true
+
+
+def test_acceptance_fraction():
+    acc = jnp.array([[True, False, True, True], [False, False, True, False]])
+    np.testing.assert_allclose(
+        np.asarray(acceptance_fraction(acc)), [0.75, 0.25])

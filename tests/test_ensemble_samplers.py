@@ -1,0 +1,106 @@
+"""Ensemble samplers on analytic targets (SURVEY.md §6; BASELINE
+configs 2–3 shrunk to test size)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bipymc_tpu import DeMc, DeMcZ, DreamZs
+from bipymc_tpu.models.targets import (
+    correlated_gaussian, banana, gaussian_mixture)
+from bipymc_tpu.utils.diagnostics import gelman_rubin
+
+MEAN = jnp.array([1.0, -1.0])
+COV = jnp.array([[1.0, 0.8], [0.8, 1.5]])
+
+
+def test_demc_gaussian_moments():
+    log_prob = correlated_gaussian(MEAN, COV)
+    s = DeMc(log_prob, n_chains=16, seed=0)
+    s.run_mcmc(3000, MEAN, spread=2.0)
+    flat = s.get_chain(discard=1000, flat=True)
+    np.testing.assert_allclose(flat.mean(axis=0), MEAN, atol=0.2)
+    np.testing.assert_allclose(np.cov(flat.T), COV, atol=0.4)
+    af = s.acceptance_fraction
+    assert np.all(af > 0.05) and np.all(af < 0.9)
+
+
+def test_demcz_banana_moments():
+    """BASELINE config 2 (shrunk): 8-chain DE-MC-z with snooker on the
+    banana posterior."""
+    log_prob = banana(b=0.03, sigma1=10.0)
+    s = DeMcZ(log_prob, n_chains=8, seed=1)
+    s.run_mcmc(6000, jnp.zeros(2), spread=5.0)
+    flat = s.get_chain(discard=2500, flat=True)
+    assert abs(flat[:, 0].mean()) < 2.5
+    assert abs(flat[:, 1].mean()) < 2.5
+    assert 50.0 < flat[:, 0].var() < 170.0
+    # snooker moves actually fire ~10% of the time
+    snk = np.asarray(s._history["snooker"])
+    assert 0.03 < snk.mean() < 0.25
+
+
+def test_demcz_few_chains_high_dim():
+    """Archive-based proposals allow N << d (ter Braak & Vrugt 2008)."""
+    d = 10
+    log_prob = correlated_gaussian(jnp.zeros(d), jnp.eye(d))
+    s = DeMcZ(log_prob, n_chains=4, seed=2)
+    s.run_mcmc(8000, jnp.zeros(d), spread=2.0)
+    flat = s.get_chain(discard=3000, flat=True)
+    assert np.all(np.abs(flat.mean(axis=0)) < 0.5)
+    assert np.all(np.abs(flat.var(axis=0) - 1.0) < 0.6)
+
+
+def test_dream_mixture_visits_both_modes():
+    """DREAM-zs on a bimodal mixture: both modes populated, R-hat sane."""
+    means = jnp.array([[-3.0, -3.0, -3.0, -3.0, -3.0],
+                       [3.0, 3.0, 3.0, 3.0, 3.0]])
+    log_prob = gaussian_mixture(means, sigma=1.0)
+    s = DreamZs(log_prob, n_chains=24, seed=3, burnin_gens=800)
+    s.run_mcmc(4000, jnp.zeros(5), spread=6.0)
+    flat = s.get_chain(discard=1500, flat=True)
+    frac_pos = (flat[:, 0] > 0).mean()
+    assert 0.15 < frac_pos < 0.85          # both modes visited
+    assert np.all(np.abs(np.abs(flat.mean(axis=0))) < 1.5)
+
+
+def test_dream_cr_adaptation_updates():
+    log_prob = correlated_gaussian(MEAN, COV)
+    s = DreamZs(log_prob, n_chains=16, seed=4, burnin_gens=500)
+    s.run_mcmc(800, MEAN, spread=2.0)
+    p = s.cr_probabilities
+    assert p.shape == (3,)
+    np.testing.assert_allclose(p.sum(), 1.0, atol=1e-5)
+    assert not np.allclose(p, 1.0 / 3.0)   # adaptation actually moved them
+
+
+def test_dream_outlier_reset():
+    """A chain started absurdly far away must be reset during burn-in."""
+    d = 2
+    log_prob = correlated_gaussian(jnp.zeros(d), jnp.eye(d))
+    x0 = np.tile(np.zeros(d, np.float32), (8, 1))
+    x0 += np.random.default_rng(0).normal(size=x0.shape).astype(np.float32)
+    x0[0] = 400.0                           # pathological outlier
+    s = DreamZs(log_prob, n_chains=8, seed=5, burnin_gens=400,
+                outlier_interval=10)
+    s.run_mcmc(600, jnp.asarray(x0))
+    # after burn-in the outlier chain has been pulled back
+    assert np.all(np.abs(s.super_chain[0, -1, :]) < 20.0)
+
+
+def test_ensemble_rhat_convergence():
+    log_prob = correlated_gaussian(MEAN, COV)
+    s = DreamZs(log_prob, n_chains=16, seed=6)
+    s.run_mcmc(3000, MEAN, spread=3.0)
+    rhat = gelman_rubin(jnp.asarray(s.super_chain)[:, 1000:, :])
+    assert np.all(np.asarray(rhat) < 1.1)
+
+
+def test_resume_continues():
+    log_prob = correlated_gaussian(MEAN, COV)
+    s = DreamZs(log_prob, n_chains=8, seed=7)
+    s.run_mcmc(200, MEAN, spread=2.0)
+    x_after_first = s.super_chain[:, -1, :].copy()
+    s.run_mcmc(200, MEAN)
+    assert s.super_chain.shape[1] == 400
+    np.testing.assert_array_equal(s.super_chain[:, 199, :], x_after_first)

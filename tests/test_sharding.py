@@ -1,0 +1,63 @@
+"""Distributed path: shard_map over 8 fake CPU devices must reproduce the
+single-device vmap path bit-for-bit (SURVEY.md §6 "TPU equivalent" of the
+reference's mpiexec smoke tests; key-folding by global chain index makes
+the two paths share RNG streams)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bipymc_tpu import DeMc, DreamZs
+from bipymc_tpu.models.targets import correlated_gaussian
+from bipymc_tpu.parallel.mesh import chain_mesh
+
+MEAN = jnp.array([1.0, -1.0])
+COV = jnp.array([[1.0, 0.8], [0.8, 1.5]])
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple (fake) devices")
+
+
+@needs_devices
+def test_dream_mesh_equals_vmap():
+    lp = correlated_gaussian(MEAN, COV)
+    mesh = chain_mesh()
+    a = DreamZs(lp, n_chains=16, seed=9, mesh=mesh).run_mcmc(
+        200, MEAN, spread=2.0)
+    b = DreamZs(lp, n_chains=16, seed=9).run_mcmc(200, MEAN, spread=2.0)
+    np.testing.assert_array_equal(a.super_chain, b.super_chain)
+    np.testing.assert_array_equal(a.acceptance_fraction,
+                                  b.acceptance_fraction)
+
+
+@needs_devices
+def test_demc_mesh_equals_vmap():
+    lp = correlated_gaussian(MEAN, COV)
+    mesh = chain_mesh()
+    a = DeMc(lp, n_chains=16, seed=4, mesh=mesh).run_mcmc(
+        200, MEAN, spread=2.0)
+    b = DeMc(lp, n_chains=16, seed=4).run_mcmc(200, MEAN, spread=2.0)
+    np.testing.assert_array_equal(a.super_chain, b.super_chain)
+
+
+@needs_devices
+def test_mesh_indivisible_chains_raises():
+    lp = correlated_gaussian(MEAN, COV)
+    with pytest.raises(ValueError, match="divisible"):
+        DreamZs(lp, n_chains=10, seed=0, mesh=chain_mesh()).run_mcmc(
+            10, MEAN)
+
+
+def test_chain_count_invariance():
+    """Chain i's trajectory must not depend on how many chains run
+    (RNG folds by global chain index — SURVEY.md §9 design stance)."""
+    lp = correlated_gaussian(MEAN, COV)
+    x0 = jnp.tile(MEAN, (16, 1))
+    a = DeMc(lp, n_chains=16, seed=2).run_mcmc(50, x0)
+    # NOTE: DE-MC proposals mix chains, so exact invariance holds only for
+    # the single-chain family; check that here instead.
+    from bipymc_tpu import Metropolis
+    m8 = Metropolis(lp, seed=3, n_chains=8).run_mcmc(100, x0[:8])
+    m4 = Metropolis(lp, seed=3, n_chains=4).run_mcmc(100, x0[:4])
+    np.testing.assert_array_equal(m8.super_chain[:4], m4.super_chain)
