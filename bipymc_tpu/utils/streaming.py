@@ -1,0 +1,55 @@
+"""Streaming (on-device) Gelman-Rubin for R̂-based early stopping.
+
+BASELINE config 5 requires "on-device Gelman-Rubin stopping": the run must
+terminate when R̂ < tol without streaming history to the host. Per-chain
+Welford moments (count, mean, M2 per dimension) ride in the scan carry;
+cross-chain moments come from ``psum`` on the mesh path — the whole
+stopping rule evaluates inside the compiled ``while_loop``
+(SURVEY.md §7.5, §9 "Host-free stopping").
+
+This is the classic (non-split) R̂ over the monitored window; the post-hoc
+:func:`bipymc_tpu.utils.diagnostics.gelman_rubin` on saved history is the
+split variant.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bipymc_tpu.parallel.collectives import psum_chains
+
+
+class RhatCarry(NamedTuple):
+    n: jax.Array      # [] float — samples folded in per chain
+    mean: jax.Array   # [n_local, d] per-chain running mean
+    m2: jax.Array     # [n_local, d] per-chain running Σ(x−μ)²
+
+
+def rhat_init(n_local, d, dtype=jnp.float32) -> RhatCarry:
+    return RhatCarry(
+        n=jnp.zeros((), dtype),
+        mean=jnp.zeros((n_local, d), dtype),
+        m2=jnp.zeros((n_local, d), dtype))
+
+
+def rhat_update(carry: RhatCarry, x) -> RhatCarry:
+    """Fold one population snapshot x [n_local, d] into the moments."""
+    n = carry.n + 1.0
+    delta = x - carry.mean
+    mean = carry.mean + delta / n
+    m2 = carry.m2 + delta * (x - mean)
+    return RhatCarry(n=n, mean=mean, m2=m2)
+
+
+def rhat_compute(carry: RhatCarry, n_chains, axis_name=None):
+    """R̂ per dimension [d] from the streamed moments (psum across shards)."""
+    n = jnp.maximum(carry.n, 2.0)
+    m = jnp.asarray(n_chains, carry.mean.dtype)
+    w = psum_chains(jnp.sum(carry.m2, axis=0), axis_name) / (m * (n - 1.0))
+    mean_sum = psum_chains(jnp.sum(carry.mean, axis=0), axis_name)
+    gmean = mean_sum / m
+    dev = jnp.sum((carry.mean - gmean) ** 2, axis=0)
+    b_over_n = psum_chains(dev, axis_name) / (m - 1.0)
+    v_hat = (n - 1.0) / n * w + b_over_n
+    return jnp.sqrt(v_hat / jnp.maximum(w, 1e-30))

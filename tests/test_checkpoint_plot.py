@@ -1,0 +1,59 @@
+"""Checkpoint/resume exactness and plotting smoke tests (SURVEY.md §7.4)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bipymc_tpu import DreamZs, Dram
+from bipymc_tpu.models.targets import correlated_gaussian
+from bipymc_tpu.utils.checkpoint import (
+    save_state, load_state, save_sampler, restore_sampler)
+from bipymc_tpu.plotting import (
+    plot_trace, plot_hist, plot_corner, plot_acceptance)
+
+MEAN = jnp.array([1.0, -1.0])
+COV = jnp.array([[1.0, 0.8], [0.8, 1.5]])
+
+
+def test_checkpoint_roundtrip_state(tmp_path):
+    lp = correlated_gaussian(MEAN, COV)
+    s = DreamZs(lp, n_chains=8, seed=0)
+    s.run_mcmc(100, MEAN, spread=2.0)
+    path = tmp_path / "ck.npz"
+    save_state(path, s.final_state, step=100)
+    state, step = load_state(path)
+    assert step == 100
+    np.testing.assert_array_equal(np.asarray(state.x),
+                                  np.asarray(s.final_state.x))
+    np.testing.assert_array_equal(np.asarray(state.archive.buf),
+                                  np.asarray(s.final_state.archive.buf))
+
+
+def test_checkpoint_resume_is_exact(tmp_path):
+    """resume(ck) then 100 gens ≡ continuous 200 gens, bit-for-bit."""
+    lp = correlated_gaussian(MEAN, COV)
+    full = DreamZs(lp, n_chains=8, seed=3)
+    full.run_mcmc(200, MEAN, spread=2.0)
+
+    first = DreamZs(lp, n_chains=8, seed=3)
+    first.run_mcmc(100, MEAN, spread=2.0)
+    path = tmp_path / "ck.npz"
+    save_sampler(path, first)
+
+    resumed = restore_sampler(path, DreamZs(lp, n_chains=8, seed=3))
+    resumed.run_mcmc(100, MEAN)
+    np.testing.assert_array_equal(
+        resumed.super_chain, full.super_chain[:, 100:, :])
+
+
+def test_plots_smoke(tmp_path):
+    lp = correlated_gaussian(MEAN, COV)
+    s = Dram(lp, seed=0, n_chains=3)
+    s.run_mcmc(300, MEAN, cov_est=COV)
+    sc = s.super_chain
+    assert plot_trace(sc, path=tmp_path / "t.png") is not None
+    assert plot_hist(sc, truths=[1.0, -1.0], path=tmp_path / "h.png") is not None
+    assert plot_corner(sc, path=tmp_path / "c.png") is not None
+    assert plot_acceptance(s.acceptance_fraction,
+                           path=tmp_path / "a.png") is not None
+    for f in ["t.png", "h.png", "c.png", "a.png"]:
+        assert (tmp_path / f).stat().st_size > 1000

@@ -1,0 +1,60 @@
+"""On-device streaming R-hat early stopping (BASELINE config 5 core)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bipymc_tpu import DreamZs
+from bipymc_tpu.models.targets import correlated_gaussian
+from bipymc_tpu.parallel.mesh import chain_mesh
+from bipymc_tpu.utils.streaming import rhat_init, rhat_update, rhat_compute
+from bipymc_tpu.utils.diagnostics import gelman_rubin
+
+MEAN = jnp.array([1.0, -1.0])
+COV = jnp.array([[1.0, 0.8], [0.8, 1.5]])
+
+
+def test_streaming_rhat_matches_batch_formula():
+    """Welford-streamed R̂ must equal the (non-split) batch formula."""
+    rng = np.random.default_rng(0)
+    chains = rng.normal(size=(6, 300, 3)).astype(np.float32)
+    chains[1] += 0.5
+    rc = rhat_init(6, 3)
+    for t in range(300):
+        rc = rhat_update(rc, jnp.asarray(chains[:, t, :]))
+    got = np.asarray(rhat_compute(rc, 6))
+    want = np.asarray(gelman_rubin(jnp.asarray(chains), split=False))
+    np.testing.assert_allclose(got, want, rtol=1e-3)
+
+
+def test_early_stop_converges_and_stops():
+    lp = correlated_gaussian(MEAN, COV)
+    s = DreamZs(lp, n_chains=16, seed=0, burnin_gens=200)
+    info = s.run_mcmc_until(MEAN, rhat_tol=1.05, chunk=100, max_chunks=50,
+                            warmup_chunks=2, spread=2.0)
+    assert np.max(info["rhat"]) < 1.05
+    assert 200 < info["steps"] < 5000       # stopped before max_chunks
+    # streamed posterior moments are sane
+    gmean = info["mean"].mean(axis=0)
+    np.testing.assert_allclose(gmean, np.asarray(MEAN), atol=0.4)
+
+
+def test_early_stop_hits_max_chunks_when_tol_unreachable():
+    lp = correlated_gaussian(MEAN, COV)
+    s = DreamZs(lp, n_chains=8, seed=1)
+    info = s.run_mcmc_until(MEAN, rhat_tol=1.0, chunk=50, max_chunks=4,
+                            warmup_chunks=1, spread=2.0)
+    assert info["steps"] == 200             # 4 chunks * 50
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs fake devices")
+def test_early_stop_mesh_matches_vmap():
+    lp = correlated_gaussian(MEAN, COV)
+    a = DreamZs(lp, n_chains=16, seed=2, mesh=chain_mesh()).run_mcmc_until(
+        MEAN, rhat_tol=1.05, chunk=50, max_chunks=40, spread=2.0)
+    b = DreamZs(lp, n_chains=16, seed=2).run_mcmc_until(
+        MEAN, rhat_tol=1.05, chunk=50, max_chunks=40, spread=2.0)
+    assert a["steps"] == b["steps"]
+    np.testing.assert_allclose(a["rhat"], b["rhat"], rtol=1e-5)
+    np.testing.assert_allclose(a["mean"], b["mean"], rtol=1e-5)

@@ -1,0 +1,130 @@
+"""GP module tests (SURVEY.md §6: predict ≈ truth on smooth functions,
+log-ML finite-difference checks, Pallas-vs-XLA kernel equivalence)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bipymc_tpu.gp import GpRegressor, squared_exp, matern32, matern52
+from bipymc_tpu.gp.regressor import default_params
+from bipymc_tpu.ops.pallas_kernels import (
+    pairwise_sqdist, _sqdist_xla)
+
+
+def _toy_1d(n=40, noise=0.05, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(-3, 3, size=(n, 1))).astype(np.float32)
+    y = (np.sin(2 * x[:, 0]) + noise * rng.normal(size=n)).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_predict_recovers_smooth_function():
+    x, y = _toy_1d()
+    gp = GpRegressor()
+    params = default_params(1)
+    params["log_lengthscale"] = jnp.array([-0.5])
+    params["log_sigma_n"] = jnp.asarray(-3.0)
+    fit = gp.fit(x, y, params)
+    xs = jnp.linspace(-2.5, 2.5, 50)[:, None]
+    mu, var = gp.predict(fit, xs)
+    np.testing.assert_allclose(
+        np.asarray(mu), np.sin(2 * np.asarray(xs[:, 0])), atol=0.15)
+    assert np.all(np.asarray(var) > 0)
+
+
+def test_predict_interpolates_training_points_near_noiseless():
+    x, y = _toy_1d(noise=0.0)
+    gp = GpRegressor()
+    params = default_params(1)
+    params["log_sigma_n"] = jnp.asarray(-5.0)
+    params["log_lengthscale"] = jnp.array([-0.5])
+    fit = gp.fit(x, y, params)
+    mu, _ = gp.predict(fit, x)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(y), atol=0.02)
+
+
+def test_log_ml_grad_matches_finite_difference():
+    x, y = _toy_1d(n=25)
+    gp = GpRegressor()
+    params = default_params(1)
+    grad = jax.grad(lambda p: gp.log_marginal_likelihood(p, x, y))(params)
+    eps = 1e-3
+    for name in ["log_sigma_f", "log_sigma_n"]:
+        p_hi = dict(params); p_hi[name] = params[name] + eps
+        p_lo = dict(params); p_lo[name] = params[name] - eps
+        fd = (gp.log_marginal_likelihood(p_hi, x, y)
+              - gp.log_marginal_likelihood(p_lo, x, y)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(grad[name]), np.asarray(fd),
+                                   rtol=0.05, atol=0.05)
+
+
+def test_hyperopt_improves_lml_and_fits():
+    x, y = _toy_1d(n=50, noise=0.1, seed=1)
+    gp = GpRegressor()
+    p0 = default_params(1)
+    lml0 = gp.log_marginal_likelihood(p0, x, y)
+    p_opt, lml_opt = gp.optimize(x, y, steps=200)
+    assert float(lml_opt) > float(lml0)
+    fit = gp.fit(x, y, p_opt)
+    mu, _ = gp.predict(fit, x)
+    resid = np.asarray(mu) - np.asarray(y)
+    assert np.sqrt((resid ** 2).mean()) < 0.2
+
+
+def test_kernels_psd_and_symmetric():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(30, 3)).astype(np.float32))
+    params = default_params(3)
+    for kern in [squared_exp, matern32, matern52]:
+        k = np.asarray(kern(params, x))
+        np.testing.assert_allclose(k, k.T, atol=1e-5)
+        evals = np.linalg.eigvalsh(k + 1e-4 * np.eye(30))
+        assert evals.min() > 0
+
+
+def test_pairwise_sqdist_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(17, 4)).astype(np.float32)
+    b = rng.normal(size=(9, 4)).astype(np.float32)
+    got = np.asarray(pairwise_sqdist(jnp.asarray(a), jnp.asarray(b)))
+    want = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_pallas_sqdist_equals_xla_interpret_mode():
+    """Pallas-vs-XLA equivalence (SURVEY.md §6), interpret mode on CPU."""
+    from jax.experimental.pallas import tpu as pltpu
+    from bipymc_tpu.ops import pallas_kernels as pk
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(rng.normal(size=(130, 5)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(140, 5)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(pk._sqdist_pallas(a, b, bm=128, bn=128))
+    want = np.asarray(_sqdist_xla(a, b))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_surrogate_log_like_runs_in_sampler():
+    """BASELINE config 5 shape: GP surrogate as the MCMC likelihood."""
+    from bipymc_tpu import Metropolis
+    rng = np.random.default_rng(5)
+    theta_train = jnp.asarray(rng.uniform(-2, 2, (60, 2)).astype(np.float32))
+    # peak value 5 > the GP's zero prior mean, so the trained basin is
+    # genuinely preferred over unmodelled space
+    ll = 5.0 - 2.0 * jnp.sum(theta_train ** 2, axis=1)
+    gp = GpRegressor()
+    params = default_params(2)
+    params["log_lengthscale"] = jnp.array([0.3, 0.3])
+    params["log_sigma_f"] = jnp.log(5.0)
+    fit = gp.fit(theta_train, ll, params)
+    # documented config-5 usage: variance-penalised surrogate + a prior
+    # covering the trained region (an SE surrogate reverts to its zero mean
+    # outside the data, so an unbounded chain would wander off).
+    surrogate = gp.surrogate_log_like(fit, kind="lcb")
+    log_post = lambda th: surrogate(th) - 0.5 * jnp.sum((th / 3.0) ** 2)
+    s = Metropolis(log_post, seed=0, n_chains=2)
+    s.run_mcmc(2000, jnp.zeros(2), cov_est=jnp.eye(2))
+    flat = s.get_chain(discard=500, flat=True)
+    # true posterior ∝ exp(−0.5‖θ‖²)·prior → mean 0, std < 1
+    assert np.all(np.abs(flat.mean(axis=0)) < 0.5)
+    assert np.all(flat.std(axis=0) < 1.5)
