@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Headline benchmark — BASELINE config 3 (BASELINE.json:9).
+
+256-chain DREAM-zs with crossover adaptation on a 100-dim multimodal
+Gaussian mixture. Metric: effective samples per second per chip
+(BASELINE.json:2 north star). Baseline denominator: reference-semantics
+pure-NumPy DREAM-zs (benchmarks/reference_numpy.py) scaled by an optimistic
+perfect-MPI core-count factor — measured once and cached in
+benchmarks/cpu_baseline.json since the reference publishes no numbers
+(BASELINE.md).
+
+Prints exactly ONE JSON line on stdout; progress goes to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+D = 100
+N_CHAINS = 256
+BURNIN_GENS = 500
+CHUNK = 500
+TIMED_CHUNKS = 5          # 2500 timed generations
+SEED = 0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_means():
+    rng = np.random.default_rng(1234)
+    return 5.0 * rng.standard_normal((4, D)).astype(np.float32)
+
+
+def run_tpu():
+    import jax
+    import jax.numpy as jnp
+    from bipymc_tpu.models.targets import gaussian_mixture
+    from bipymc_tpu.samplers import dream
+    from bipymc_tpu.core.scan import run_scan
+    from bipymc_tpu.utils.init import var_ball
+    from bipymc_tpu.utils.diagnostics import effective_sample_size
+
+    log("devices:", jax.devices())
+    t0 = time.time()
+    np.asarray(jnp.ones(()))             # one-time device-tunnel warmup
+    log(f"tunnel warmup: {time.time() - t0:.1f}s")
+
+    log_prob = gaussian_mixture(make_means(), sigma=1.0)
+    cfg = dream.DreamConfig(n_chains=N_CHAINS, burnin_gens=BURNIN_GENS)
+
+    key = jax.random.key(SEED)
+    k_x, k_z, k_run = jax.random.split(key, 3)
+    var = jnp.full((D,), 4.0, dtype=jnp.float32)
+    x0 = var_ball(k_x, var, N_CHAINS, dtype=jnp.float32)
+    z0 = var_ball(k_z, var, N_CHAINS, dtype=jnp.float32)
+    state = dream.init(x0, log_prob, cfg, archive_capacity=8192, z0=z0)
+    step = dream.make_step(log_prob, cfg, axis_name=None)
+
+    def chunk_run(state, key, t0_):
+        return run_scan(
+            lambda s, k, t: step(s, k, t0_ + t), state, key, CHUNK,
+            collect_fn=lambda s, info: s.x)
+
+    runner = jax.jit(chunk_run)
+    t0 = time.time()
+    state, _ = jax.block_until_ready(
+        runner(state, jax.random.fold_in(k_run, 0), jnp.int32(0)))
+    log(f"compile + {BURNIN_GENS} burn-in gens: {time.time() - t0:.1f}s")
+
+    hists = []
+    t0 = time.time()
+    for c in range(TIMED_CHUNKS):
+        t = jnp.int32(BURNIN_GENS + c * CHUNK)
+        state, h = runner(state, jax.random.fold_in(k_run, 1 + c), t)
+        hists.append(h)
+    jax.block_until_ready(hists)
+    elapsed = time.time() - t0
+    n_gens = TIMED_CHUNKS * CHUNK
+    log(f"{n_gens} gens in {elapsed:.3f}s "
+        f"({n_gens * N_CHAINS / elapsed:,.0f} chain-steps/s)")
+
+    chains = jnp.swapaxes(jnp.concatenate(hists, axis=0), 0, 1)  # [M,N,d]
+    ess = float(effective_sample_size(chains))
+    log(f"ESS over {n_gens} gens x {N_CHAINS} chains: {ess:,.0f}")
+    return {
+        "ess": ess,
+        "ess_per_gen": ess / n_gens,
+        "gens_per_sec": n_gens / elapsed,
+        "ess_per_sec": ess / elapsed,
+        "chain_steps_per_sec": n_gens * N_CHAINS / elapsed,
+    }
+
+
+def measure_cpu_baseline(path):
+    """Reference-semantics NumPy DREAM-zs, extrapolated to perfect MPI."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
+    from reference_numpy import NumpyDreamZs, mixture_log_prob_numpy
+
+    log_prob = mixture_log_prob_numpy(make_means())
+    rng = np.random.default_rng(SEED)
+    x0 = 2.0 * rng.standard_normal((N_CHAINS, D))
+    z0 = 2.0 * rng.standard_normal((N_CHAINS, D))
+    sampler = NumpyDreamZs(log_prob, N_CHAINS, burnin_gens=100, seed=SEED)
+
+    burn, timed = 100, 200
+    hist = sampler.run(x0, z0, burn)                 # burn-in (untimed)
+    t0 = time.time()
+    hist = sampler.run(hist[-1], z0, timed)
+    elapsed = time.time() - t0
+    gens_per_sec = timed / elapsed
+
+    # ESS/gen with the same estimator as the TPU run (identical algorithm,
+    # so per-generation statistical efficiency carries over)
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from bipymc_tpu.utils.diagnostics import effective_sample_size
+    chains = np.swapaxes(hist, 0, 1)
+    ess_per_gen = float(effective_sample_size(chains)) / timed
+
+    cores = os.cpu_count() or 1
+    baseline = {
+        "single_process_gens_per_sec": gens_per_sec,
+        "ess_per_gen": ess_per_gen,
+        "cores": cores,
+        "ess_per_sec": ess_per_gen * gens_per_sec * cores,
+        "note": "NumPy reference semantics x perfect-MPI core scaling "
+                "(optimistic upper bound; see benchmarks/reference_numpy.py)",
+        "config": {"d": D, "n_chains": N_CHAINS, "timed_gens": timed},
+    }
+    with open(path, "w") as f:
+        json.dump(baseline, f, indent=1)
+    return baseline
+
+
+def main():
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "cpu_baseline.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        log("loaded cached CPU baseline:", baseline["ess_per_sec"])
+    else:
+        log("measuring CPU reference baseline ...")
+        baseline = measure_cpu_baseline(baseline_path)
+        log("CPU baseline ESS/sec (perfect-MPI bound):",
+            baseline["ess_per_sec"])
+
+    res = run_tpu()
+    print(json.dumps({
+        "metric": "ess_per_sec_dreamzs_256chain_100d",
+        "value": round(res["ess_per_sec"], 2),
+        "unit": "effective samples/sec/chip",
+        "vs_baseline": round(res["ess_per_sec"] / baseline["ess_per_sec"], 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

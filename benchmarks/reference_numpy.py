@@ -1,0 +1,136 @@
+"""Reference-semantics DREAM-zs in pure NumPy — the CPU baseline.
+
+The upstream reference (`wgurecky/bipymc`) publishes no benchmark numbers
+(BASELINE.md), so the 50x speed target's denominator must be *measured*:
+"single-node MPI reference, 100-dim posterior, 256 DREAM-z chains"
+(BASELINE.json:5). This module reimplements the reference's algorithm with
+the reference's execution model — a Python loop over generations and over
+chains, one NumPy log-likelihood call per chain per generation, a growing
+archive list — i.e. what one mpi4py rank does in `bipymc/dream.py` [U]
+(SURVEY.md §5.2). The measured single-process ESS/sec is multiplied by the
+host's core count as an *optimistic upper bound* on single-node MPI scaling
+(perfect linear speedup, zero communication cost), so the reported
+vs-baseline ratio understates the true speedup.
+
+Not imported by the framework; used only by bench.py and fidelity tests
+(same math as bipymc_tpu.samplers.dream, independently written).
+"""
+
+import numpy as np
+
+
+class NumpyDreamZs:
+    """DREAM-zs (Vrugt et al. 2011) with reference execution semantics."""
+
+    def __init__(self, log_prob, n_chains, delta_max=3, n_cr=3,
+                 p_snooker=0.1, b=1e-4, b_star=1e-6, jump_interval=5,
+                 archive_thin=10, burnin_gens=500, seed=0):
+        self.log_prob = log_prob
+        self.n_chains = n_chains
+        self.delta_max = delta_max
+        self.n_cr = n_cr
+        self.p_snooker = p_snooker
+        self.b = b
+        self.b_star = b_star
+        self.jump_interval = jump_interval
+        self.archive_thin = archive_thin
+        self.burnin_gens = burnin_gens
+        self.rng = np.random.default_rng(seed)
+
+    def run(self, x0, z0, n_gens):
+        """x0: [n_chains, d] start; z0: [k, d] archive seed.
+
+        Returns history [n_gens, n_chains, d].
+        """
+        rng = self.rng
+        x = np.array(x0, dtype=np.float64)
+        n, d = x.shape
+        logp = np.array([self.log_prob(xi) for xi in x])
+        archive = list(np.array(z0, dtype=np.float64))
+        cr_p = np.full(self.n_cr, 1.0 / self.n_cr)
+        cr_jump = np.zeros(self.n_cr)
+        cr_count = np.zeros(self.n_cr)
+        logp_sum = np.zeros(n)
+        history = np.empty((n_gens, n, d))
+
+        for gen in range(n_gens):
+            gamma_jump = (gen % self.jump_interval) == self.jump_interval - 1
+            in_burnin = gen < self.burnin_gens
+            x_start = x.copy()
+            var = np.maximum(np.var(x, axis=0), 1e-30)
+
+            for i in range(n):                       # reference: chain loop
+                if rng.uniform() < self.p_snooker:
+                    zi = rng.choice(len(archive), 3, replace=False)
+                    z, zr1, zr2 = (archive[j] for j in zi)
+                    u_dir = x[i] - z
+                    denom = max(float(u_dir @ u_dir), 1e-30)
+                    proj = lambda v: z + ((v - z) @ u_dir / denom) * u_dir
+                    gs = rng.uniform(1.2, 2.2)
+                    x_star = x[i] + gs * (proj(zr1) - proj(zr2))
+                    num = max(float((x_star - z) @ (x_star - z)), 1e-30)
+                    log_jac = (d - 1) * 0.5 * (np.log(num) - np.log(denom))
+                    cr_idx = None
+                else:
+                    delta = rng.integers(1, self.delta_max + 1)
+                    zi = rng.choice(len(archive), 2 * delta, replace=False)
+                    rows = np.array([archive[j] for j in zi])
+                    diff = np.sum(rows[:delta] - rows[delta:], axis=0)
+                    cr_idx = rng.choice(self.n_cr, p=cr_p)
+                    cr = (cr_idx + 1) / self.n_cr
+                    u = rng.uniform(size=d)
+                    mask = u < cr
+                    mask[np.argmin(u)] = True
+                    d_eff = mask.sum()
+                    gamma = 1.0 if gamma_jump else 2.38 / np.sqrt(
+                        2.0 * delta * d_eff)
+                    e = rng.uniform(-self.b, self.b, size=d)
+                    eps = self.b_star * rng.standard_normal(d)
+                    x_star = x[i] + mask * ((1.0 + e) * gamma * diff + eps)
+                    log_jac = 0.0
+
+                lp_star = self.log_prob(x_star)      # dominant cost
+                if np.isfinite(lp_star) and np.log(rng.uniform()) < min(
+                        0.0, lp_star - logp[i] + log_jac):
+                    x[i] = x_star
+                    logp[i] = lp_star
+                if in_burnin and cr_idx is not None:
+                    jump2 = float(np.sum((x[i] - x_start[i]) ** 2 / var))
+                    cr_jump[cr_idx] += jump2
+                    cr_count[cr_idx] += 1.0
+
+            if in_burnin and cr_count.min() > 4.0:
+                rate = cr_jump / np.maximum(cr_count, 1.0)
+                if np.all(np.isfinite(rate)) and rate.sum() > 0:
+                    cr_p = rate / rate.sum()
+
+            logp_sum += logp
+            if in_burnin and gen > 0 and (gen % 10) == 9:
+                mean_lp = logp_sum / (gen + 1)
+                q1, q3 = np.percentile(mean_lp, [25, 75])
+                best = int(np.argmax(logp))
+                for i in np.where(mean_lp < q1 - 2.0 * (q3 - q1))[0]:
+                    x[i] = x[best]
+                    logp[i] = logp[best]
+                    logp_sum[i] = logp_sum[best]
+
+            if (gen % self.archive_thin) == self.archive_thin - 1:
+                archive.extend(x.copy())
+            history[gen] = x
+        return history
+
+
+def mixture_log_prob_numpy(means, sigma=1.0):
+    """NumPy twin of bipymc_tpu.models.targets.gaussian_mixture."""
+    means = np.asarray(means, dtype=np.float64)
+    k, d = means.shape
+    log_w = -np.log(k)
+    norm = -0.5 * d * np.log(2.0 * np.pi * sigma ** 2)
+
+    def log_prob(theta):
+        sq = np.sum((theta[None, :] - means) ** 2, axis=-1)
+        a = log_w + norm - 0.5 * sq / sigma ** 2
+        m = a.max()
+        return m + np.log(np.exp(a - m).sum())
+
+    return log_prob

@@ -14,7 +14,10 @@ chain for static k — negligible next to the likelihood.
 import jax
 import jax.numpy as jnp
 
-_SENTINEL = jnp.int32(2 ** 31 - 1)
+# Host int, not a jnp scalar: closed-over *device* arrays get embedded as
+# MLIR constants at trace time, which forces a device->host fetch — very
+# expensive over a remote-device tunnel.
+_SENTINEL = 2 ** 31 - 1
 
 
 def sample_distinct(key, k: int, n, exclude=None):

@@ -6,8 +6,13 @@ line-fit likelihood (SURVEY.md §6, `examples/` [U]; BASELINE configs 1–3).
 All targets here are pure jnp log-densities, jit/vmap/grad-safe.
 """
 
+import numpy as np
 import jax.numpy as jnp
 from jax.scipy.special import logsumexp
+
+# NOTE: constants captured by the returned log_prob closures are built with
+# NumPy, not jnp — closed-over device arrays are embedded as MLIR constants
+# at trace time, forcing device->host fetches (slow over a device tunnel).
 
 
 def correlated_gaussian(mean, cov):
@@ -16,12 +21,12 @@ def correlated_gaussian(mean, cov):
     Returns ``log_prob(theta)`` for N(mean, cov), dropping additive consts
     is avoided so tests can check exact values.
     """
-    mean = jnp.asarray(mean)
-    cov = jnp.asarray(cov)
+    mean = np.asarray(mean)
+    cov = np.asarray(cov)
     d = mean.shape[-1]
-    chol = jnp.linalg.cholesky(cov)
-    log_det = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
-    inv = jnp.linalg.inv(cov)
+    chol = np.linalg.cholesky(cov)
+    log_det = 2.0 * float(np.sum(np.log(np.diagonal(chol))))
+    inv = np.linalg.inv(cov)
 
     def log_prob(theta):
         r = theta - mean
@@ -63,14 +68,14 @@ def gaussian_mixture(means, sigma=1.0, weights=None):
 
     means: [k, d] component centers; sigma: shared std; weights: [k].
     """
-    means = jnp.asarray(means)
+    means = np.asarray(means)
     k, d = means.shape
     if weights is None:
-        log_w = jnp.full((k,), -jnp.log(k))
+        log_w = np.full((k,), -np.log(k), dtype=means.dtype)
     else:
-        w = jnp.asarray(weights)
-        log_w = jnp.log(w / jnp.sum(w))
-    norm = -0.5 * d * jnp.log(2.0 * jnp.pi * sigma ** 2)
+        w = np.asarray(weights)
+        log_w = np.log(w / np.sum(w))
+    norm = -0.5 * d * float(np.log(2.0 * np.pi * sigma ** 2))
 
     def log_prob(theta):
         sq = jnp.sum((theta[None, :] - means) ** 2, axis=-1)
@@ -84,8 +89,8 @@ def line_fit_log_like(x, y, sigma):
 
     theta = [m, c]. Returns the log-likelihood function.
     """
-    x = jnp.asarray(x)
-    y = jnp.asarray(y)
+    x = np.asarray(x)
+    y = np.asarray(y)
 
     def log_like(theta):
         resid = y - (theta[0] * x + theta[1])
