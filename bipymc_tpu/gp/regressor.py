@@ -33,6 +33,8 @@ class GpFit(NamedTuple):
     x: jax.Array       # [n, d] training inputs
     chol: jax.Array    # [n, n] chol(K + σ_n² I)
     alpha: jax.Array   # [n]
+    y_mean: jax.Array  # [] target standardisation (identity: 0, 1)
+    y_std: jax.Array   # []
 
 
 def default_params(d, dtype=jnp.float32):
@@ -50,9 +52,15 @@ class GpRegressor:
     (SURVEY.md §9: f32 GP Cholesky needs jitter ≥ ~1e-5 · trace scale).
     """
 
-    def __init__(self, kernel: Callable = squared_exp, jitter: float = 1e-5):
+    def __init__(self, kernel: Callable = squared_exp, jitter: float = 1e-5,
+                 normalize_y: bool = False):
+        """normalize_y: standardise targets to zero mean / unit variance
+        before fitting and undo it in predict — essential when y spans
+        orders of magnitude (e.g. GP surrogates of log-likelihood surfaces,
+        BASELINE config 5) since the SE prior assumes O(σ_f) amplitudes."""
         self.kernel = kernel
         self.jitter = jitter
+        self.normalize_y = normalize_y
         self._fit_jit = jax.jit(self._fit_impl)
         self._predict_jit = jax.jit(self._predict_impl)
         self._lml_jit = jax.jit(self._lml_impl)
@@ -65,12 +73,23 @@ class GpRegressor:
         sf2 = jnp.exp(2.0 * params["log_sigma_f"])
         return k + (sn2 + self.jitter * sf2) * jnp.eye(n, dtype=k.dtype)
 
+    def _normalize(self, y):
+        if self.normalize_y:
+            y_mean = jnp.mean(y)
+            y_std = jnp.maximum(jnp.std(y), 1e-12)
+        else:
+            y_mean = jnp.zeros((), dtype=y.dtype)
+            y_std = jnp.ones((), dtype=y.dtype)
+        return (y - y_mean) / y_std, y_mean, y_std
+
     def _fit_impl(self, params, x, y):
+        yn, y_mean, y_std = self._normalize(y)
         kmat = self._gram(params, x)
         chol = jnp.linalg.cholesky(kmat)
-        v = jax.scipy.linalg.solve_triangular(chol, y, lower=True)
+        v = jax.scipy.linalg.solve_triangular(chol, yn, lower=True)
         alpha = jax.scipy.linalg.solve_triangular(chol.T, v, lower=False)
-        return GpFit(params=params, x=x, chol=chol, alpha=alpha)
+        return GpFit(params=params, x=x, chol=chol, alpha=alpha,
+                     y_mean=y_mean, y_std=y_std)
 
     def _predict_impl(self, fit: GpFit, xs):
         ks = self.kernel(fit.params, fit.x, xs)          # [n, m]
@@ -78,10 +97,11 @@ class GpRegressor:
         w = jax.scipy.linalg.solve_triangular(fit.chol, ks, lower=True)
         sf2 = jnp.exp(2.0 * fit.params["log_sigma_f"])
         var = jnp.maximum(sf2 - jnp.sum(w * w, axis=0), 1e-12)
-        return mu, var
+        return fit.y_mean + fit.y_std * mu, fit.y_std ** 2 * var
 
     def _lml_impl(self, params, x, y):
         n = x.shape[0]
+        y, _, _ = self._normalize(y)
         kmat = self._gram(params, x)
         chol = jnp.linalg.cholesky(kmat)
         v = jax.scipy.linalg.solve_triangular(chol, y, lower=True)
