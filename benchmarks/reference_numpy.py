@@ -120,6 +120,75 @@ class NumpyDreamZs:
         return history
 
 
+class NumpyDram:
+    """DRAM (Haario et al. 2006) with reference execution semantics.
+
+    Serial Python loop, one likelihood call per stage per step
+    (SURVEY.md §5.1); AM covariance from full chain history with
+    s_d = 2.38²/d and ε-regularisation (§4.2); two-stage delayed
+    rejection with the Green-Mira acceptance ratio — the q₁ terms do
+    NOT cancel (§4.3).
+    """
+
+    def __init__(self, log_prob, adapt_start=100, adapt_interval=50,
+                 eps=1e-8, kappa=5.0, seed=0):
+        self.log_prob = log_prob
+        self.adapt_start = adapt_start
+        self.adapt_interval = adapt_interval
+        self.eps = eps
+        self.kappa = kappa
+        self.rng = np.random.default_rng(seed)
+
+    @staticmethod
+    def _log_q(x, mean, cov_inv, log_det):
+        r = x - mean
+        return -0.5 * (r @ cov_inv @ r + log_det)
+
+    def run(self, x0, n_steps, cov0=None):
+        rng = self.rng
+        x = np.array(x0, dtype=np.float64)
+        d = x.size
+        s_d = 2.38 ** 2 / d
+        cov = np.array(cov0) if cov0 is not None else np.eye(d)
+        chol = np.linalg.cholesky(cov)
+        lp = self.log_prob(x)
+        history = np.empty((n_steps, d))
+
+        for t in range(n_steps):
+            cov_inv = np.linalg.inv(cov)
+            log_det = 2.0 * np.sum(np.log(np.diag(chol)))
+            y1 = x + chol @ rng.standard_normal(d)
+            lp1 = self.log_prob(y1)
+            a1 = min(0.0, lp1 - lp)                     # log α₁(x, y₁)
+            if np.log(rng.uniform()) < a1:
+                x, lp = y1, lp1
+            else:
+                y2 = x + (chol / np.sqrt(self.kappa)) @ \
+                    rng.standard_normal(d)
+                lp2 = self.log_prob(y2)
+                a1_rev = min(0.0, lp1 - lp2)            # log α₁(y₂, y₁)
+                lq_num = self._log_q(y1, y2, cov_inv, log_det)
+                lq_den = self._log_q(y1, x, cov_inv, log_det)
+                with np.errstate(divide="ignore"):
+                    log_a2 = (lp2 + lq_num + np.log1p(-np.exp(a1_rev))
+                              - lp - lq_den - np.log1p(-np.exp(a1)))
+                if np.isfinite(log_a2) and \
+                        np.log(rng.uniform()) < min(0.0, log_a2):
+                    x, lp = y2, lp2
+            history[t] = x
+
+            if t >= self.adapt_start and \
+                    (t + 1) % self.adapt_interval == 0:
+                c = s_d * (np.cov(history[: t + 1].T) +
+                           self.eps * np.eye(d))
+                try:
+                    chol_new = np.linalg.cholesky(c)
+                    cov, chol = c, chol_new
+                except np.linalg.LinAlgError:
+                    pass
+        return history
+
+
 def mixture_log_prob_numpy(means, sigma=1.0):
     """NumPy twin of bipymc_tpu.models.targets.gaussian_mixture."""
     means = np.asarray(means, dtype=np.float64)

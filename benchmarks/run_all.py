@@ -1,0 +1,271 @@
+#!/usr/bin/env python
+"""Benchmark harness for all five BASELINE eval configs (BASELINE.json:7-11).
+
+Runs each config on the current backend (TPU by default; set
+JAX_PLATFORMS=cpu to force CPU), measures steady-state throughput and
+statistical efficiency, measures the reference-semantics NumPy
+implementation where defined, and writes benchmarks/RESULTS.md plus
+benchmarks/results.json.
+
+Usage: python benchmarks/run_all.py [--configs 1,2,3,4,5] [--quick]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bipymc_tpu as bp
+from bipymc_tpu.models.targets import (
+    correlated_gaussian, banana, gaussian_mixture)
+from bipymc_tpu.gp.regressor import GpRegressor
+from bipymc_tpu.utils.diagnostics import effective_sample_size
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def timed(fn, *args):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    return out, time.time() - t0
+
+
+def ess_per_sec(sampler, discard, elapsed):
+    kept = sampler.get_chain(discard=discard)
+    ess = float(effective_sample_size(kept))
+    return ess, ess / elapsed
+
+
+# ---------------------------------------------------------------------------
+
+def config1(quick):
+    """2D correlated Gaussian, single-chain DRAM (+ NumPy reference)."""
+    mean = np.array([1.0, -1.0])
+    cov = np.array([[2.0, 0.8], [0.8, 1.0]])
+    n = 20000 if not quick else 4000
+    log_prob = correlated_gaussian(mean, cov)
+
+    s = bp.Dram(log_prob, seed=0, n_chains=1)
+    s.run_mcmc(n, jnp.zeros(2), cov_est=jnp.eye(2))       # compile+run
+    s2 = bp.Dram(log_prob, seed=1, n_chains=1)
+    t0 = time.time()
+    s2.run_mcmc(n, jnp.zeros(2), cov_est=jnp.eye(2))
+    elapsed = time.time() - t0
+    ess, eps = ess_per_sec(s2, n // 4, elapsed)
+
+    from reference_numpy import NumpyDram
+    def np_lp(th):
+        r = np.asarray(th) - mean
+        return float(-0.5 * r @ np.linalg.solve(cov, r))
+    ref = NumpyDram(np_lp, seed=1)
+    t0 = time.time()
+    hist = ref.run(np.zeros(2), n)
+    ref_elapsed = time.time() - t0
+    ref_ess = float(effective_sample_size(hist[None, n // 4:]))
+
+    return {
+        "name": "1: 2D Gaussian / DRAM (1 chain)",
+        "steps_per_sec": n / elapsed,
+        "ess_per_sec": eps,
+        "ref_steps_per_sec": n / ref_elapsed,
+        "ref_ess_per_sec": ref_ess / ref_elapsed,
+        "speedup_ess": eps / (ref_ess / ref_elapsed),
+    }
+
+
+def config2(quick):
+    """Banana, 8-chain DE-MC-z with snooker."""
+    n = 30000 if not quick else 5000
+    log_prob = banana()
+    s = bp.DeMcZ(log_prob, n_chains=8, seed=0)
+    s.run_mcmc(n, jnp.zeros(2), spread=3.0)
+    s2 = bp.DeMcZ(log_prob, n_chains=8, seed=1)
+    t0 = time.time()
+    s2.run_mcmc(n, jnp.zeros(2), spread=3.0)
+    elapsed = time.time() - t0
+    ess, eps = ess_per_sec(s2, n // 3, elapsed)
+    rhat = float(np.max(np.asarray(
+        bp.gelman_rubin(s2.get_chain(discard=n // 3)))))
+    return {
+        "name": "2: banana / DE-MC-z+snooker (8 chains)",
+        "gens_per_sec": n / elapsed,
+        "ess_per_sec": eps,
+        "rhat": rhat,
+    }
+
+
+def config3(quick):
+    """100-dim mixture, 256-chain DREAM-zs (+ NumPy reference)."""
+    rng = np.random.default_rng(1234)
+    means = 5.0 * rng.standard_normal((4, 100)).astype(np.float32)
+    log_prob = gaussian_mixture(means, sigma=1.0)
+    n = 3000 if not quick else 600
+    burn = n // 3
+
+    s = bp.DreamZs(log_prob, n_chains=256, seed=0, burnin_gens=burn)
+    s.run_mcmc(n, jnp.zeros(100), spread=2.0)
+    s2 = bp.DreamZs(log_prob, n_chains=256, seed=1, burnin_gens=burn)
+    t0 = time.time()
+    s2.run_mcmc(n, jnp.zeros(100), spread=2.0)
+    elapsed = time.time() - t0
+    ess, eps = ess_per_sec(s2, burn, elapsed)
+
+    from reference_numpy import NumpyDreamZs, mixture_log_prob_numpy
+    np_lp = mixture_log_prob_numpy(means)
+    ref = NumpyDreamZs(np_lp, 256, burnin_gens=50, seed=1)
+    x0 = 2.0 * rng.standard_normal((256, 100))
+    z0 = 2.0 * rng.standard_normal((256, 100))
+    n_ref = 100 if not quick else 30
+    t0 = time.time()
+    ref.run(x0, z0, n_ref)
+    ref_gps = n_ref / (time.time() - t0)
+    ref_eps = (ess / (n - burn)) * ref_gps      # same per-gen efficiency
+
+    return {
+        "name": "3: 100-dim mixture / DREAM-zs (256 chains) [headline]",
+        "gens_per_sec": n / elapsed,
+        "chain_steps_per_sec": n * 256 / elapsed,
+        "ess_per_sec": eps,
+        "ref_gens_per_sec": ref_gps,
+        "ref_ess_per_sec_1proc": ref_eps,
+        "speedup_ess_vs_1proc": eps / ref_eps,
+        "speedup_ess_vs_perfect_mpi": eps / (ref_eps * (os.cpu_count() or 1)),
+    }
+
+
+def config4(quick):
+    """GP hyperparameter inference: Cholesky in the MCMC hot loop."""
+    rng = np.random.default_rng(7)
+    n_train = 512 if not quick else 128
+    x = rng.uniform(-4, 4, (n_train, 2)).astype(np.float32)
+    f = np.sin(2 * x[:, 0]) * np.cos(x[:, 1])
+    y = (f + rng.normal(0, 0.2, n_train)).astype(np.float32)
+    gp = GpRegressor()
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+    def log_post(theta):
+        p = {"log_lengthscale": theta[0:2], "log_sigma_f": theta[2],
+             "log_sigma_n": theta[3]}
+        return gp._lml_impl(p, xj, yj) - 0.5 * jnp.sum((theta / 2.0) ** 2)
+
+    n = 2000 if not quick else 400
+    s = bp.Dram(log_post, seed=0, n_chains=4)
+    s.run_mcmc(n, jnp.zeros(4), cov_est=jnp.eye(4) * 0.05)
+    s2 = bp.Dram(log_post, seed=1, n_chains=4)
+    t0 = time.time()
+    s2.run_mcmc(n, jnp.zeros(4), cov_est=jnp.eye(4) * 0.05)
+    elapsed = time.time() - t0
+    ess, eps = ess_per_sec(s2, n // 4, elapsed)
+    # DR: 2 likelihoods/step/chain; each likelihood = kernel build + chol
+    chols_per_sec = 2 * 4 * n / elapsed
+    return {
+        "name": f"4: GP log-ML target, n={n_train} (DRAM, 4 chains)",
+        "steps_per_sec": n / elapsed,
+        "cholesky_evals_per_sec": chols_per_sec,
+        "ess_per_sec": eps,
+    }
+
+
+def config5(quick):
+    """GP-surrogate inverse problem, 1024 chains, on-device R-hat stop."""
+    rng = np.random.default_rng(11)
+    t_grid = np.linspace(0, 1, 8)
+    true_theta = np.array([1.2, -0.7], dtype=np.float32)
+
+    def fwd(th):
+        return th[0] * np.exp(-2 * t_grid) + th[1] * t_grid ** 2
+
+    y_obs = fwd(true_theta) + rng.normal(0, 0.05, 8)
+    design = rng.uniform(-2, 2, (256, 2)).astype(np.float32)
+    scores = np.array([
+        -0.5 * float((fwd(t) - y_obs) @ (fwd(t) - y_obs)) / 0.05 ** 2
+        for t in design], dtype=np.float32)
+
+    gp = GpRegressor(normalize_y=True)
+    params, _ = gp.optimize(design, scores, steps=300, lr=0.05)
+    fit = gp.fit(design, scores, params=params)
+    sur = gp.surrogate_log_like(fit)
+
+    def log_post(th):
+        return sur(th) - 0.5 * jnp.sum((th / 2.0) ** 4)
+
+    n_chains = 1024 if not quick else 128
+    s = bp.DreamZs(log_post, n_chains=n_chains, seed=0)
+    t0 = time.time()
+    info = s.run_mcmc_until(jnp.zeros(2), rhat_tol=1.1, chunk=100,
+                            max_chunks=100, spread=1.0)
+    elapsed = time.time() - t0
+    err = float(np.abs(info["mean"].mean(0) - true_theta).max())
+    return {
+        "name": f"5: GP-surrogate inverse ({n_chains} chains, R-hat stop)",
+        "wall_clock_to_rhat_1p1_s": elapsed,
+        "generations": int(info["steps"]),
+        "final_rhat": float(info["rhat"].max()),
+        "posterior_mean_abs_err": err,
+    }
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    which = [int(c) for c in args.configs.split(",")]
+
+    print("backend:", jax.default_backend(), jax.devices(), file=sys.stderr)
+    np.asarray(jnp.ones(()))                     # device-tunnel warmup
+
+    results = {}
+    for c in which:
+        t0 = time.time()
+        r = CONFIGS[c](args.quick)
+        r["harness_time_s"] = round(time.time() - t0, 1)
+        results[str(c)] = r
+        print(json.dumps(r), file=sys.stderr, flush=True)
+
+    results["_meta"] = {
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "quick": args.quick,
+    }
+    with open(os.path.join(HERE, "results.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+    lines = ["# Benchmark results — BASELINE configs 1-5",
+             "",
+             f"Backend: {jax.default_backend()} "
+             f"({results['_meta']['devices']})", ""]
+    for c in which:
+        r = results[str(c)]
+        lines.append(f"## Config {r.pop('name')}")
+        lines.append("")
+        for k, v in r.items():
+            if isinstance(v, float):
+                v = f"{v:,.2f}"
+            lines.append(f"- {k}: {v}")
+        lines.append("")
+    with open(os.path.join(HERE, "RESULTS.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote benchmarks/RESULTS.md and results.json", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
