@@ -20,6 +20,29 @@ import jax.numpy as jnp
 _SENTINEL = 2 ** 31 - 1
 
 
+def sample_distinct_topk(key, k: int, n, capacity: int, exclude=None):
+    """Draw ``k`` distinct ints uniformly from [0, n) via iid-uniform top-k.
+
+    The TPU-native form of sampling without replacement: give every slot in
+    [0, capacity) an iid U(0,1) score, mask slots outside [0, n) (and the
+    optional ``exclude`` index) to −1, and take the top-k scores. The top-k
+    of iid uniforms is a uniformly random k-subset in uniformly random
+    order (the Gumbel/top-k trick with uniform weights), so this is exact —
+    and it is one wide vectorised op instead of :func:`sample_distinct`'s
+    O(k²) dependent scalar chain, which is latency-bound on accelerators.
+
+    capacity: static upper bound for n (e.g. archive buffer size,
+    population size). n may be traced. Caller guarantees n ≥ k (+1 with
+    exclude). Returns int32 [k].
+    """
+    u = jax.random.uniform(key, (capacity,))
+    valid = jnp.arange(capacity) < jnp.asarray(n, jnp.int32)
+    if exclude is not None:
+        valid &= jnp.arange(capacity) != jnp.asarray(exclude, jnp.int32)
+    _, idx = jax.lax.top_k(jnp.where(valid, u, -1.0), k)
+    return idx.astype(jnp.int32)
+
+
 def sample_distinct(key, k: int, n, exclude=None):
     """Draw ``k`` distinct ints uniformly from [0, n), optionally ≠ exclude.
 

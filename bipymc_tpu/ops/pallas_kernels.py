@@ -39,8 +39,30 @@ def _sqdist_kernel(a_ref, b_ref, out_ref):
     out_ref[:] = jnp.maximum(a_nrm + b_nrm.T - 2.0 * cross, 0.0)
 
 
+@jax.custom_vjp
+def _sqdist_pallas(A, B):
+    return _sqdist_pallas_fwd(A, B)[0]
+
+
+def _sqdist_pallas_fwd(A, B):
+    return _sqdist_pallas_call(A, B), (A, B)
+
+
+def _sqdist_pallas_bwd(res, g):
+    # r2_ij = Σ_k (A_ik − B_jk)²  ⇒
+    #   dA = 2 (A ⊙ Σ_j g_ij − g B),   dB = 2 (B ⊙ Σ_i g_ij − gᵀ A)
+    # — matmul-heavy, so the backward pass rides the MXU via XLA.
+    A, B = res
+    dA = 2.0 * (A * jnp.sum(g, axis=1)[:, None] - g @ B)
+    dB = 2.0 * (B * jnp.sum(g, axis=0)[:, None] - g.T @ A)
+    return dA.astype(A.dtype), dB.astype(B.dtype)
+
+
+_sqdist_pallas.defvjp(_sqdist_pallas_fwd, _sqdist_pallas_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("bm", "bn"))
-def _sqdist_pallas(A, B, bm=_BLOCK, bn=_BLOCK):
+def _sqdist_pallas_call(A, B, bm=_BLOCK, bn=_BLOCK):
     n, k = A.shape
     m, _ = B.shape
     n_p, m_p, k_p = _round_up(n, bm), _round_up(m, bn), _round_up(k, _K_ALIGN)

@@ -67,3 +67,41 @@ def test_archive_sample_only_filled_prefix():
     valid = {tuple(r) for r in np.asarray(z0)}
     for r in rows:
         assert tuple(r) in valid
+
+
+# --- sample_distinct_topk: the TPU-native (Gumbel/top-k) variant ----------
+
+def test_topk_no_collisions_range_and_exclude():
+    from bipymc_tpu.ensemble.indices import sample_distinct_topk
+    keys = jax.random.split(jax.random.key(4), 3000)
+    draws = np.asarray(jax.vmap(
+        lambda k: sample_distinct_topk(k, 3, 10, capacity=16))(keys))
+    assert draws.min() >= 0 and draws.max() <= 9
+    for row in draws:
+        assert len(set(row.tolist())) == 3
+    draws = np.asarray(jax.vmap(
+        lambda k: sample_distinct_topk(k, 2, 8, capacity=8, exclude=5))(keys))
+    assert not np.any(draws == 5)
+
+
+def test_topk_uniform_marginals_per_position():
+    """Uniform subset AND exchangeable order: every value equally likely
+    at every output position (top-k rank order of iid uniforms is a
+    uniform permutation)."""
+    from bipymc_tpu.ensemble.indices import sample_distinct_topk
+    n, k, trials = 7, 2, 40000
+    keys = jax.random.split(jax.random.key(5), trials)
+    draws = np.asarray(jax.vmap(
+        lambda kk: sample_distinct_topk(kk, k, n, capacity=8))(keys))
+    sigma = np.sqrt(trials * (1 / n) * (1 - 1 / n))
+    for pos in range(k):
+        counts = np.bincount(draws[:, pos], minlength=n)
+        assert np.all(np.abs(counts - trials / n) < 5 * sigma), pos
+
+
+def test_topk_traced_n():
+    from bipymc_tpu.ensemble.indices import sample_distinct_topk
+    out = jax.jit(lambda n: sample_distinct_topk(
+        jax.random.key(6), 3, n, capacity=32))(jnp.int32(4))
+    out = np.asarray(out)
+    assert len(set(out.tolist())) == 3 and out.max() <= 3

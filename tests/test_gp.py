@@ -99,9 +99,34 @@ def test_pallas_sqdist_equals_xla_interpret_mode():
     a = jnp.asarray(rng.normal(size=(130, 5)).astype(np.float32))
     b = jnp.asarray(rng.normal(size=(140, 5)).astype(np.float32))
     with pltpu.force_tpu_interpret_mode():
-        got = np.asarray(pk._sqdist_pallas(a, b, bm=128, bn=128))
+        got = np.asarray(pk._sqdist_pallas_call(a, b, bm=128, bn=128))
     want = np.asarray(_sqdist_xla(a, b))
     np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_pallas_sqdist_custom_vjp_matches_xla_grad():
+    """jax.grad through the Pallas path (custom_vjp) must equal the XLA
+    gradient — the GP's log-ML hyperopt differentiates this kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+    from bipymc_tpu.ops import pallas_kernels as pk
+    rng = np.random.default_rng(6)
+    a = jnp.asarray(rng.normal(size=(130, 4)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(140, 4)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(130, 140)).astype(np.float32))
+
+    def loss_pallas(a, b):
+        return jnp.sum(w * pk._sqdist_pallas(a, b))
+
+    def loss_xla(a, b):
+        return jnp.sum(w * _sqdist_xla(a, b))
+
+    with pltpu.force_tpu_interpret_mode():
+        ga_p, gb_p = jax.grad(loss_pallas, argnums=(0, 1))(a, b)
+    ga_x, gb_x = jax.grad(loss_xla, argnums=(0, 1))(a, b)
+    np.testing.assert_allclose(np.asarray(ga_p), np.asarray(ga_x),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_x),
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_surrogate_log_like_runs_in_sampler():
