@@ -5,3 +5,5 @@ from bipymc_tpu.utils.diagnostics import (
     integrated_autocorr_time,
     acceptance_fraction,
 )
+from bipymc_tpu.utils.debug import validate_log_prob
+from bipymc_tpu.utils.profiling import time_fn
