@@ -36,14 +36,22 @@ def run_scan(step_fn, state, base_key, n_steps, collect_fn=None):
     return lax.scan(body, state, ts)
 
 
+def _progress_print(t, frac):
+    print(f"[bipymc_tpu] step {int(t) + 1}: acceptance {float(frac):.3f}")
+
+
 def run_scan_thinned(step_fn, state, base_key, n_steps, thin, collect_fn=None,
-                     t0=0):
+                     t0=0, progress_every=None):
     """Like :func:`run_scan` but keeps only every ``thin``-th collection.
 
     ``n_steps`` must be a multiple of ``thin``. History has
     ``n_steps // thin`` entries; the inner ``thin``-step scan carries no
     ``ys`` so memory scales with the kept history only.
     ``t0`` offsets the global step index (for resuming / chunked runs).
+    ``progress_every``: emit a host progress line (step + mean acceptance,
+    via ``jax.debug.callback``) every that many *kept* steps — the
+    SURVEY.md §7.5 observability hook. Default off: host callbacks
+    serialise against the device stream.
     """
     if n_steps % thin != 0:
         raise ValueError(f"n_steps={n_steps} not a multiple of thin={thin}")
@@ -63,6 +71,14 @@ def run_scan_thinned(step_fn, state, base_key, n_steps, thin, collect_fn=None,
         state, _ = lax.scan(inner, state, ts[:-1]) if thin > 1 else (state, None)
         key = step_key(base_key, ts[-1])
         state, info = step_fn(state, key, ts[-1])
+        if progress_every is not None:
+            acc = getattr(info, "accepted", None)
+            frac = (jnp.mean(acc.astype(jnp.float32))
+                    if acc is not None else jnp.zeros(()))
+            lax.cond(
+                (k + 1) % progress_every == 0,
+                lambda: jax.debug.callback(_progress_print, ts[-1], frac),
+                lambda: None)
         return state, collect_fn(state, info)
 
     ks = jnp.arange(n_steps // thin, dtype=jnp.int32)

@@ -86,7 +86,8 @@ class ChainPool:
         return jax.device_put(state, shardings)
 
     def run(self, state, base_key, n_steps: int, thin: int = 1,
-            collect_fn: Callable | None = None, t0: int = 0):
+            collect_fn: Callable | None = None, t0: int = 0,
+            progress_every: int | None = None):
         """Scan ``n_steps`` generations; collect every ``thin``-th.
 
         Default collection: dict(x=positions, logp, accepted) per kept step.
@@ -102,7 +103,7 @@ class ChainPool:
             step = self.step_factory(None)
             runner = jax.jit(partial(
                 run_scan_thinned, step, n_steps=n_steps, thin=thin,
-                collect_fn=collect_fn, t0=t0))
+                collect_fn=collect_fn, t0=t0, progress_every=progress_every))
             return runner(state, base_key)
 
         axis = self.axis_name

@@ -97,6 +97,31 @@ def plot_corner(chains, labels=None, bins=50, path=None, truths=None):
     return fig
 
 
+def plot_autocorr(chains, max_lag=100, path=None):
+    """Autocorrelation ρ_t per dimension (averaged over chains), with the
+    integrated autocorrelation time in the legend."""
+    plt = _mpl()
+    from bipymc_tpu.utils.diagnostics import (
+        autocorr_fn, integrated_autocorr_time)
+    chains = _as3d(chains)
+    d = chains.shape[-1]
+    tau = float(integrated_autocorr_time(chains))
+    fig, ax = plt.subplots(figsize=(6, 3.5))
+    for j in range(d):
+        rho = np.asarray(autocorr_fn(chains[..., j:j + 1], max_lag=max_lag))
+        ax.plot(rho, lw=1, label=f"θ{j}")
+    ax.axhline(0.0, color="k", lw=0.5)
+    ax.set_xlabel("lag")
+    ax.set_ylabel("ρ")
+    ax.set_title(f"integrated autocorr time τ ≈ {tau:.1f}")
+    if d <= 8:
+        ax.legend()
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=120)
+    return fig
+
+
 def plot_acceptance(accept_fractions, path=None):
     """Bar chart of per-chain acceptance fractions."""
     plt = _mpl()

@@ -117,11 +117,14 @@ class _RwSampler(McmcSampler):
         self.n_chains = int(n_chains)
         self.cfg = self._make_config(**config_kw)
 
-    def run_mcmc(self, n_samples, theta_0, cov_est=None, thin=1, spread=1.0):
+    def run_mcmc(self, n_samples, theta_0, cov_est=None, thin=1, spread=1.0,
+                 progress_every=None):
         """Run ``n_samples`` steps from ``theta_0`` ([d] or [n_chains, d]).
 
         cov_est: initial proposal covariance ([d] diagonal or [d,d];
         default: identity scaled by ``spread``).
+        progress_every: host progress line every k kept steps (step index +
+        mean acceptance; off by default — callbacks serialise the stream).
         """
         key = jax.random.key(self.seed)
         k_init, k_run = jax.random.split(key)
@@ -151,7 +154,8 @@ class _RwSampler(McmcSampler):
 
         runner = jax.jit(partial(
             run_scan_thinned, batched_step, n_steps=n_samples, thin=thin,
-            collect_fn=collect, t0=self._steps_run))
+            collect_fn=collect, t0=self._steps_run,
+            progress_every=progress_every))
         final_state, history = runner(state, k_run)
         self._store(final_state, history, n_samples)
         return self
@@ -191,7 +195,8 @@ class DeMc(McmcSampler):
         self.cfg = demc.DeMcConfig(n_chains=self.n_chains, **config_kw)
         self.mesh = mesh
 
-    def run_mcmc(self, n_gens, theta_0, thin=1, spread=1.0):
+    def run_mcmc(self, n_gens, theta_0, thin=1, spread=1.0,
+                 progress_every=None):
         key = jax.random.key(self.seed)
         k_init, k_run = jax.random.split(key)
         x0 = _as_2d_theta0(theta_0, self.n_chains, k_init, spread, self.dtype)
@@ -206,7 +211,8 @@ class DeMc(McmcSampler):
                 self.log_like_fn, self.cfg, axis_name=axis),
             sharded_fields=("x", "logp"), mesh=self.mesh)
         final_state, history = pool.run(state, k_run, n_gens, thin=thin,
-                                        t0=self._steps_run)
+                                        t0=self._steps_run,
+                                        progress_every=progress_every)
         self._store(final_state, history, n_gens)
         return self
 
@@ -255,7 +261,8 @@ class DreamZs(McmcSampler):
                            archive_capacity=capacity, z0=z0)
         return state, k_run
 
-    def run_mcmc(self, n_gens, theta_0, thin=1, spread=1.0):
+    def run_mcmc(self, n_gens, theta_0, thin=1, spread=1.0,
+                 progress_every=None):
         state, k_run = self._ensure_state(theta_0, spread, n_gens)
 
         def collect(state, info):
@@ -264,7 +271,7 @@ class DreamZs(McmcSampler):
 
         final_state, history = self._pool().run(
             state, k_run, n_gens, thin=thin, collect_fn=collect,
-            t0=self._steps_run)
+            t0=self._steps_run, progress_every=progress_every)
         self._store(final_state, history, n_gens)
         return self
 

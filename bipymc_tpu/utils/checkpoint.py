@@ -35,6 +35,39 @@ def load_state(path):
     return jax.tree_util.tree_unflatten(treedef, leaves), step
 
 
+def save_state_orbax(path, state, step=0):
+    """Orbax backend: async-capable, handles sharded (mesh) state leaves
+    natively. ``path`` is a directory. Treedef goes in a sidecar pickle
+    (orbax restores raw containers, not NamedTuples)."""
+    import os
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "state"),
+                   {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)},
+                   force=True)
+    with open(os.path.join(path, "meta.pkl"), "wb") as f:
+        pickle.dump({"treedef": treedef, "step": int(step)}, f)
+
+
+def load_state_orbax(path):
+    """Load a checkpoint saved by :func:`save_state_orbax` → (state, step)."""
+    import os
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "meta.pkl"), "rb") as f:
+        meta = pickle.load(f)
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.join(path, "state"))
+    n = len(restored)
+    leaves = [jax.numpy.asarray(restored[f"leaf_{i}"]) for i in range(n)]
+    return (jax.tree_util.tree_unflatten(meta["treedef"], leaves),
+            meta["step"])
+
+
 def save_sampler(path, sampler):
     """Checkpoint an API-level sampler (state + step counter)."""
     save_state(path, sampler.final_state, step=sampler._steps_run)

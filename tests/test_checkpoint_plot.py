@@ -57,3 +57,23 @@ def test_plots_smoke(tmp_path):
                            path=tmp_path / "a.png") is not None
     for f in ["t.png", "h.png", "c.png", "a.png"]:
         assert (tmp_path / f).stat().st_size > 1000
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    import bipymc_tpu as bp
+    from bipymc_tpu.utils.checkpoint import (
+        save_state_orbax, load_state_orbax)
+
+    s = bp.DreamZs(lambda t: -0.5 * jnp.sum(t ** 2), n_chains=8, seed=0,
+                   n_archive_init=16)
+    s.run_mcmc(30, jnp.zeros(2))
+    save_state_orbax(str(tmp_path / "ck"), s.final_state, step=30)
+    st2, step = load_state_orbax(str(tmp_path / "ck"))
+    assert step == 30
+    assert type(st2).__name__ == "DreamState"
+    for a, b in zip(jax.tree_util.tree_leaves(s.final_state),
+                    jax.tree_util.tree_leaves(st2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
