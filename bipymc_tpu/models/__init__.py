@@ -3,5 +3,7 @@ from bipymc_tpu.models.targets import (
     banana,
     rosenbrock,
     gaussian_mixture,
+    neal_funnel,
+    eggbox,
     line_fit_log_like,
 )

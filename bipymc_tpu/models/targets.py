@@ -84,6 +84,34 @@ def gaussian_mixture(means, sigma=1.0, weights=None):
     return log_prob
 
 
+def neal_funnel(d=10, sigma_v=3.0):
+    """Neal's funnel: v ~ N(0, σ_v²), θ_i | v ~ N(0, e^v), i=1..d−1.
+
+    Standard stress test for samplers on strongly varying scales
+    (beyond-reference extra).
+    """
+
+    def log_prob(theta):
+        v = theta[0]
+        lp_v = -0.5 * (v / sigma_v) ** 2
+        lp_x = -0.5 * jnp.sum(theta[1:] ** 2) * jnp.exp(-v) \
+            - 0.5 * (d - 1) * v
+        return lp_v + lp_x
+
+    return log_prob
+
+
+def eggbox(scale=5.0):
+    """2-D eggbox: log π = [2 + cos(θ₁/s)·cos(θ₂/s)]⁵-style multimodal grid
+    (beyond-reference extra; classic mode-hopping benchmark)."""
+
+    def log_prob(theta):
+        return (2.0 + jnp.cos(theta[0] / scale) *
+                jnp.cos(theta[1] / scale)) ** 5 / 50.0
+
+    return log_prob
+
+
 def line_fit_log_like(x, y, sigma):
     """Gaussian likelihood for y = m·x + c (the reference's line-fit example).
 
