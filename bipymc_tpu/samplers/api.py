@@ -81,6 +81,13 @@ class McmcSampler:
         acc = jnp.swapaxes(self._history["accepted"], 0, 1)
         return np.asarray(acceptance_fraction(acc))
 
+    def get_autocorr_time(self, discard=0, c=5.0):
+        """Integrated autocorrelation time τ of the kept history (emcee-
+        style auto-windowed estimate, SURVEY.md §4.8)."""
+        from bipymc_tpu.utils.diagnostics import integrated_autocorr_time
+        return float(integrated_autocorr_time(
+            self.get_chain(discard=discard), c=c))
+
     @property
     def final_state(self):
         """Sampler state pytree (for checkpoint/resume)."""
@@ -117,15 +124,8 @@ class _RwSampler(McmcSampler):
         self.n_chains = int(n_chains)
         self.cfg = self._make_config(**config_kw)
 
-    def run_mcmc(self, n_samples, theta_0, cov_est=None, thin=1, spread=1.0,
-                 progress_every=None):
-        """Run ``n_samples`` steps from ``theta_0`` ([d] or [n_chains, d]).
-
-        cov_est: initial proposal covariance ([d] diagonal or [d,d];
-        default: identity scaled by ``spread``).
-        progress_every: host progress line every k kept steps (step index +
-        mean acceptance; off by default — callbacks serialise the stream).
-        """
+    def _prepare(self, theta_0, cov_est, spread):
+        """Resolve start state + batched step; returns (state, step, key)."""
         key = jax.random.key(self.seed)
         k_init, k_run = jax.random.split(key)
         theta0 = _as_2d_theta0(theta_0, self.n_chains, k_init, spread,
@@ -148,6 +148,19 @@ class _RwSampler(McmcSampler):
                 jnp.arange(self.n_chains))
             return jax.vmap(step, in_axes=(0, 0, None))(state, keys, t)
 
+        return state, batched_step, k_run
+
+    def run_mcmc(self, n_samples, theta_0, cov_est=None, thin=1, spread=1.0,
+                 progress_every=None):
+        """Run ``n_samples`` steps from ``theta_0`` ([d] or [n_chains, d]).
+
+        cov_est: initial proposal covariance ([d] diagonal or [d,d];
+        default: identity scaled by ``spread``).
+        progress_every: host progress line every k kept steps (step index +
+        mean acceptance; off by default — callbacks serialise the stream).
+        """
+        state, batched_step, k_run = self._prepare(theta_0, cov_est, spread)
+
         def collect(state, info):
             return {"x": state.theta, "logp": info.logp,
                     "accepted": info.accepted}
@@ -159,6 +172,25 @@ class _RwSampler(McmcSampler):
         final_state, history = runner(state, k_run)
         self._store(final_state, history, n_samples)
         return self
+
+    def run_mcmc_until(self, theta_0, cov_est=None, rhat_tol=1.05,
+                       chunk=100, max_chunks=200, warmup_chunks=2,
+                       spread=1.0):
+        """Run until streaming on-device R̂ across the vmapped chains drops
+        below ``rhat_tol`` (same machinery as the ensemble samplers;
+        requires n_chains ≥ 2). Returns info dict (steps/rhat/mean/var)."""
+        if self.n_chains < 2:
+            raise ValueError("R-hat early stop needs n_chains >= 2")
+        state, batched_step, k_run = self._prepare(theta_0, cov_est, spread)
+        pool = ChainPool(step_factory=lambda axis: batched_step,
+                         sharded_fields=("theta",), mesh=None)
+        final_state, info = pool.run_until(
+            state, k_run, rhat_tol=rhat_tol, chunk=chunk,
+            max_chunks=max_chunks, warmup_chunks=warmup_chunks,
+            position_fn=lambda s: s.theta)
+        self._final_state = jax.block_until_ready(final_state)
+        self._steps_run += int(info["steps"])
+        return {k: np.asarray(v) for k, v in info.items()}
 
 
 class Metropolis(_RwSampler):

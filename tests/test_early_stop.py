@@ -58,3 +58,23 @@ def test_early_stop_mesh_matches_vmap():
     assert a["steps"] == b["steps"]
     np.testing.assert_allclose(a["rhat"], b["rhat"], rtol=1e-5)
     np.testing.assert_allclose(a["mean"], b["mean"], rtol=1e-5)
+
+
+def test_rw_family_run_until():
+    """R-hat early stop on the vmapped single-chain family (config-1
+    analogue of the ensemble stopping rule)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import bipymc_tpu as bp
+    from bipymc_tpu.models.targets import correlated_gaussian
+
+    lp = correlated_gaussian([1.0, -1.0], [[2.0, 0.8], [0.8, 1.0]])
+    s = bp.Dram(lp, seed=0, n_chains=8)
+    info = s.run_mcmc_until(jnp.zeros(2), rhat_tol=1.05, chunk=200,
+                            max_chunks=50)
+    assert info["rhat"].max() < 1.05
+    assert abs(info["mean"].mean(0)[0] - 1.0) < 0.4
+
+    import pytest
+    with pytest.raises(ValueError, match="n_chains"):
+        bp.Dram(lp, n_chains=1).run_mcmc_until(jnp.zeros(2))
