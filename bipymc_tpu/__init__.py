@@ -25,6 +25,7 @@ from bipymc_tpu.samplers.api import (
     Dram,
     DeMc,
     DeMcZ,
+    Dream,
     DreamZs,
 )
 from bipymc_tpu.utils.init import var_ball
@@ -39,6 +40,7 @@ __all__ = [
     "Dram",
     "DeMc",
     "DeMcZ",
+    "Dream",
     "DreamZs",
     "var_ball",
     "gelman_rubin",

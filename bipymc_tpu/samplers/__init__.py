@@ -5,5 +5,6 @@ from bipymc_tpu.samplers.api import (
     Dram,
     DeMc,
     DeMcZ,
+    Dream,
     DreamZs,
 )

@@ -336,3 +336,20 @@ class DeMcZ(DreamZs):
     (SURVEY.md §4.6)."""
 
     _config_builder = staticmethod(dream.demcz_config)
+
+
+class Dream(DreamZs):
+    """Population-DREAM (Vrugt et al. 2009, pre-zs): multi-pair difference
+    vectors drawn from the current population (r₁≠r₂≠i), CR adaptation,
+    outlier reset, no snooker/archive sampling (SURVEY.md §4.7). Needs
+    n_chains ≥ 2·delta_max + 4."""
+
+    _config_builder = staticmethod(dream.dream_config)
+
+    def __init__(self, log_like_fn, n_chains=16, **kw):
+        super().__init__(log_like_fn, n_chains=n_chains, **kw)
+        need = 2 * self.cfg.delta_max + 4
+        if self.n_chains < need:
+            raise ValueError(
+                f"population-DREAM draws 2*delta_max+3 distinct chains ≠ i "
+                f"per proposal: need n_chains ≥ {need}, got {self.n_chains}")

@@ -55,6 +55,9 @@ class DreamConfig(NamedTuple):
     burnin_gens: int = 500      # adaptation window; frozen afterwards
     snooker_lo: float = 1.2     # γ_s ~ U(lo, hi)
     snooker_hi: float = 2.2
+    use_archive: bool = True    # False → population-DREAM (Vrugt 2009):
+                                # difference vectors from the current
+                                # generation-start population, r₁≠r₂≠i
 
 
 def demcz_config(n_chains: int, **kw) -> DreamConfig:
@@ -62,6 +65,15 @@ def demcz_config(n_chains: int, **kw) -> DreamConfig:
     no CR adaptation, γ-jump every 10th generation (SURVEY.md §4.6)."""
     defaults = dict(delta_max=1, n_cr=1, adapt_cr=False,
                     outlier_detect=False, jump_interval=10)
+    defaults.update(kw)
+    return DreamConfig(n_chains=n_chains, **defaults)
+
+
+def dream_config(n_chains: int, **kw) -> DreamConfig:
+    """Population-DREAM (Vrugt et al. 2009, pre-zs): multi-pair
+    differences from the *current population* (needs N ≥ 2δ_max+4 chains),
+    CR adaptation, no snooker, no archive sampling (SURVEY.md §4.7)."""
+    defaults = dict(use_archive=False, p_snooker=0.0)
     defaults.update(kw)
     return DreamConfig(n_chains=n_chains, **defaults)
 
@@ -119,14 +131,23 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None) -> Callable:
     """Build ``step(state, key, t) -> (state, info)`` for the population."""
     n_pairs = cfg.delta_max
 
-    def propose_one(key, x_i, archive: Archive, cr_p, gamma_jump, dtype):
+    def propose_one(key, x_i, i_global, x_full, archive: Archive, cr_p,
+                    gamma_jump, dtype):
         d = x_i.shape[-1]
         (k_coin, k_rows, k_delta, k_cr, k_mask, k_e, k_eps,
          k_gs) = jax.random.split(key, 8)
 
         # ---------- parallel-direction move (§4.7) -----------------------
         delta = jax.random.randint(k_delta, (), 1, n_pairs + 1)
-        rows = archive_sample(archive, k_rows, 2 * n_pairs + 3)
+        if cfg.use_archive:
+            rows = archive_sample(archive, k_rows, 2 * n_pairs + 3)
+        else:
+            # population-DREAM: r-chains from the generation-start
+            # population, all distinct and ≠ i (SURVEY.md §4.5/§4.7)
+            from bipymc_tpu.ensemble.indices import sample_distinct
+            idx = sample_distinct(k_rows, 2 * n_pairs + 3, cfg.n_chains,
+                                  exclude=i_global)
+            rows = x_full[idx]
         pair_mask = (jnp.arange(n_pairs) < delta).astype(dtype)[:, None]
         z1 = rows[0:n_pairs]
         z2 = rows[n_pairs:2 * n_pairs]
@@ -180,10 +201,13 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None) -> Callable:
             lambda i: jax.random.fold_in(key, offset + i))(i_locals)
         prop_keys = jax.vmap(lambda k: jax.random.split(k, 2))(chain_keys)
 
+        x_full = (all_gather_chains(state.x, axis_name)
+                  if not cfg.use_archive else state.x)
         x_star, log_jac, is_snk, cr_idx = jax.vmap(
-            lambda k, x_i: propose_one(k, x_i, state.archive, state.cr_p,
-                                       gamma_jump, dtype)
-        )(prop_keys[:, 0], state.x)
+            lambda k, x_i, i_l: propose_one(
+                k, x_i, offset + i_l, x_full, state.archive, state.cr_p,
+                gamma_jump, dtype)
+        )(prop_keys[:, 0], state.x, i_locals)
 
         logp_star = jax.vmap(log_prob)(x_star)             # dominant cost
         log_u = jnp.log(jax.vmap(

@@ -104,3 +104,29 @@ def test_resume_continues():
     s.run_mcmc(200, MEAN)
     assert s.super_chain.shape[1] == 400
     np.testing.assert_array_equal(s.super_chain[:, 199, :], x_after_first)
+
+
+def test_population_dream_moments_and_determinism():
+    """Population-DREAM (Vrugt 2009): moments on a correlated Gaussian and
+    golden-style fixed-seed reproducibility; archive path untouched."""
+    import numpy as np
+    import jax.numpy as jnp
+    import bipymc_tpu as bp
+    from bipymc_tpu.models.targets import correlated_gaussian
+
+    mean = [1.0, -1.0]
+    cov = [[2.0, 0.8], [0.8, 1.0]]
+    lp = correlated_gaussian(mean, cov)
+    s = bp.Dream(lp, n_chains=16, seed=4)
+    s.run_mcmc(2500, jnp.zeros(2), spread=1.5)
+    flat = s.get_chain(discard=1000, flat=True)
+    assert np.abs(flat.mean(0) - np.array(mean)).max() < 0.25
+    assert np.abs(np.cov(flat.T) - np.array(cov)).max() < 0.6
+
+    s2 = bp.Dream(lp, n_chains=16, seed=4)
+    s2.run_mcmc(2500, jnp.zeros(2), spread=1.5)
+    np.testing.assert_array_equal(s.super_chain, s2.super_chain)
+
+    import pytest
+    with pytest.raises(ValueError, match="n_chains"):
+        bp.Dream(lp, n_chains=4)
