@@ -220,26 +220,39 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None) -> Callable:
         x_new = jnp.where(acc[:, None], x_star, state.x)
         logp_new = jnp.where(acc, logp_star, state.logp)
 
+        # Population-level schedule blocks below run under lax.cond — the
+        # predicates are replicated (generation-counter based), so all
+        # shards take the same branch and the collectives inside stay
+        # congruent; unlike the vmapped proposal math (where cond lowers
+        # to select anyway), cond here genuinely skips the work on the
+        # ~90% of generations where it's off.
+
         # ---------- CR adaptation statistics (burn-in only, §4.7) --------
         if cfg.adapt_cr:
-            # population std per dim from generation-start positions
-            n_total = jnp.asarray(cfg.n_chains, dtype)
-            s1 = psum_chains(jnp.sum(state.x, axis=0), axis_name)
-            s2 = psum_chains(jnp.sum(state.x ** 2, axis=0), axis_name)
-            var = jnp.maximum(s2 / n_total - (s1 / n_total) ** 2, 1e-30)
-            jump2 = jnp.sum((x_new - state.x) ** 2 / var, axis=1)  # [n_local]
-            w = in_burnin.astype(dtype)
-            onehot = jax.nn.one_hot(cr_idx, cfg.n_cr, dtype=dtype)
-            d_jump = psum_chains(onehot.T @ jump2, axis_name) * w
-            d_count = psum_chains(jnp.sum(onehot, axis=0), axis_name) * w
-            cr_jump = state.cr_jump + d_jump
-            cr_count = state.cr_count + d_count
-            rate = cr_jump / jnp.maximum(cr_count, 1.0)
-            cr_p_new = rate / jnp.maximum(jnp.sum(rate), 1e-30)
-            # adapt only while burn-in and once every CR has some mass
-            use_new = in_burnin & (jnp.min(cr_count) > 4.0) & \
-                jnp.all(jnp.isfinite(cr_p_new))
-            cr_p = jnp.where(use_new, cr_p_new, state.cr_p)
+            def adapt_cr(_):
+                # population std per dim from generation-start positions
+                n_total = jnp.asarray(cfg.n_chains, dtype)
+                s1 = psum_chains(jnp.sum(state.x, axis=0), axis_name)
+                s2 = psum_chains(jnp.sum(state.x ** 2, axis=0), axis_name)
+                var = jnp.maximum(s2 / n_total - (s1 / n_total) ** 2, 1e-30)
+                jump2 = jnp.sum((x_new - state.x) ** 2 / var, axis=1)
+                onehot = jax.nn.one_hot(cr_idx, cfg.n_cr, dtype=dtype)
+                d_jump = psum_chains(onehot.T @ jump2, axis_name)
+                d_count = psum_chains(jnp.sum(onehot, axis=0), axis_name)
+                cr_jump = state.cr_jump + d_jump
+                cr_count = state.cr_count + d_count
+                rate = cr_jump / jnp.maximum(cr_count, 1.0)
+                cr_p_new = rate / jnp.maximum(jnp.sum(rate), 1e-30)
+                # adapt only once every CR value has some mass
+                use_new = (jnp.min(cr_count) > 4.0) & \
+                    jnp.all(jnp.isfinite(cr_p_new))
+                return (jnp.where(use_new, cr_p_new, state.cr_p),
+                        cr_jump, cr_count)
+
+            cr_p, cr_jump, cr_count = jax.lax.cond(
+                in_burnin, adapt_cr,
+                lambda _: (state.cr_p, state.cr_jump, state.cr_count),
+                operand=None)
         else:
             cr_jump, cr_count, cr_p = (
                 state.cr_jump, state.cr_count, state.cr_p)
@@ -250,27 +263,36 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None) -> Callable:
             check = in_burnin & (state.gen > 0) & \
                 ((state.gen % cfg.outlier_interval) ==
                  (cfg.outlier_interval - 1))
-            mean_lp_local = logp_sum / (state.gen + 1).astype(dtype)
-            mean_lp = all_gather_chains(mean_lp_local, axis_name)   # [N]
-            q1 = jnp.quantile(mean_lp, 0.25)
-            q3 = jnp.quantile(mean_lp, 0.75)
-            lo = q1 - 2.0 * (q3 - q1)
-            is_outlier = check & (mean_lp_local < lo)
-            # reset outliers to the current global best chain
-            lp_all = all_gather_chains(logp_new, axis_name)
-            x_all = all_gather_chains(x_new, axis_name)
-            best = jnp.argmax(lp_all)
-            x_new = jnp.where(is_outlier[:, None], x_all[best], x_new)
-            logp_new = jnp.where(is_outlier, lp_all[best], logp_new)
-            best_sum = all_gather_chains(logp_sum, axis_name)[best]
-            logp_sum = jnp.where(is_outlier, best_sum, logp_sum)
+
+            def reset_outliers(args):
+                x_new, logp_new, logp_sum = args
+                mean_lp_local = logp_sum / (state.gen + 1).astype(dtype)
+                mean_lp = all_gather_chains(mean_lp_local, axis_name)  # [N]
+                q1 = jnp.quantile(mean_lp, 0.25)
+                q3 = jnp.quantile(mean_lp, 0.75)
+                lo = q1 - 2.0 * (q3 - q1)
+                is_outlier = mean_lp_local < lo
+                # reset outliers to the current global best chain
+                lp_all = all_gather_chains(logp_new, axis_name)
+                x_all = all_gather_chains(x_new, axis_name)
+                best = jnp.argmax(lp_all)
+                best_sum = all_gather_chains(logp_sum, axis_name)[best]
+                return (jnp.where(is_outlier[:, None], x_all[best], x_new),
+                        jnp.where(is_outlier, lp_all[best], logp_new),
+                        jnp.where(is_outlier, best_sum, logp_sum))
+
+            x_new, logp_new, logp_sum = jax.lax.cond(
+                check, reset_outliers, lambda args: args,
+                (x_new, logp_new, logp_sum))
 
         # ---------- archive append every K generations -------------------
         do_append = (state.gen % cfg.archive_thin) == (cfg.archive_thin - 1)
-        rows = all_gather_chains(x_new, axis_name)          # [N, d]
-        appended = archive_append(state.archive, rows)
-        archive = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(do_append, b, a), state.archive, appended)
+        archive = jax.lax.cond(
+            do_append,
+            lambda ar: archive_append(
+                ar, all_gather_chains(x_new, axis_name)),
+            lambda ar: ar,
+            state.archive)
 
         new_state = DreamState(
             x=x_new, logp=logp_new, archive=archive,
