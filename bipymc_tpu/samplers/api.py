@@ -48,6 +48,7 @@ class McmcSampler:
         self.seed = int(seed)
         self.dtype = dtype
         self._history = None       # dict: x [T, M, d], logp [T, M], accepted
+        self._super_chain_np = None
         self._final_state = None
         self._steps_run = 0
 
@@ -60,9 +61,13 @@ class McmcSampler:
 
     @property
     def super_chain(self):
-        """All chains, [n_chains, n_kept, d]."""
+        """All chains, [n_chains, n_kept, d] (host NumPy, fetched once —
+        the device→host transfer is cached until the next run_mcmc)."""
         self._require_run()
-        return np.asarray(jnp.swapaxes(self._history["x"], 0, 1))
+        if self._super_chain_np is None:
+            self._super_chain_np = np.asarray(
+                jnp.swapaxes(self._history["x"], 0, 1))
+        return self._super_chain_np
 
     @property
     def flat_chain(self):
@@ -108,6 +113,7 @@ class McmcSampler:
             self._history = {
                 k: jnp.concatenate([self._history[k], history[k]], axis=0)
                 for k in history}
+        self._super_chain_np = None      # invalidate host cache
         self._steps_run += n_steps
 
 
