@@ -11,6 +11,7 @@ Chain-history convention: ``chains[M, N, d]`` = M chains × N steps × d dims
 (1-d histories ``[M, N]`` are promoted).
 """
 
+import jax
 import jax.numpy as jnp
 
 
@@ -62,14 +63,8 @@ def autocorr_fn(chains, max_lag=None):
     return jnp.mean(acf, axis=(0, 2))[:max_lag]
 
 
-def integrated_autocorr_time(chains, c=5.0):
-    """Integrated autocorrelation time τ with emcee-style auto-windowing.
-
-    τ = 1 + 2 Σ_{t≥1} ρ_t truncated at the smallest window w with w ≥ c·τ(w)
-    (Sokal's criterion as used by emcee [P]). Returns a scalar τ (averaged
-    autocorrelation across chains and dims).
-    """
-    rho = autocorr_fn(chains)
+def _tau_from_rho(rho, c):
+    """Sokal auto-window: smallest w with w ≥ c·τ(w) (emcee [P])."""
     taus = 2.0 * jnp.cumsum(rho) - 1.0                      # τ(w) for each w
     lags = jnp.arange(rho.shape[0])
     ok = lags >= c * taus
@@ -79,11 +74,37 @@ def integrated_autocorr_time(chains, c=5.0):
     return jnp.maximum(taus[window], 1.0)
 
 
-def effective_sample_size(chains, c=5.0):
-    """ESS = M·N / τ over all chains (SURVEY.md §4.8)."""
+def integrated_autocorr_time(chains, c=5.0, per_dim=False):
+    """Integrated autocorrelation time τ with emcee-style auto-windowing.
+
+    τ = 1 + 2 Σ_{t≥1} ρ_t truncated at the smallest window w with
+    w ≥ c·τ(w) (Sokal's criterion as used by emcee [P]).
+    per_dim=False: scalar τ from chain/dim-averaged ρ (cheap summary).
+    per_dim=True: τ per dimension, shape [d] (use max for conservative
+    ESS, emcee convention).
+    """
+    chains = _promote(chains)
+    if not per_dim:
+        return _tau_from_rho(autocorr_fn(chains), c)
+    m, n, d = chains.shape
+    x = chains - jnp.mean(chains, axis=1, keepdims=True)
+    nfft = 2 * n
+    f = jnp.fft.rfft(x, n=nfft, axis=1)
+    acf = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=1)[:, :n, :]
+    acf = acf / acf[:, :1, :]
+    rho = jnp.mean(acf, axis=0)                             # [n, d]
+    return jax.vmap(lambda r: _tau_from_rho(r, c), in_axes=1)(rho)
+
+
+def effective_sample_size(chains, c=5.0, per_dim=False):
+    """ESS = M·N / τ over all chains (SURVEY.md §4.8).
+
+    per_dim=True returns the conservative (worst-dimension) ESS."""
     chains = _promote(chains)
     m, n, _ = chains.shape
-    tau = integrated_autocorr_time(chains, c=c)
+    tau = integrated_autocorr_time(chains, c=c, per_dim=per_dim)
+    if per_dim:
+        tau = jnp.max(tau)
     return m * n / tau
 
 

@@ -66,3 +66,30 @@ def test_acceptance_fraction():
     acc = jnp.array([[True, False, True, True], [False, False, True, False]])
     np.testing.assert_allclose(
         np.asarray(acceptance_fraction(acc)), [0.75, 0.25])
+
+
+def test_per_dim_tau_identifies_slow_dimension():
+    """per_dim=True must expose a slow-mixing dimension that the averaged
+    scalar tau smooths over."""
+    import numpy as np
+    import jax.numpy as jnp
+    from bipymc_tpu.utils.diagnostics import (
+        integrated_autocorr_time, effective_sample_size)
+
+    rng = np.random.default_rng(0)
+    m, n = 4, 4000
+    fast = rng.standard_normal((m, n))
+    slow = np.empty((m, n))
+    slow[:, 0] = rng.standard_normal(m)
+    phi = 0.95
+    for t in range(1, n):
+        slow[:, t] = phi * slow[:, t - 1] + \
+            np.sqrt(1 - phi ** 2) * rng.standard_normal(m)
+    chains = jnp.asarray(np.stack([fast, slow], axis=-1))   # [m, n, 2]
+
+    tau = np.asarray(integrated_autocorr_time(chains, per_dim=True))
+    assert tau.shape == (2,)
+    assert tau[1] > 5 * tau[0]          # AR(1) phi=.95: tau ≈ 39 vs ≈ 1
+    ess_cons = float(effective_sample_size(chains, per_dim=True))
+    ess_mean = float(effective_sample_size(chains))
+    assert ess_cons < ess_mean          # worst-dim ESS is conservative
