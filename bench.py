@@ -23,8 +23,8 @@ import numpy as np
 D = 100
 N_CHAINS = 256
 BURNIN_GENS = 500
-CHUNK = 500
-TIMED_CHUNKS = 5          # 2500 timed generations
+CHUNK = 2500              # one dispatch per phase: the device tunnel has
+TIMED_CHUNKS = 1          # ~30ms per-call latency, so amortise it
 SEED = 0
 
 
@@ -69,14 +69,16 @@ def run_tpu():
 
     runner = jax.jit(chunk_run)
     t0 = time.time()
+    # warmup chunk doubles as burn-in (CHUNK ≥ BURNIN_GENS: adaptation
+    # freezes at cfg.burnin_gens inside it)
     state, _ = jax.block_until_ready(
         runner(state, jax.random.fold_in(k_run, 0), jnp.int32(0)))
-    log(f"compile + {BURNIN_GENS} burn-in gens: {time.time() - t0:.1f}s")
+    log(f"compile + {CHUNK} burn-in gens: {time.time() - t0:.1f}s")
 
     hists = []
     t0 = time.time()
     for c in range(TIMED_CHUNKS):
-        t = jnp.int32(BURNIN_GENS + c * CHUNK)
+        t = jnp.int32(CHUNK + c * CHUNK)
         state, h = runner(state, jax.random.fold_in(k_run, 1 + c), t)
         hists.append(h)
     jax.block_until_ready(hists)
