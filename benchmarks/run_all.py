@@ -60,13 +60,12 @@ def config1(quick):
     n = 20000 if not quick else 4000
     log_prob = correlated_gaussian(mean, cov)
 
-    s = bp.Dram(log_prob, seed=0, n_chains=1)
-    s.run_mcmc(n, jnp.zeros(2), cov_est=jnp.eye(2))       # compile+run
     s2 = bp.Dram(log_prob, seed=1, n_chains=1)
+    s2.run_mcmc(n, jnp.zeros(2), cov_est=jnp.eye(2))      # compile + warm
     t0 = time.time()
-    s2.run_mcmc(n, jnp.zeros(2), cov_est=jnp.eye(2))
+    s2.run_mcmc(n, jnp.zeros(2))                          # continuation
     elapsed = time.time() - t0
-    ess, eps = ess_per_sec(s2, n // 4, elapsed)
+    ess, eps = ess_per_sec(s2, n + n // 4, elapsed)
 
     from reference_numpy import NumpyDram
     def np_lp(th):
@@ -92,15 +91,14 @@ def config2(quick):
     """Banana, 8-chain DE-MC-z with snooker."""
     n = 30000 if not quick else 5000
     log_prob = banana()
-    s = bp.DeMcZ(log_prob, n_chains=8, seed=0)
-    s.run_mcmc(n, jnp.zeros(2), spread=3.0)
     s2 = bp.DeMcZ(log_prob, n_chains=8, seed=1)
+    s2.run_mcmc(n, jnp.zeros(2), spread=3.0)              # compile + warm
     t0 = time.time()
-    s2.run_mcmc(n, jnp.zeros(2), spread=3.0)
+    s2.run_mcmc(n, jnp.zeros(2))                          # continuation
     elapsed = time.time() - t0
-    ess, eps = ess_per_sec(s2, n // 3, elapsed)
+    ess, eps = ess_per_sec(s2, n + n // 3, elapsed)
     rhat = float(np.max(np.asarray(
-        bp.gelman_rubin(s2.get_chain(discard=n // 3)))))
+        bp.gelman_rubin(s2.get_chain(discard=n)))))
     return {
         "name": "2: banana / DE-MC-z+snooker (8 chains)",
         "gens_per_sec": n / elapsed,
@@ -117,13 +115,12 @@ def config3(quick):
     n = 3000 if not quick else 600
     burn = n // 3
 
-    s = bp.DreamZs(log_prob, n_chains=256, seed=0, burnin_gens=burn)
-    s.run_mcmc(n, jnp.zeros(100), spread=2.0)
     s2 = bp.DreamZs(log_prob, n_chains=256, seed=1, burnin_gens=burn)
+    s2.run_mcmc(n, jnp.zeros(100), spread=2.0)            # compile + burn-in
     t0 = time.time()
-    s2.run_mcmc(n, jnp.zeros(100), spread=2.0)
+    s2.run_mcmc(n, jnp.zeros(100))                        # continuation
     elapsed = time.time() - t0
-    ess, eps = ess_per_sec(s2, burn, elapsed)
+    ess, eps = ess_per_sec(s2, n, elapsed)
 
     from reference_numpy import NumpyDreamZs, mixture_log_prob_numpy
     np_lp = mixture_log_prob_numpy(means)
@@ -164,13 +161,12 @@ def config4(quick):
         return gp._lml_impl(p, xj, yj) - 0.5 * jnp.sum((theta / 2.0) ** 2)
 
     n = 2000 if not quick else 400
-    s = bp.Dram(log_post, seed=0, n_chains=4)
-    s.run_mcmc(n, jnp.zeros(4), cov_est=jnp.eye(4) * 0.05)
     s2 = bp.Dram(log_post, seed=1, n_chains=4)
+    s2.run_mcmc(n, jnp.zeros(4), cov_est=jnp.eye(4) * 0.05)  # compile+warm
     t0 = time.time()
-    s2.run_mcmc(n, jnp.zeros(4), cov_est=jnp.eye(4) * 0.05)
+    s2.run_mcmc(n, jnp.zeros(4))                          # continuation
     elapsed = time.time() - t0
-    ess, eps = ess_per_sec(s2, n // 4, elapsed)
+    ess, eps = ess_per_sec(s2, n + n // 4, elapsed)
     # DR: 2 likelihoods/step/chain; each likelihood = kernel build + chol
     chols_per_sec = 2 * 4 * n / elapsed
     return {

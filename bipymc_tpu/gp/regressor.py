@@ -188,6 +188,13 @@ class GpRegressor:
         region (log_post = surrogate(θ) + log_prior(θ)); otherwise chains
         can drift into unmodelled space where the surrogate is flat.
         """
+        import numpy as np
+        # Materialise the fit on host ONCE: the returned closure is traced
+        # inside samplers' jits, and closed-over *device* arrays would be
+        # fetched back to host at every trace (very slow over a remote
+        # -device tunnel; see models/targets.py note).
+        fit = jax.tree_util.tree_map(np.asarray, fit)
+
         def log_like(theta):
             mu, var = self._predict_impl(fit, theta[None, :])
             if kind == "lcb":

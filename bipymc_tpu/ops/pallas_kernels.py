@@ -33,9 +33,13 @@ def _sqdist_kernel(a_ref, b_ref, out_ref):
     b = b_ref[:]                                   # [bn, K]
     a_nrm = jnp.sum(a * a, axis=1, keepdims=True)  # [bm, 1]
     b_nrm = jnp.sum(b * b, axis=1, keepdims=True)  # [bn, 1]
+    # HIGHEST: full-f32 MXU passes. The default bf16 multiply loses ~1e-2
+    # relative, which the ‖a‖²+‖b‖²−2ab cancellation amplifies into
+    # absolute distance errors ~0.1 — enough to destroy a GP Gram matrix.
     cross = jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)        # a @ bᵀ on the MXU
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)       # a @ bᵀ on the MXU
     out_ref[:] = jnp.maximum(a_nrm + b_nrm.T - 2.0 * cross, 0.0)
 
 
@@ -92,7 +96,7 @@ def _sqdist_pallas_call(A, B, bm=_BLOCK, bn=_BLOCK):
 def _sqdist_xla(A, B):
     a_nrm = jnp.sum(A * A, axis=1, keepdims=True)
     b_nrm = jnp.sum(B * B, axis=1, keepdims=True)
-    cross = A @ B.T
+    cross = jnp.matmul(A, B.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(a_nrm + b_nrm.T - 2.0 * cross, 0.0)
 
 

@@ -63,11 +63,16 @@ class ChainPool:
     """
 
     def __init__(self, step_factory: Callable, sharded_fields,
-                 mesh: Mesh | None = None, axis_name: str = CHAIN_AXIS):
+                 mesh: Mesh | None = None, axis_name: str = CHAIN_AXIS,
+                 collect_fn: Callable | None = None):
         self.step_factory = step_factory
         self.sharded_fields = tuple(sharded_fields)
         self.mesh = mesh
         self.axis_name = axis_name if mesh is not None else None
+        self.collect_fn = collect_fn
+        # jitted runners keyed by (n_steps, thin, progress_every): t0 is a
+        # *traced* argument, so resumed/repeated runs never recompile
+        self._runners = {}
 
     def shard_state(self, state):
         """device_put a replicated/host state onto the mesh layout."""
@@ -94,46 +99,60 @@ class ChainPool:
         Returns (final_state, history) — history chain axis is sharded on
         the mesh path.
         """
+        collect_fn = collect_fn or self.collect_fn
         if collect_fn is None:
             def collect_fn(state, info):
                 return {"x": state.x, "logp": info.logp,
                         "accepted": info.accepted}
 
+        cache_key = (n_steps, thin, progress_every)
+        t0 = jnp.asarray(t0, jnp.int32)
+
         if self.mesh is None:
-            step = self.step_factory(None)
-            runner = jax.jit(partial(
-                run_scan_thinned, step, n_steps=n_steps, thin=thin,
-                collect_fn=collect_fn, t0=t0, progress_every=progress_every))
-            return runner(state, base_key)
+            if cache_key not in self._runners:
+                step = self.step_factory(None)
+                self._runners[cache_key] = jax.jit(
+                    lambda state, key, t0: run_scan_thinned(
+                        step, state, key, n_steps=n_steps, thin=thin,
+                        collect_fn=collect_fn, t0=t0,
+                        progress_every=progress_every))
+            return self._runners[cache_key](state, base_key, t0)
 
         axis = self.axis_name
-        step = self.step_factory(axis)
-        state_specs = _state_specs(state, self.sharded_fields, axis)
+        if cache_key not in self._runners:
+            step = self.step_factory(axis)
+            state_specs = _state_specs(state, self.sharded_fields, axis)
 
-        def local_run(state, key):
-            return run_scan_thinned(step, state, key, n_steps=n_steps,
-                                    thin=thin, collect_fn=collect_fn, t0=t0)
+            def local_run(state, key, t0):
+                return run_scan_thinned(
+                    step, state, key, n_steps=n_steps, thin=thin,
+                    collect_fn=collect_fn, t0=t0,
+                    progress_every=progress_every)
 
-        # out specs: final state like in; history [T, chains, ...] leaves.
-        # Probe shapes with the axis-free step (collectives are identities
-        # there); only leaf ranks are needed, and they match the local run.
-        step_probe = self.step_factory(None)
+            # out specs: final state like in; history [T, chains, ...]
+            # leaves. Probe shapes with the axis-free step (collectives
+            # are identities there); only leaf ranks are needed, and they
+            # match the local run.
+            step_probe = self.step_factory(None)
 
-        def probe(state, key):
-            return run_scan_thinned(step_probe, state, key, n_steps=n_steps,
-                                    thin=thin, collect_fn=collect_fn, t0=t0)
+            def probe(state, key, t0):
+                return run_scan_thinned(step_probe, state, key,
+                                        n_steps=n_steps, thin=thin,
+                                        collect_fn=collect_fn, t0=t0)
 
-        hist_shape = jax.eval_shape(probe, state, jax.random.key(0))[1]
-        hist_specs = jax.tree_util.tree_map(
-            lambda l: _history_spec(len(l.shape), axis), hist_shape)
+            hist_shape = jax.eval_shape(
+                probe, state, jax.random.key(0), t0)[1]
+            hist_specs = jax.tree_util.tree_map(
+                lambda l: _history_spec(len(l.shape), axis), hist_shape)
 
-        sharded = jax.shard_map(
-            local_run, mesh=self.mesh,
-            in_specs=(state_specs, P()),
-            out_specs=(state_specs, hist_specs),
-            check_vma=False,
-        )
-        return jax.jit(sharded)(self.shard_state(state), base_key)
+            self._runners[cache_key] = jax.jit(jax.shard_map(
+                local_run, mesh=self.mesh,
+                in_specs=(state_specs, P(), P()),
+                out_specs=(state_specs, hist_specs),
+                check_vma=False,
+            ))
+        return self._runners[cache_key](self.shard_state(state), base_key,
+                                        t0)
 
     def run_until(self, state, base_key, rhat_tol=1.05, chunk=100,
                   max_chunks=200, warmup_chunks=2, position_fn=None):

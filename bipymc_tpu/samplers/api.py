@@ -129,6 +129,8 @@ class _RwSampler(McmcSampler):
         super().__init__(log_like_fn, seed=seed, dtype=dtype)
         self.n_chains = int(n_chains)
         self.cfg = self._make_config(**config_kw)
+        self._batched_step = None
+        self._runners = {}     # (n_samples, thin, progress_every) -> jit fn
 
     def _prepare(self, theta_0, cov_est, spread):
         """Resolve start state + batched step; returns (state, step, key)."""
@@ -147,14 +149,16 @@ class _RwSampler(McmcSampler):
         else:
             state = self._final_state
 
-        step = rw.make_step(self.log_like_fn, self.cfg)
+        if self._batched_step is None:
+            step = rw.make_step(self.log_like_fn, self.cfg)
 
-        def batched_step(state, key, t):
-            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
-                jnp.arange(self.n_chains))
-            return jax.vmap(step, in_axes=(0, 0, None))(state, keys, t)
+            def batched_step(state, key, t):
+                keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                    jnp.arange(self.n_chains))
+                return jax.vmap(step, in_axes=(0, 0, None))(state, keys, t)
 
-        return state, batched_step, k_run
+            self._batched_step = batched_step
+        return state, self._batched_step, k_run
 
     def run_mcmc(self, n_samples, theta_0, cov_est=None, thin=1, spread=1.0,
                  progress_every=None):
@@ -171,11 +175,15 @@ class _RwSampler(McmcSampler):
             return {"x": state.theta, "logp": info.logp,
                     "accepted": info.accepted}
 
-        runner = jax.jit(partial(
-            run_scan_thinned, batched_step, n_steps=n_samples, thin=thin,
-            collect_fn=collect, t0=self._steps_run,
-            progress_every=progress_every))
-        final_state, history = runner(state, k_run)
+        cache_key = (n_samples, thin, progress_every)
+        if cache_key not in self._runners:
+            self._runners[cache_key] = jax.jit(
+                lambda state, key, t0: run_scan_thinned(
+                    batched_step, state, key, n_steps=n_samples, thin=thin,
+                    collect_fn=collect, t0=t0,
+                    progress_every=progress_every))
+        final_state, history = self._runners[cache_key](
+            state, k_run, jnp.asarray(self._steps_run, jnp.int32))
         self._store(final_state, history, n_samples)
         return self
 
@@ -244,13 +252,14 @@ class DeMc(McmcSampler):
         else:
             state = self._final_state
 
-        pool = ChainPool(
-            step_factory=lambda axis: demc.make_step(
-                self.log_like_fn, self.cfg, axis_name=axis),
-            sharded_fields=("x", "logp"), mesh=self.mesh)
-        final_state, history = pool.run(state, k_run, n_gens, thin=thin,
-                                        t0=self._steps_run,
-                                        progress_every=progress_every)
+        if not hasattr(self, "_pool_obj") or self._pool_obj is None:
+            self._pool_obj = ChainPool(
+                step_factory=lambda axis: demc.make_step(
+                    self.log_like_fn, self.cfg, axis_name=axis),
+                sharded_fields=("x", "logp"), mesh=self.mesh)
+        final_state, history = self._pool_obj.run(
+            state, k_run, n_gens, thin=thin, t0=self._steps_run,
+            progress_every=progress_every)
         self._store(final_state, history, n_gens)
         return self
 
@@ -273,10 +282,17 @@ class DreamZs(McmcSampler):
         self.n_archive_init = n_archive_init
 
     def _pool(self):
-        return ChainPool(
-            step_factory=lambda axis: dream.make_step(
-                self.log_like_fn, self.cfg, axis_name=axis),
-            sharded_fields=("x", "logp", "logp_sum"), mesh=self.mesh)
+        if getattr(self, "_pool_obj", None) is None:
+            def collect(state, info):
+                return {"x": state.x, "logp": info.logp,
+                        "accepted": info.accepted, "snooker": info.snooker}
+
+            self._pool_obj = ChainPool(
+                step_factory=lambda axis: dream.make_step(
+                    self.log_like_fn, self.cfg, axis_name=axis),
+                sharded_fields=("x", "logp", "logp_sum"), mesh=self.mesh,
+                collect_fn=collect)
+        return self._pool_obj
 
     def _ensure_state(self, theta_0, spread, n_gens_hint):
         key = jax.random.key(self.seed)
@@ -302,13 +318,8 @@ class DreamZs(McmcSampler):
     def run_mcmc(self, n_gens, theta_0, thin=1, spread=1.0,
                  progress_every=None):
         state, k_run = self._ensure_state(theta_0, spread, n_gens)
-
-        def collect(state, info):
-            return {"x": state.x, "logp": info.logp,
-                    "accepted": info.accepted, "snooker": info.snooker}
-
         final_state, history = self._pool().run(
-            state, k_run, n_gens, thin=thin, collect_fn=collect,
+            state, k_run, n_gens, thin=thin,
             t0=self._steps_run, progress_every=progress_every)
         self._store(final_state, history, n_gens)
         return self

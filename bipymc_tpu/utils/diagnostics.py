@@ -59,7 +59,9 @@ def autocorr_fn(chains, max_lag=None):
     nfft = 2 * n  # zero-pad to avoid circular correlation
     f = jnp.fft.rfft(x, n=nfft, axis=1)
     acf = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=1)[:, :n, :]
-    acf = acf / acf[:, :1, :]                               # ρ_0 = 1 per chain
+    # zero-variance chain/dim (e.g. a stuck chain) → ρ := 0, not NaN
+    acf0 = acf[:, :1, :]
+    acf = jnp.where(acf0 > 0.0, acf / jnp.maximum(acf0, 1e-30), 0.0)
     return jnp.mean(acf, axis=(0, 2))[:max_lag]
 
 
@@ -91,7 +93,8 @@ def integrated_autocorr_time(chains, c=5.0, per_dim=False):
     nfft = 2 * n
     f = jnp.fft.rfft(x, n=nfft, axis=1)
     acf = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=1)[:, :n, :]
-    acf = acf / acf[:, :1, :]
+    acf0 = acf[:, :1, :]
+    acf = jnp.where(acf0 > 0.0, acf / jnp.maximum(acf0, 1e-30), 0.0)
     rho = jnp.mean(acf, axis=0)                             # [n, d]
     return jax.vmap(lambda r: _tau_from_rho(r, c), in_axes=1)(rho)
 
