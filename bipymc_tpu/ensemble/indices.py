@@ -60,6 +60,7 @@ def sample_distinct(key, k: int, n, exclude=None):
         n_excl = 1
     avail = n - n_excl
 
+    idxs = jnp.arange(m, dtype=jnp.int32)
     keys = jax.random.split(key, k)
     out = []
     for t in range(k):
@@ -68,5 +69,11 @@ def sample_distinct(key, k: int, n, exclude=None):
         for j in range(m):
             r = r + (r >= taken[j]).astype(jnp.int32)
         out.append(r)
-        taken = jnp.sort(taken.at[n_excl + t].set(r))
+        # branchless insert of r into the sorted `taken` (sentinels keep
+        # the tail ordered): elementwise + one gather, so XLA fuses it —
+        # unlike jnp.sort, which breaks the step into k extra kernels.
+        pos = jnp.sum((taken < r).astype(jnp.int32))
+        shifted = taken[jnp.maximum(idxs - 1, 0)]
+        taken = jnp.where(idxs < pos, taken,
+                          jnp.where(idxs == pos, r, shifted))
     return jnp.stack(out)
