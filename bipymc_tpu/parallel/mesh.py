@@ -20,3 +20,17 @@ def chain_mesh(devices=None, axis_name: str = CHAIN_AXIS) -> Mesh:
     if devices is None:
         devices = jax.devices()
     return Mesh(np.array(devices), (axis_name,))
+
+
+def init_distributed(**kw) -> Mesh:
+    """Multi-host entry point: initialise jax.distributed and return the
+    global chain mesh.
+
+    Call once per host process before any device use (the reference's
+    ``mpiexec`` launch becomes one ``init_distributed()`` per host;
+    coordinator address etc. flow through jax.distributed.initialize
+    kwargs or cluster env vars). Collectives then ride ICI within a slice
+    and DCN across slices (SURVEY.md §3.2).
+    """
+    jax.distributed.initialize(**kw)
+    return chain_mesh()
