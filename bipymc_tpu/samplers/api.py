@@ -306,7 +306,7 @@ class DreamZs(McmcSampler):
                 n_gens_hint // self.cfg.archive_thin + 1)
             capacity = int(min(max(256, appended), 65536))
         n_z0 = self.n_archive_init or max(
-            2 * self.cfg.delta_max + 3, self.n_chains, 10)
+            max(2 * self.cfg.delta_max, 3), self.n_chains, 10)
         n_z0 = min(n_z0, capacity)
         center = jnp.mean(x0, axis=0)
         var = jnp.maximum(jnp.var(x0, axis=0), spread ** 2)
@@ -365,8 +365,9 @@ class Dream(DreamZs):
 
     def __init__(self, log_like_fn, n_chains=16, **kw):
         super().__init__(log_like_fn, n_chains=n_chains, **kw)
-        need = 2 * self.cfg.delta_max + 4
+        need = max(2 * self.cfg.delta_max, 3) + 1
         if self.n_chains < need:
             raise ValueError(
-                f"population-DREAM draws 2*delta_max+3 distinct chains ≠ i "
-                f"per proposal: need n_chains ≥ {need}, got {self.n_chains}")
+                f"population-DREAM draws max(2*delta_max, 3) distinct "
+                f"chains ≠ i per proposal: need n_chains ≥ {need}, got "
+                f"{self.n_chains}")

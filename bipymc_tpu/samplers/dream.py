@@ -119,11 +119,12 @@ def init(x0: jax.Array, log_prob: Callable, cfg: DreamConfig,
 
 def archive_init_checked(z0, capacity, cfg: DreamConfig):
     from bipymc_tpu.ensemble.archive import archive_init
-    need = 2 * cfg.delta_max + 3   # one generation draws this many distinct rows
+    # one proposal draws max(2·δ_max, 3) distinct rows (branches share)
+    need = max(2 * cfg.delta_max, 3)
     if z0.shape[0] < need:
         raise ValueError(
             f"initial archive needs ≥ {need} rows for δ_max={cfg.delta_max}"
-            f" + snooker draws; got {z0.shape[0]}")
+            f" / snooker draws; got {z0.shape[0]}")
     return archive_init(z0, capacity)
 
 
@@ -131,23 +132,33 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None) -> Callable:
     """Build ``step(state, key, t) -> (state, info)`` for the population."""
     n_pairs = cfg.delta_max
 
+    # rows drawn per proposal: the parallel move needs 2·δ_max, the
+    # snooker move 3 — only ONE branch fires per step, and any subset of
+    # a uniform distinct draw is itself a uniform distinct draw, so the
+    # two branches can share one draw of max(2·δ_max, 3) rows.
+    n_rows = max(2 * n_pairs, 3)
+
     def propose_one(key, x_i, i_global, x_full, archive: Archive, cr_p,
                     gamma_jump, dtype):
         d = x_i.shape[-1]
-        (k_coin, k_rows, k_delta, k_cr, k_mask, k_e, k_eps,
-         k_gs) = jax.random.split(key, 8)
+        k_scal, k_rows, k_cr, k_ue, k_eps = jax.random.split(key, 5)
 
-        # ---------- parallel-direction move (§4.7) -----------------------
-        delta = jax.random.randint(k_delta, (), 1, n_pairs + 1)
+        # one vector draw for the per-proposal scalars:
+        # [coin, delta, gamma_s]
+        u_scal = jax.random.uniform(k_scal, (3,), dtype=dtype)
         if cfg.use_archive:
-            rows = archive_sample(archive, k_rows, 2 * n_pairs + 3)
+            rows = archive_sample(archive, k_rows, n_rows)
         else:
             # population-DREAM: r-chains from the generation-start
             # population, all distinct and ≠ i (SURVEY.md §4.5/§4.7)
             from bipymc_tpu.ensemble.indices import sample_distinct
-            idx = sample_distinct(k_rows, 2 * n_pairs + 3, cfg.n_chains,
+            idx = sample_distinct(k_rows, n_rows, cfg.n_chains,
                                   exclude=i_global)
             rows = x_full[idx]
+
+        # ---------- parallel-direction move (§4.7) -----------------------
+        delta = 1 + jnp.floor(u_scal[1] * n_pairs).astype(jnp.int32)
+        delta = jnp.minimum(delta, n_pairs)          # guard u == 1.0 edge
         pair_mask = (jnp.arange(n_pairs) < delta).astype(dtype)[:, None]
         z1 = rows[0:n_pairs]
         z2 = rows[n_pairs:2 * n_pairs]
@@ -155,7 +166,9 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None) -> Callable:
 
         cr_idx = jax.random.choice(k_cr, cfg.n_cr, p=cr_p)
         cr = (cr_idx + 1).astype(dtype) / cfg.n_cr
-        u = jax.random.uniform(k_mask, (d,), dtype=dtype)
+        # one (2, d) draw covers the crossover mask and the e jitter
+        u_ue = jax.random.uniform(k_ue, (2, d), dtype=dtype)
+        u = u_ue[0]
         mask = u < cr
         # guarantee at least one crossed-over dimension
         mask = mask.at[jnp.argmin(u)].set(True)
@@ -163,28 +176,24 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None) -> Callable:
 
         gamma = 2.38 / jnp.sqrt(2.0 * delta.astype(dtype) * d_eff)
         gamma = jnp.where(gamma_jump, jnp.asarray(1.0, dtype), gamma)
-        e = jax.random.uniform(k_e, (d,), dtype=dtype,
-                               minval=-cfg.b, maxval=cfg.b)
+        e = cfg.b * (2.0 * u_ue[1] - 1.0)            # U(−b, b)
         eps = cfg.b_star * jax.random.normal(k_eps, (d,), dtype=dtype)
         x_par = x_i + mask * ((1.0 + e) * gamma * diff + eps)
 
         # ---------- snooker move (§4.6) ----------------------------------
-        z = rows[2 * n_pairs]
-        zr1 = rows[2 * n_pairs + 1]
-        zr2 = rows[2 * n_pairs + 2]
+        z, zr1, zr2 = rows[0], rows[1], rows[2]
         u_dir = x_i - z
         denom = jnp.maximum(jnp.dot(u_dir, u_dir), 1e-30)
         proj = lambda v: z + (jnp.dot(v - z, u_dir) / denom) * u_dir
-        gamma_s = jax.random.uniform(k_gs, (), dtype=dtype,
-                                     minval=cfg.snooker_lo, maxval=cfg.snooker_hi)
+        gamma_s = cfg.snooker_lo + \
+            (cfg.snooker_hi - cfg.snooker_lo) * u_scal[2]
         x_snk = x_i + gamma_s * (proj(zr1) - proj(zr2))
         # Jacobian factor (‖x*−z‖/‖xᵢ−z‖)^{d−1} in log space
         log_jac_snk = (d - 1) * 0.5 * (
             jnp.log(jnp.maximum(jnp.sum((x_snk - z) ** 2), 1e-30))
             - jnp.log(denom))
 
-        is_snooker = (cfg.p_snooker > 0.0) & (
-            jax.random.uniform(k_coin, dtype=dtype) < cfg.p_snooker)
+        is_snooker = (cfg.p_snooker > 0.0) & (u_scal[0] < cfg.p_snooker)
         x_star = jnp.where(is_snooker, x_snk, x_par)
         log_jac = jnp.where(is_snooker, log_jac_snk, 0.0)
         return x_star, log_jac, is_snooker, cr_idx
