@@ -58,6 +58,8 @@ class DreamConfig(NamedTuple):
     use_archive: bool = True    # False → population-DREAM (Vrugt 2009):
                                 # difference vectors from the current
                                 # generation-start population, r₁≠r₂≠i
+    pallas_proposal: bool | None = None   # fused proposal-math kernel;
+                                          # None → auto (TPU backend only)
 
 
 def demcz_config(n_chains: int, **kw) -> DreamConfig:
@@ -138,11 +140,9 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None) -> Callable:
     # two branches can share one draw of max(2·δ_max, 3) rows.
     n_rows = max(2 * n_pairs, 3)
 
-    def propose_one(key, x_i, i_global, x_full, archive: Archive, cr_p,
-                    gamma_jump, dtype):
-        d = x_i.shape[-1]
+    def draw_one(key, i_global, x_full, archive: Archive, cr_p, d, dtype):
+        """All randomness for one proposal (shared by both math paths)."""
         k_scal, k_rows, k_cr, k_ue, k_eps = jax.random.split(key, 5)
-
         # one vector draw for the per-proposal scalars:
         # [coin, delta, gamma_s]
         u_scal = jax.random.uniform(k_scal, (3,), dtype=dtype)
@@ -155,7 +155,16 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None) -> Callable:
             idx = sample_distinct(k_rows, n_rows, cfg.n_chains,
                                   exclude=i_global)
             rows = x_full[idx]
+        cr_idx = jax.random.choice(k_cr, cfg.n_cr, p=cr_p)
+        # one (2, d) draw covers the crossover mask and the e jitter
+        u_ue = jax.random.uniform(k_ue, (2, d), dtype=dtype)
+        eps_n = jax.random.normal(k_eps, (d,), dtype=dtype)
+        return u_scal, rows, cr_idx, u_ue, eps_n
 
+    def propose_math_one(x_i, u_scal, rows, cr_idx, u_ue, eps_n,
+                         gamma_jump, dtype):
+        """Deterministic proposal math, reference (unfused jnp) path."""
+        d = x_i.shape[-1]
         # ---------- parallel-direction move (§4.7) -----------------------
         delta = 1 + jnp.floor(u_scal[1] * n_pairs).astype(jnp.int32)
         delta = jnp.minimum(delta, n_pairs)          # guard u == 1.0 edge
@@ -164,10 +173,7 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None) -> Callable:
         z2 = rows[n_pairs:2 * n_pairs]
         diff = jnp.sum(pair_mask * (z1 - z2), axis=0)
 
-        cr_idx = jax.random.choice(k_cr, cfg.n_cr, p=cr_p)
         cr = (cr_idx + 1).astype(dtype) / cfg.n_cr
-        # one (2, d) draw covers the crossover mask and the e jitter
-        u_ue = jax.random.uniform(k_ue, (2, d), dtype=dtype)
         u = u_ue[0]
         mask = u < cr
         # guarantee at least one crossed-over dimension
@@ -177,7 +183,7 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None) -> Callable:
         gamma = 2.38 / jnp.sqrt(2.0 * delta.astype(dtype) * d_eff)
         gamma = jnp.where(gamma_jump, jnp.asarray(1.0, dtype), gamma)
         e = cfg.b * (2.0 * u_ue[1] - 1.0)            # U(−b, b)
-        eps = cfg.b_star * jax.random.normal(k_eps, (d,), dtype=dtype)
+        eps = cfg.b_star * eps_n
         x_par = x_i + mask * ((1.0 + e) * gamma * diff + eps)
 
         # ---------- snooker move (§4.6) ----------------------------------
@@ -196,7 +202,37 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None) -> Callable:
         is_snooker = (cfg.p_snooker > 0.0) & (u_scal[0] < cfg.p_snooker)
         x_star = jnp.where(is_snooker, x_snk, x_par)
         log_jac = jnp.where(is_snooker, log_jac_snk, 0.0)
-        return x_star, log_jac, is_snooker, cr_idx
+        return x_star, log_jac, is_snooker
+
+    def propose_all(x, u_scal, rows, cr_idx, u_ue, eps_n, gamma_jump,
+                    dtype):
+        """Proposal math over the population: fused Pallas kernel on TPU
+        (one VPU launch instead of ~30 small ops), unfused jnp elsewhere.
+        Both paths consume the identical randomness."""
+        use_pallas = cfg.pallas_proposal
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if not use_pallas:
+            return jax.vmap(
+                lambda xi, us, rw, ci, uu, ep: propose_math_one(
+                    xi, us, rw, ci, uu, ep, gamma_jump, dtype)
+            )(x, u_scal, rows, cr_idx, u_ue, eps_n)
+
+        from bipymc_tpu.ops.dream_proposal import dream_propose_pallas
+        d = x.shape[-1]
+        delta = 1 + jnp.floor(u_scal[:, 1] * n_pairs)
+        delta = jnp.minimum(delta, float(n_pairs)).astype(dtype)
+        cr = (cr_idx + 1).astype(dtype) / cfg.n_cr
+        gamma_s = cfg.snooker_lo + \
+            (cfg.snooker_hi - cfg.snooker_lo) * u_scal[:, 2]
+        is_snk = (cfg.p_snooker > 0.0) & (u_scal[:, 0] < cfg.p_snooker)
+        gj = jnp.broadcast_to(gamma_jump.astype(dtype), delta.shape)
+        scal = jnp.stack(
+            [delta, cr, gamma_s, is_snk.astype(dtype), gj], axis=1)
+        x_star, log_jac = dream_propose_pallas(
+            x, rows, u_ue[:, 0], u_ue[:, 1], eps_n, scal,
+            n_pairs=n_pairs, d_true=d, b=cfg.b, b_star=cfg.b_star)
+        return x_star, log_jac, is_snk
 
     def step(state: DreamState, key: jax.Array, t: jax.Array):
         n_local, d = state.x.shape
@@ -212,11 +248,12 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None) -> Callable:
 
         x_full = (all_gather_chains(state.x, axis_name)
                   if not cfg.use_archive else state.x)
-        x_star, log_jac, is_snk, cr_idx = jax.vmap(
-            lambda k, x_i, i_l: propose_one(
-                k, x_i, offset + i_l, x_full, state.archive, state.cr_p,
-                gamma_jump, dtype)
-        )(prop_keys[:, 0], state.x, i_locals)
+        u_scal, rows, cr_idx, u_ue, eps_n = jax.vmap(
+            lambda k, i_l: draw_one(k, offset + i_l, x_full,
+                                    state.archive, state.cr_p, d, dtype)
+        )(prop_keys[:, 0], i_locals)
+        x_star, log_jac, is_snk = propose_all(
+            state.x, u_scal, rows, cr_idx, u_ue, eps_n, gamma_jump, dtype)
 
         logp_star = jax.vmap(log_prob)(x_star)             # dominant cost
         log_u = jnp.log(jax.vmap(
