@@ -59,3 +59,18 @@ def test_fused_proposal_odd_dims_and_chains():
             st_pl, _ = step_pl(st_pl, kt, jnp.int32(t))
     np.testing.assert_allclose(np.asarray(st_pl.x), np.asarray(st_ref.x),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_proposal_d_over_128():
+    """d > one lane block exercises multi-block lane padding."""
+    log_prob, cfg_ref, cfg_pl, st_ref, st_pl = _setup(n=16, d=150)
+    step_ref = dream.make_step(log_prob, cfg_ref)
+    step_pl = dream.make_step(log_prob, cfg_pl)
+    key = jax.random.key(11)
+    with pltpu.force_tpu_interpret_mode():
+        for t in range(4):
+            kt = jax.random.fold_in(key, t)
+            st_ref, _ = step_ref(st_ref, kt, jnp.int32(t))
+            st_pl, _ = step_pl(st_pl, kt, jnp.int32(t))
+    np.testing.assert_allclose(np.asarray(st_pl.x), np.asarray(st_ref.x),
+                               rtol=2e-5, atol=2e-5)
