@@ -229,7 +229,16 @@ def main():
     print("backend:", jax.default_backend(), jax.devices(), file=sys.stderr)
     np.asarray(jnp.ones(()))                     # device-tunnel warmup
 
+    # merge into any prior results so partial --configs runs don't clobber
+    results_path = os.path.join(HERE, "results.json")
     results = {}
+    if os.path.exists(results_path):
+        with open(results_path) as f:
+            prior = json.load(f)
+        if prior.get("_meta", {}).get("backend") == jax.default_backend() \
+                and prior.get("_meta", {}).get("quick") == args.quick:
+            results = prior
+
     for c in which:
         t0 = time.time()
         r = CONFIGS[c](args.quick)
@@ -242,15 +251,15 @@ def main():
         "devices": [str(d) for d in jax.devices()],
         "quick": args.quick,
     }
-    with open(os.path.join(HERE, "results.json"), "w") as f:
+    with open(results_path, "w") as f:
         json.dump(results, f, indent=1)
 
     lines = ["# Benchmark results — BASELINE configs 1-5",
              "",
              f"Backend: {jax.default_backend()} "
              f"({results['_meta']['devices']})", ""]
-    for c in which:
-        r = results[str(c)]
+    for c in sorted(k for k in results if k != "_meta"):
+        r = dict(results[c])
         lines.append(f"## Config {r.pop('name')}")
         lines.append("")
         for k, v in r.items():
