@@ -241,27 +241,41 @@ class DeMc(McmcSampler):
         self.cfg = demc.DeMcConfig(n_chains=self.n_chains, **config_kw)
         self.mesh = mesh
 
-    def run_mcmc(self, n_gens, theta_0, thin=1, spread=1.0,
-                 progress_every=None):
+    def _ensure(self, theta_0, spread):
         key = jax.random.key(self.seed)
         k_init, k_run = jax.random.split(key)
         x0 = _as_2d_theta0(theta_0, self.n_chains, k_init, spread, self.dtype)
-
         if self._final_state is None:
             state = demc.init(x0, self.log_like_fn)
         else:
             state = self._final_state
-
         if not hasattr(self, "_pool_obj") or self._pool_obj is None:
             self._pool_obj = ChainPool(
                 step_factory=lambda axis: demc.make_step(
                     self.log_like_fn, self.cfg, axis_name=axis),
                 sharded_fields=("x", "logp"), mesh=self.mesh)
+        return state, k_run
+
+    def run_mcmc(self, n_gens, theta_0, thin=1, spread=1.0,
+                 progress_every=None):
+        state, k_run = self._ensure(theta_0, spread)
         final_state, history = self._pool_obj.run(
             state, k_run, n_gens, thin=thin, t0=self._steps_run,
             progress_every=progress_every)
         self._store(final_state, history, n_gens)
         return self
+
+    def run_mcmc_until(self, theta_0, rhat_tol=1.05, chunk=100,
+                       max_chunks=200, warmup_chunks=2, spread=1.0):
+        """Run until streaming on-device R̂ < rhat_tol (same machinery as
+        DreamZs.run_mcmc_until)."""
+        state, k_run = self._ensure(theta_0, spread)
+        final_state, info = self._pool_obj.run_until(
+            state, k_run, rhat_tol=rhat_tol, chunk=chunk,
+            max_chunks=max_chunks, warmup_chunks=warmup_chunks)
+        self._final_state = jax.block_until_ready(final_state)
+        self._steps_run += int(info["steps"])
+        return {k: np.asarray(v) for k, v in info.items()}
 
 
 class DreamZs(McmcSampler):
