@@ -26,6 +26,7 @@ from bipymc_tpu.samplers.api import (
     DeMc,
     DeMcZ,
     Dream,
+    EnsembleSampler,
     DreamZs,
 )
 from bipymc_tpu.utils.init import var_ball
@@ -41,6 +42,7 @@ __all__ = [
     "DeMc",
     "DeMcZ",
     "Dream",
+    "EnsembleSampler",
     "DreamZs",
     "var_ball",
     "gelman_rubin",

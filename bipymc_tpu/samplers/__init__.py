@@ -6,5 +6,6 @@ from bipymc_tpu.samplers.api import (
     DeMc,
     DeMcZ,
     Dream,
+    EnsembleSampler,
     DreamZs,
 )

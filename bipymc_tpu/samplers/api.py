@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bipymc_tpu.core.scan import run_scan_thinned
-from bipymc_tpu.samplers import rw, demc, dream
+from bipymc_tpu.samplers import rw, demc, dream, stretch
 from bipymc_tpu.parallel.pool import ChainPool
 from bipymc_tpu.utils.init import var_ball
 from bipymc_tpu.utils.diagnostics import acceptance_fraction
@@ -269,6 +269,55 @@ class DeMc(McmcSampler):
                        max_chunks=200, warmup_chunks=2, spread=1.0):
         """Run until streaming on-device R̂ < rhat_tol (same machinery as
         DreamZs.run_mcmc_until)."""
+        state, k_run = self._ensure(theta_0, spread)
+        final_state, info = self._pool_obj.run_until(
+            state, k_run, rhat_tol=rhat_tol, chunk=chunk,
+            max_chunks=max_chunks, warmup_chunks=warmup_chunks)
+        self._final_state = jax.block_until_ready(final_state)
+        self._steps_run += int(info["steps"])
+        return {k: np.asarray(v) for k, v in info.items()}
+
+
+class EnsembleSampler(McmcSampler):
+    """Affine-invariant ensemble sampler (Goodman & Weare 2010 stretch
+    move, emcee-style red-black parallel update) — beyond-reference extra
+    (samplers/stretch.py). Use n_chains ≥ 2d+2 walkers."""
+
+    def __init__(self, log_like_fn, n_chains=32, seed=0, dtype=jnp.float32,
+                 mesh=None, **config_kw):
+        super().__init__(log_like_fn, seed=seed, dtype=dtype)
+        self.n_chains = int(n_chains)
+        self.cfg = stretch.StretchConfig(n_chains=self.n_chains,
+                                         **config_kw)
+        self.mesh = mesh
+
+    def _ensure(self, theta_0, spread):
+        key = jax.random.key(self.seed)
+        k_init, k_run = jax.random.split(key)
+        x0 = _as_2d_theta0(theta_0, self.n_chains, k_init, spread,
+                           self.dtype)
+        if self._final_state is None:
+            state = stretch.init(x0, self.log_like_fn)
+        else:
+            state = self._final_state
+        if getattr(self, "_pool_obj", None) is None:
+            self._pool_obj = ChainPool(
+                step_factory=lambda axis: stretch.make_step(
+                    self.log_like_fn, self.cfg, axis_name=axis),
+                sharded_fields=("x", "logp"), mesh=self.mesh)
+        return state, k_run
+
+    def run_mcmc(self, n_gens, theta_0, thin=1, spread=1.0,
+                 progress_every=None):
+        state, k_run = self._ensure(theta_0, spread)
+        final_state, history = self._pool_obj.run(
+            state, k_run, n_gens, thin=thin, t0=self._steps_run,
+            progress_every=progress_every)
+        self._store(final_state, history, n_gens)
+        return self
+
+    def run_mcmc_until(self, theta_0, rhat_tol=1.05, chunk=100,
+                       max_chunks=200, warmup_chunks=2, spread=1.0):
         state, k_run = self._ensure(theta_0, spread)
         final_state, info = self._pool_obj.run_until(
             state, k_run, rhat_tol=rhat_tol, chunk=chunk,

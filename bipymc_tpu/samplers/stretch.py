@@ -1,0 +1,97 @@
+"""Affine-invariant ensemble sampler (Goodman & Weare 2010 stretch move).
+
+Beyond-reference extra (emcee [P] is the design precedent listed in
+PAPERS.md): the stretch move is the most widely used ensemble proposal in
+astrophysics and composes naturally with this framework's chain-axis
+design. Parallelisation follows emcee v3's red-black scheme: the ensemble
+splits into two halves, and each half updates *simultaneously* using
+complementary walkers drawn from the other half — which preserves detailed
+balance where a fully synchronous all-at-once update would not.
+
+Move: for walker x_i and complementary walker x_j,
+  z ~ g(z) ∝ 1/√z on [1/a, a]   (sampled as z = ((a−1)u + 1)² / a),
+  x* = x_j + z (x_i − x_j),
+  accept with probability min{1, z^{d−1} π(x*)/π(x_i)}.
+
+State is chain-sharded over the mesh like the DE family; the only
+collective is the all_gather making the opposite half visible
+(SURVEY.md §3.2 pattern).
+"""
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bipymc_tpu.parallel.collectives import all_gather_chains, chain_offset
+
+
+class StretchConfig(NamedTuple):
+    n_chains: int              # total walkers (even; ≥ 2d+2 recommended)
+    a: float = 2.0             # stretch scale
+
+
+class StretchState(NamedTuple):
+    x: jax.Array       # [n_local, d] walker positions (chain-sharded)
+    logp: jax.Array    # [n_local]
+    gen: jax.Array     # [] int32
+
+
+class StretchInfo(NamedTuple):
+    accepted: jax.Array
+    logp: jax.Array
+
+
+def init(x0: jax.Array, log_prob: Callable) -> StretchState:
+    logp = jax.vmap(log_prob)(x0)
+    return StretchState(x=x0, logp=logp, gen=jnp.zeros((), jnp.int32))
+
+
+def make_step(log_prob: Callable, cfg: StretchConfig,
+              axis_name=None) -> Callable:
+    """One generation = two half-updates (red then black)."""
+    n_total = cfg.n_chains
+    if n_total % 2 != 0:
+        raise ValueError("stretch move needs an even number of walkers")
+    half = n_total // 2
+
+    def half_update(x, logp, key, update_first_half):
+        """Update one half against the frozen other half."""
+        x_full = all_gather_chains(x, axis_name)          # [N, d]
+        n_local, d = x.shape
+        offset = chain_offset(x.shape[0], axis_name)
+        i_global = offset + jnp.arange(n_local, dtype=jnp.int32)
+        in_half = (i_global < half) == update_first_half  # [n_local] bool
+
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(i_global)
+
+        def propose(k, x_i):
+            k_j, k_z, k_u = jax.random.split(k, 3)
+            # complementary walker from the OTHER half
+            j = jax.random.randint(k_j, (), 0, half)
+            j = jnp.where(update_first_half, half + j, j)
+            x_j = x_full[j]
+            u = jax.random.uniform(k_z, dtype=x_i.dtype)
+            z = ((cfg.a - 1.0) * u + 1.0) ** 2 / cfg.a
+            x_star = x_j + z * (x_i - x_j)
+            log_u = jnp.log(jax.random.uniform(k_u, dtype=x_i.dtype))
+            return x_star, z, log_u
+
+        x_star, z, log_u = jax.vmap(propose)(keys, x)
+        logp_star = jax.vmap(log_prob)(x_star)
+        d_f = jnp.asarray(x.shape[-1], x.dtype)
+        log_alpha = (d_f - 1.0) * jnp.log(z) + logp_star - logp
+        log_alpha = jnp.where(jnp.isfinite(logp_star),
+                              jnp.minimum(0.0, log_alpha), -jnp.inf)
+        acc = in_half & (log_u < log_alpha)
+        return (jnp.where(acc[:, None], x_star, x),
+                jnp.where(acc, logp_star, logp), acc)
+
+    def step(state: StretchState, key: jax.Array, t: jax.Array):
+        k1, k2 = jax.random.split(key)
+        x, logp, acc1 = half_update(state.x, state.logp, k1, True)
+        x, logp, acc2 = half_update(x, logp, k2, False)
+        new_state = StretchState(x=x, logp=logp, gen=state.gen + 1)
+        return new_state, StretchInfo(accepted=acc1 | acc2, logp=logp)
+
+    return step
