@@ -74,3 +74,20 @@ def test_fused_proposal_d_over_128():
             st_pl, _ = step_pl(st_pl, kt, jnp.int32(t))
     np.testing.assert_allclose(np.asarray(st_pl.x), np.asarray(st_ref.x),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_proposal_demcz_config():
+    """delta_max=1 / single-CR (DE-MC-z) reshapes the row sharing."""
+    log_prob, cfg_ref, cfg_pl, st_ref, st_pl = _setup(
+        n=16, d=5, delta_max=1, n_cr=1, adapt_cr=False,
+        outlier_detect=False, jump_interval=10)
+    step_ref = dream.make_step(log_prob, cfg_ref)
+    step_pl = dream.make_step(log_prob, cfg_pl)
+    key = jax.random.key(13)
+    with pltpu.force_tpu_interpret_mode():
+        for t in range(8):
+            kt = jax.random.fold_in(key, t)
+            st_ref, _ = step_ref(st_ref, kt, jnp.int32(t))
+            st_pl, _ = step_pl(st_pl, kt, jnp.int32(t))
+    np.testing.assert_allclose(np.asarray(st_pl.x), np.asarray(st_ref.x),
+                               rtol=2e-5, atol=2e-5)
