@@ -101,13 +101,19 @@ def neal_funnel(d=10, sigma_v=3.0):
     return log_prob
 
 
-def eggbox(scale=5.0):
+def eggbox(scale=5.0, extent=10.0):
     """2-D eggbox: log π = [2 + cos(θ₁/s)·cos(θ₂/s)]⁵-style multimodal grid
-    (beyond-reference extra; classic mode-hopping benchmark)."""
+    (beyond-reference extra; classic mode-hopping benchmark).
+
+    The bare eggbox is non-normalisable; a soft box of half-width
+    ``extent·scale`` makes it a proper density (the classic benchmark
+    restricts to a box for the same reason).
+    """
 
     def log_prob(theta):
+        box = -jnp.sum((theta / (extent * scale)) ** 8)
         return (2.0 + jnp.cos(theta[0] / scale) *
-                jnp.cos(theta[1] / scale)) ** 5 / 50.0
+                jnp.cos(theta[1] / scale)) ** 5 / 50.0 + box
 
     return log_prob
 
