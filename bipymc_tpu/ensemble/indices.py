@@ -61,10 +61,13 @@ def sample_distinct(key, k: int, n, exclude=None):
     avail = n - n_excl
 
     idxs = jnp.arange(m, dtype=jnp.int32)
-    keys = jax.random.split(key, k)
+    # one batched bits draw instead of k randint kernels; r_t uniform on
+    # [0, avail−t) via modulo (bias ~(avail)/2³² — the same class as
+    # randint's own remainder construction, and < 2e-6 here)
+    bits = jax.random.bits(key, (k,), jnp.uint32)
     out = []
     for t in range(k):
-        r = jax.random.randint(keys[t], (), 0, avail - t, dtype=jnp.int32)
+        r = (bits[t] % (avail - t).astype(jnp.uint32)).astype(jnp.int32)
         # shift past taken values, processed in increasing (sorted) order
         for j in range(m):
             r = r + (r >= taken[j]).astype(jnp.int32)
