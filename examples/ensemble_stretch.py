@@ -1,0 +1,45 @@
+"""Affine-invariant (stretch-move) ensemble sampling of a skewed target.
+
+The Goodman-Weare stretch move is invariant to affine reparameterisation:
+strongly anisotropic/correlated targets that choke a random-walk sampler
+need no tuning at all. Beyond-reference extra (emcee is the design
+precedent, PAPERS.md).
+
+Run: ``python examples/ensemble_stretch.py``.
+"""
+
+import os
+
+if os.environ.get("JAX_PLATFORMS"):       # axon sitecustomize ignores the
+    import jax                            # env var; re-pin programmatically
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import numpy as np
+import jax.numpy as jnp
+
+import bipymc_tpu as bp
+from bipymc_tpu.models.targets import correlated_gaussian
+
+# a 5-d Gaussian with condition number ~1e4 — brutal for untuned RW-MH
+MEAN = np.arange(5, dtype=np.float32)
+SCALES = np.array([100.0, 10.0, 1.0, 0.1, 0.01], dtype=np.float32)
+COV = np.diag(SCALES ** 2)
+
+
+def main():
+    log_prob = correlated_gaussian(MEAN, COV)
+    s = bp.EnsembleSampler(log_prob, n_chains=64, seed=0)
+    info = s.run_mcmc_until(jnp.asarray(MEAN), rhat_tol=1.05, chunk=500,
+                            max_chunks=100, spread=1.0)
+    print(f"converged in {int(info['steps'])} generations, "
+          f"R-hat = {np.round(info['rhat'], 3)}")
+    s.run_mcmc(4000, jnp.asarray(MEAN))
+    flat = s.get_chain(discard=1000, flat=True)
+    std_err = np.abs(flat.std(0) - SCALES) / SCALES
+    print("posterior std relative error per dim:", np.round(std_err, 2))
+    assert info["rhat"].max() < 1.05
+    assert np.all(std_err < 0.25)
+
+
+if __name__ == "__main__":
+    main()
