@@ -36,15 +36,6 @@ from bipymc_tpu.utils.diagnostics import effective_sample_size
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def timed(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    out = fn(*args)
-    jax.block_until_ready(out)
-    return out, time.time() - t0
-
-
 def ess_per_sec(sampler, discard, elapsed):
     kept = sampler.get_chain(discard=discard)
     ess = float(effective_sample_size(kept))

@@ -13,8 +13,6 @@ family, vmapped over ``n_chains``), ``DeMc`` (population DE-MC), ``DeMcZ`` /
 devices — the mpi4py-pool replacement).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
