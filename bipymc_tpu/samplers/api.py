@@ -10,7 +10,9 @@ Classes mirror the reference zoo 1:1 (SURVEY.md §3):
 ``Metropolis``/``AdaptiveMetropolis``/``DrMetropolis``/``Dram`` (single-chain
 family, vmapped over ``n_chains``), ``DeMc`` (population DE-MC), ``DeMcZ`` /
 ``DreamZs`` (archive-based ensemble; pass ``mesh=`` to shard chains over
-devices — the mpi4py-pool replacement).
+devices — the mpi4py-pool replacement) — plus two beyond-reference extras:
+``Dream`` (population-DREAM, Vrugt 2009) and ``EnsembleSampler``
+(Goodman-Weare affine-invariant stretch move).
 """
 
 import jax
@@ -420,7 +422,7 @@ class Dream(DreamZs):
     """Population-DREAM (Vrugt et al. 2009, pre-zs): multi-pair difference
     vectors drawn from the current population (r₁≠r₂≠i), CR adaptation,
     outlier reset, no snooker/archive sampling (SURVEY.md §4.7). Needs
-    n_chains ≥ 2·delta_max + 4."""
+    n_chains ≥ max(2·delta_max, 3) + 1."""
 
     _config_builder = staticmethod(dream.dream_config)
 
