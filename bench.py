@@ -14,10 +14,22 @@ Prints exactly ONE JSON line on stdout; progress goes to stderr.
 
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+# Fail fast if the device tunnel is down (it has outage windows): better a
+# clean non-zero exit than an indefinite hang of the calling harness.
+def _watchdog(signum, frame):
+    print("bench.py watchdog: no completion within 540s — device tunnel "
+          "likely down; aborting", file=sys.stderr, flush=True)
+    os._exit(3)
+
+
+signal.signal(signal.SIGALRM, _watchdog)
+signal.alarm(540)
 
 
 D = 100
