@@ -27,6 +27,7 @@ from bipymc_tpu.samplers.api import (
     DeMcZ,
     Dream,
     EnsembleSampler,
+    ParallelTempering,
     DreamZs,
 )
 from bipymc_tpu.utils.init import var_ball
@@ -43,6 +44,7 @@ __all__ = [
     "DeMcZ",
     "Dream",
     "EnsembleSampler",
+    "ParallelTempering",
     "DreamZs",
     "var_ball",
     "gelman_rubin",

@@ -7,5 +7,6 @@ from bipymc_tpu.samplers.api import (
     DeMcZ,
     Dream,
     EnsembleSampler,
+    ParallelTempering,
     DreamZs,
 )

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bipymc_tpu.core.scan import run_scan_thinned
-from bipymc_tpu.samplers import rw, demc, dream, stretch
+from bipymc_tpu.samplers import rw, demc, dream, stretch, tempering
 from bipymc_tpu.parallel.pool import ChainPool
 from bipymc_tpu.utils.init import var_ball
 from bipymc_tpu.utils.diagnostics import acceptance_fraction
@@ -230,6 +230,75 @@ class Dram(_RwSampler):
 # ===========================================================================
 # Population / ensemble samplers
 # ===========================================================================
+
+class ParallelTempering(McmcSampler):
+    """Replica-exchange MCMC over the RW family (beyond-reference extra,
+    samplers/tempering.py): ``n_temps`` tempered replicas of ``n_chains``
+    chains each, adjacent-pair swaps every ``swap_interval`` steps.
+    History exposes the cold (β=1) replica."""
+
+    _KINDS = {"mh": rw.metropolis_config, "am": rw.adaptive_metropolis_config,
+              "dr": rw.dr_metropolis_config, "dram": rw.dram_config}
+
+    def __init__(self, log_like_fn, n_temps=8, n_chains=4, betas=None,
+                 beta_min=0.05, swap_interval=10, kind="dram", seed=0,
+                 dtype=jnp.float32, **kernel_kw):
+        super().__init__(log_like_fn, seed=seed, dtype=dtype)
+        if betas is None:
+            betas = tempering.geometric_ladder(n_temps, beta_min)
+        if abs(betas[0] - 1.0) > 1e-6 or list(betas) != sorted(
+                betas, reverse=True):
+            raise ValueError("betas must be descending with betas[0]=1")
+        self.n_chains = int(n_chains)
+        self.n_temps = len(betas)
+        self.cfg = tempering.PtConfig(
+            betas=tuple(float(b) for b in betas),
+            swap_interval=int(swap_interval),
+            kernel=self._KINDS[kind](**kernel_kw))
+        self._runners = {}
+
+    def run_mcmc(self, n_samples, theta_0, cov_est=None, thin=1,
+                 spread=1.0):
+        key = jax.random.key(self.seed)
+        k_init, k_run = jax.random.split(key)
+        flat0 = _as_2d_theta0(theta_0, self.n_temps * self.n_chains,
+                              k_init, spread, self.dtype)
+        d = flat0.shape[-1]
+        theta0 = flat0.reshape(self.n_temps, self.n_chains, d)
+        if cov_est is None:
+            cov_est = jnp.eye(d, dtype=self.dtype) * spread ** 2
+        cov_est = jnp.asarray(cov_est, dtype=self.dtype)
+
+        if self._final_state is None:
+            state = tempering.init(theta0, self.log_like_fn, self.cfg,
+                                   cov_est)
+        else:
+            state = self._final_state
+        step = tempering.make_step(self.log_like_fn, self.cfg)
+
+        def collect(state, info):
+            # cold replica only; logp rescaled is β=1 so already ℓ
+            return {"x": state.theta[0], "logp": info.logp[0],
+                    "accepted": info.accepted[0],
+                    "swapped": info.swapped[0]}
+
+        cache_key = (n_samples, thin)
+        if cache_key not in self._runners:
+            self._runners[cache_key] = jax.jit(
+                lambda state, key, t0: run_scan_thinned(
+                    step, state, key, n_steps=n_samples, thin=thin,
+                    collect_fn=collect, t0=t0))
+        final_state, history = self._runners[cache_key](
+            state, k_run, jnp.asarray(self._steps_run, jnp.int32))
+        self._store(final_state, history, n_samples)
+        return self
+
+    @property
+    def swap_fraction(self):
+        """Fraction of cold-replica steps that swapped (post-run)."""
+        self._require_run()
+        return float(np.mean(np.asarray(self._history["swapped"])))
+
 
 class DeMc(McmcSampler):
     """ter Braak DE-MC over a synchronous population (SURVEY.md §4.5)."""

@@ -1,0 +1,123 @@
+"""Parallel tempering (replica exchange) over the random-walk family.
+
+Beyond-reference extra: K inverse temperatures β₁=1 > β₂ > … > β_K run the
+same RW/AM/DR/DRAM kernel against π^β, and adjacent replicas swap
+configurations on a schedule — hot replicas cross energy barriers, the
+cold (β=1) replica inherits the mode hops. Swap acceptance for the joint
+target ∏_k π(x_k)^{β_k} is
+
+  α = min{1, exp[(β_i − β_j)(ℓ(x_j) − ℓ(x_i))]}
+
+with deterministic even/odd pair alternation (the DEO scheme) so every
+swap generation is one vectorised, collective-free update.
+
+TPU mapping: replicas are ANOTHER batch axis — states are stacked pytrees
+[n_temps, n_chains, ...] advanced by a temps×chains double-vmap of the
+single-chain step; swaps are pure index shuffles. Everything lives in one
+``lax.scan``.
+"""
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bipymc_tpu.samplers import rw
+
+
+class PtConfig(NamedTuple):
+    betas: tuple               # static, descending, betas[0] == 1.0
+    swap_interval: int = 10
+    kernel: rw.RwConfig = rw.RwConfig()
+
+
+class PtInfo(NamedTuple):
+    accepted: jax.Array        # [n_temps, n_chains] within-temp moves
+    swapped: jax.Array         # [n_temps, n_chains] replica swapped up/down
+    logp: jax.Array            # [n_temps, n_chains] tempered log-density
+
+
+def geometric_ladder(n_temps: int, beta_min: float = 0.05):
+    """β_k = beta_min^(k/(K−1)) — the standard geometric spacing."""
+    if n_temps == 1:
+        return (1.0,)
+    return tuple(float(beta_min ** (k / (n_temps - 1)))
+                 for k in range(n_temps))
+
+
+def make_step(log_like: Callable, cfg: PtConfig) -> Callable:
+    """Build ``step(state, key, t)`` over stacked [n_temps, n_chains, …]
+    RwState pytrees. Within-temp kernel: RW family per cfg.kernel."""
+    betas = jnp.asarray(np.asarray(cfg.betas, np.float32))
+    n_temps = len(cfg.betas)
+
+    def tempered_kernel(state, key, t, beta):
+        step = rw.make_step(lambda th: beta * log_like(th), cfg.kernel)
+        return step(state, key, t)
+
+    # temps × chains double vmap; key folded by (temp, chain) global index
+    def advance(state, key, t):
+        n_chains = state.theta.shape[1]
+
+        def per_temp(state_k, k_idx, beta):
+            keys = jax.vmap(lambda i: jax.random.fold_in(
+                key, k_idx * n_chains + i))(jnp.arange(n_chains))
+            return jax.vmap(tempered_kernel,
+                            in_axes=(0, 0, None, None))(
+                state_k, keys, t, beta)
+
+        return jax.vmap(per_temp)(state, jnp.arange(n_temps), betas)
+
+    def swap(state, key, t):
+        """DEO adjacent swaps: even pairs on even swap rounds, odd else."""
+        theta = state.theta                       # [K, M, d]
+        logp = state.logp                         # [K, M] = β_k·ℓ
+        ell = logp / betas[:, None]               # unscaled ℓ per replica
+
+        parity = (t // cfg.swap_interval) % 2
+        k_idx = jnp.arange(n_temps)
+        # pair k with k+1 when k ≡ parity (mod 2)
+        is_lo = (k_idx % 2 == parity) & (k_idx + 1 < n_temps)
+        partner = jnp.where(is_lo, k_idx + 1,
+                            jnp.where((k_idx - 1 >= 0) &
+                                      ((k_idx - 1) % 2 == parity),
+                                      k_idx - 1, k_idx))
+
+        d_beta = betas[:, None] - betas[partner][:, None]     # [K, 1]
+        d_ell = ell[partner] - ell                            # [K, M]
+        log_alpha = jnp.minimum(0.0, d_beta * d_ell)
+        u = jax.random.uniform(key, logp.shape)
+        # decision made on the lower index of each pair, mirrored to both
+        acc_lo = jnp.log(u) < log_alpha                       # [K, M]
+        acc = jnp.where(is_lo[:, None], acc_lo, acc_lo[partner])
+        acc = acc & (partner != k_idx)[:, None]
+
+        theta_new = jnp.where(acc[..., None], theta[partner], theta)
+        # received configuration re-tempered to this replica's β
+        logp_new = jnp.where(acc, betas[:, None] * ell[partner], logp)
+        return state._replace(theta=theta_new, logp=logp_new), acc
+
+    def step(state, key, t):
+        k_move, k_swap = jax.random.split(key)
+        state, info = advance(state, k_move, t)
+        do_swap = (t % cfg.swap_interval) == (cfg.swap_interval - 1)
+        state, swapped = jax.lax.cond(
+            do_swap, lambda s: swap(s, k_swap, t),
+            lambda s: (s, jnp.zeros_like(s.logp, dtype=bool)), state)
+        return state, PtInfo(accepted=info.accepted, swapped=swapped,
+                             logp=state.logp)
+
+    return step
+
+
+def init(theta0: jax.Array, log_like: Callable, cfg: PtConfig,
+         cov0: jax.Array) -> rw.RwState:
+    """theta0 [n_temps, n_chains, d] → stacked RwState pytree."""
+    betas = np.asarray(cfg.betas, np.float32)
+
+    def init_one(th, beta):
+        return jax.vmap(lambda x: rw.init(
+            x, lambda t: beta * log_like(t), cov0))(th)
+
+    return jax.vmap(init_one)(theta0, jnp.asarray(betas))

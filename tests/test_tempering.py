@@ -1,0 +1,56 @@
+"""Parallel tempering: mode hopping that plain DRAM cannot do."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import bipymc_tpu as bp
+from bipymc_tpu.models.targets import gaussian_mixture
+
+# two well-separated modes: RW-MH at unit scale essentially never crosses
+MODES = np.array([[-4.0, -4.0], [4.0, 4.0]], dtype=np.float32)
+
+
+def _mode_fractions(flat):
+    side = flat[:, 0] + flat[:, 1] > 0
+    return np.mean(side)
+
+
+def test_pt_hops_modes_where_dram_is_stuck():
+    lp = gaussian_mixture(MODES, sigma=0.5)
+    start = jnp.asarray([-4.0, -4.0])          # start in one mode
+
+    stuck = bp.Dram(lp, seed=0, n_chains=4)
+    stuck.run_mcmc(4000, start, cov_est=jnp.eye(2) * 0.25)
+    f_stuck = _mode_fractions(stuck.get_chain(discard=500, flat=True))
+    assert f_stuck < 0.05, "plain DRAM unexpectedly crossed"
+
+    pt = bp.ParallelTempering(lp, n_temps=8, n_chains=4, seed=0,
+                              beta_min=0.02, swap_interval=5, kind="dram")
+    pt.run_mcmc(6000, start, cov_est=jnp.eye(2) * 0.25)
+    flat = pt.get_chain(discard=1000, flat=True)
+    f_pt = _mode_fractions(flat)
+    assert 0.2 < f_pt < 0.8, f"cold replica mode balance {f_pt}"
+    assert pt.swap_fraction > 0.01
+    # both modes carry real mass and sit at the right centers
+    for m in (0, 1):
+        sel = (flat[:, 0] + flat[:, 1] > 0) == bool(m)
+        assert sel.mean() > 0.1
+        assert np.abs(flat[sel].mean(0) - MODES[m]).max() < 0.5
+    # cold-replica marginal mean near the symmetric truth (0, 0)
+    assert np.abs(flat.mean(0)).max() < 1.5
+
+
+def test_pt_single_temperature_reduces_to_dram():
+    lp = gaussian_mixture(MODES[:1], sigma=1.0)
+    pt = bp.ParallelTempering(lp, n_temps=1, n_chains=4, seed=1,
+                              kind="dram")
+    pt.run_mcmc(2000, jnp.asarray(MODES[0]), cov_est=jnp.eye(2))
+    flat = pt.get_chain(discard=500, flat=True)
+    assert np.abs(flat.mean(0) - MODES[0]).max() < 0.4
+
+
+def test_pt_validates_ladder():
+    lp = gaussian_mixture(MODES, sigma=1.0)
+    with pytest.raises(ValueError, match="betas"):
+        bp.ParallelTempering(lp, betas=(0.5, 1.0))
