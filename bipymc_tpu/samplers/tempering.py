@@ -49,7 +49,9 @@ def geometric_ladder(n_temps: int, beta_min: float = 0.05):
 def make_step(log_like: Callable, cfg: PtConfig) -> Callable:
     """Build ``step(state, key, t)`` over stacked [n_temps, n_chains, …]
     RwState pytrees. Within-temp kernel: RW family per cfg.kernel."""
-    betas = jnp.asarray(np.asarray(cfg.betas, np.float32))
+    # NumPy, not jnp: closed-over device constants force trace-time
+    # device->host fetches (see models/targets.py note)
+    betas = np.asarray(cfg.betas, np.float32)
     n_temps = len(cfg.betas)
 
     def tempered_kernel(state, key, t, beta):
@@ -71,9 +73,10 @@ def make_step(log_like: Callable, cfg: PtConfig) -> Callable:
 
     def swap(state, key, t):
         """DEO adjacent swaps: even pairs on even swap rounds, odd else."""
+        b = jnp.asarray(betas)                    # host const -> traced view
         theta = state.theta                       # [K, M, d]
         logp = state.logp                         # [K, M] = β_k·ℓ
-        ell = logp / betas[:, None]               # unscaled ℓ per replica
+        ell = logp / b[:, None]                   # unscaled ℓ per replica
 
         parity = (t // cfg.swap_interval) % 2
         k_idx = jnp.arange(n_temps)
@@ -84,7 +87,7 @@ def make_step(log_like: Callable, cfg: PtConfig) -> Callable:
                                       ((k_idx - 1) % 2 == parity),
                                       k_idx - 1, k_idx))
 
-        d_beta = betas[:, None] - betas[partner][:, None]     # [K, 1]
+        d_beta = b[:, None] - b[partner][:, None]             # [K, 1]
         d_ell = ell[partner] - ell                            # [K, M]
         log_alpha = jnp.minimum(0.0, d_beta * d_ell)
         u = jax.random.uniform(key, logp.shape)
@@ -95,7 +98,7 @@ def make_step(log_like: Callable, cfg: PtConfig) -> Callable:
 
         theta_new = jnp.where(acc[..., None], theta[partner], theta)
         # received configuration re-tempered to this replica's β
-        logp_new = jnp.where(acc, betas[:, None] * ell[partner], logp)
+        logp_new = jnp.where(acc, b[:, None] * ell[partner], logp)
         return state._replace(theta=theta_new, logp=logp_new), acc
 
     def step(state, key, t):

@@ -81,11 +81,15 @@ def restore_sampler(path, sampler):
     """
     state, step = load_state(path)
     n_ck = getattr(state, "x", getattr(state, "theta", None))
+    # leading axes: [n_chains, d], or [n_temps, n_chains, d] for tempered
+    want = (getattr(sampler, "n_temps", None), sampler.n_chains) \
+        if hasattr(sampler, "n_temps") else (sampler.n_chains,)
     if n_ck is not None and hasattr(sampler, "n_chains") \
-            and n_ck.ndim >= 2 and n_ck.shape[0] != sampler.n_chains:
+            and n_ck.ndim > len(want) \
+            and tuple(n_ck.shape[:len(want)]) != want:
         raise ValueError(
-            f"checkpoint holds {n_ck.shape[0]} chains but sampler was "
-            f"built with n_chains={sampler.n_chains}")
+            f"checkpoint population shape {n_ck.shape[:len(want)]} does "
+            f"not match sampler layout {want}")
     sampler._final_state = state
     sampler._steps_run = step
     return sampler
