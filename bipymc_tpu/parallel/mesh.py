@@ -16,9 +16,18 @@ CHAIN_AXIS = "chains"
 
 
 def chain_mesh(devices=None, axis_name: str = CHAIN_AXIS) -> Mesh:
-    """1-D mesh over ``devices`` (default: all local devices)."""
+    """1-D mesh over ``devices`` (default: all local devices).
+
+    ``devices`` may also be an int: the first n local devices.
+    """
     if devices is None:
         devices = jax.devices()
+    elif isinstance(devices, int):
+        avail = jax.devices()
+        if devices > len(avail):
+            raise ValueError(
+                f"chain_mesh({devices}): only {len(avail)} devices available")
+        devices = avail[:devices]
     return Mesh(np.array(devices), (axis_name,))
 
 

@@ -6,10 +6,15 @@ stateless functions over a Cholesky factor instead of mutable objects, so
 they vmap over chains and live inside jitted scans.
 """
 
+import math
+
 import jax
 import jax.numpy as jnp
 
-_LOG_2PI = jnp.log(2.0 * jnp.pi)
+# Host constant: a module-level jnp op would initialise the default backend
+# at import time, which breaks importing the package on a host whose default
+# platform is unavailable (and forces a device fetch before any user code).
+_LOG_2PI = math.log(2.0 * math.pi)
 
 
 def gaussian_sample(key, mean, chol):
