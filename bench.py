@@ -56,7 +56,7 @@ def run_tpu():
     from bipymc_tpu.samplers import dream
     from bipymc_tpu.core.scan import run_scan
     from bipymc_tpu.utils.init import var_ball
-    from bipymc_tpu.utils.diagnostics import effective_sample_size
+    from bipymc_tpu.utils.diagnostics import ess_rate
 
     log("devices:", jax.devices())
     t0 = time.time()
@@ -99,14 +99,17 @@ def run_tpu():
     log(f"{n_gens} gens in {elapsed:.3f}s "
         f"({n_gens * N_CHAINS / elapsed:,.0f} chain-steps/s)")
 
-    chains = jnp.swapaxes(jnp.concatenate(hists, axis=0), 0, 1)  # [M,N,d]
-    ess = float(effective_sample_size(chains))
-    log(f"ESS over {n_gens} gens x {N_CHAINS} chains: {ess:,.0f}")
+    # host-side history assembly (fixed ESS window convention: last
+    # ESS_WINDOW_GENS kept generations — see utils.diagnostics.ess_rate)
+    chains = np.swapaxes(
+        np.concatenate([np.asarray(h) for h in hists], axis=0), 0, 1)
+    gens_per_sec = n_gens / elapsed
+    ess, eps = ess_rate(chains, gens_per_sec)
+    log(f"ESS (window) over {N_CHAINS} chains: {ess:,.0f}")
     return {
         "ess": ess,
-        "ess_per_gen": ess / n_gens,
-        "gens_per_sec": n_gens / elapsed,
-        "ess_per_sec": ess / elapsed,
+        "gens_per_sec": gens_per_sec,
+        "ess_per_sec": eps,
         "chain_steps_per_sec": n_gens * N_CHAINS / elapsed,
     }
 
@@ -122,26 +125,26 @@ def measure_cpu_baseline(path):
     z0 = 2.0 * rng.standard_normal((N_CHAINS, D))
     sampler = NumpyDreamZs(log_prob, N_CHAINS, burnin_gens=100, seed=SEED)
 
-    burn, timed = 100, 200
+    burn, timed = 100, 2000
     hist = sampler.run(x0, z0, burn)                 # burn-in (untimed)
     t0 = time.time()
     hist = sampler.run(hist[-1], z0, timed)
     elapsed = time.time() - t0
     gens_per_sec = timed / elapsed
 
-    # ESS/gen with the same estimator as the TPU run (identical algorithm,
-    # so per-generation statistical efficiency carries over)
+    # ESS with the same estimator AND window as the TPU run (identical
+    # algorithm, so per-generation statistical efficiency carries over)
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    from bipymc_tpu.utils.diagnostics import effective_sample_size
+    from bipymc_tpu.utils.diagnostics import ess_rate
     chains = np.swapaxes(hist, 0, 1)
-    ess_per_gen = float(effective_sample_size(chains)) / timed
+    ess, eps_1proc = ess_rate(chains, gens_per_sec)
 
     cores = os.cpu_count() or 1
     baseline = {
         "single_process_gens_per_sec": gens_per_sec,
-        "ess_per_gen": ess_per_gen,
+        "ess_window": ess,
         "cores": cores,
-        "ess_per_sec": ess_per_gen * gens_per_sec * cores,
+        "ess_per_sec": eps_1proc * cores,
         "note": "NumPy reference semantics x perfect-MPI core scaling "
                 "(optimistic upper bound; see benchmarks/reference_numpy.py)",
         "config": {"d": D, "n_chains": N_CHAINS, "timed_gens": timed},

@@ -37,8 +37,15 @@ class NumpyDreamZs:
         self.burnin_gens = burnin_gens
         self.rng = np.random.default_rng(seed)
 
-    def run(self, x0, z0, n_gens):
+    def run(self, x0, z0, n_gens, draws=None):
         """x0: [n_chains, d] start; z0: [k, d] archive seed.
+
+        draws: optional injected randomness for exact-fidelity tests
+        (SURVEY.md §6 contract (a)): ``draws(gen, i) -> (u_scal [3],
+        row_idx [n_rows], cr_idx, u_ue [2, d], eps_n [d], u_acc)`` with
+        the same packing as ``bipymc_tpu.samplers.dream.make_step``'s
+        draws_fn. Pair layout then matches the JAX engine's fixed slots:
+        pair j is (row j, row delta_max + j) for j < delta.
 
         Returns history [n_gens, n_chains, d].
         """
@@ -60,37 +67,69 @@ class NumpyDreamZs:
             var = np.maximum(np.var(x, axis=0), 1e-30)
 
             for i in range(n):                       # reference: chain loop
-                if rng.uniform() < self.p_snooker:
-                    zi = rng.choice(len(archive), 3, replace=False)
+                if draws is None:
+                    is_snk = rng.uniform() < self.p_snooker
+                    u_gs = rng.uniform()
+                    u_delta = None
+                else:
+                    u_scal, row_idx, cr_inj, u_ue, eps_n, u_acc = \
+                        draws(gen, i)
+                    is_snk = u_scal[0] < self.p_snooker
+                    u_delta = u_scal[1]
+                    u_gs = u_scal[2]
+
+                if is_snk:
+                    if draws is None:
+                        zi = rng.choice(len(archive), 3, replace=False)
+                        gs = 1.2 + 1.0 * u_gs
+                    else:
+                        zi = row_idx[:3]
+                        gs = 1.2 + 1.0 * u_gs
                     z, zr1, zr2 = (archive[j] for j in zi)
                     u_dir = x[i] - z
                     denom = max(float(u_dir @ u_dir), 1e-30)
                     proj = lambda v: z + ((v - z) @ u_dir / denom) * u_dir
-                    gs = rng.uniform(1.2, 2.2)
                     x_star = x[i] + gs * (proj(zr1) - proj(zr2))
                     num = max(float((x_star - z) @ (x_star - z)), 1e-30)
                     log_jac = (d - 1) * 0.5 * (np.log(num) - np.log(denom))
                     cr_idx = None
                 else:
-                    delta = rng.integers(1, self.delta_max + 1)
-                    zi = rng.choice(len(archive), 2 * delta, replace=False)
-                    rows = np.array([archive[j] for j in zi])
-                    diff = np.sum(rows[:delta] - rows[delta:], axis=0)
-                    cr_idx = rng.choice(self.n_cr, p=cr_p)
+                    if draws is None:
+                        delta = rng.integers(1, self.delta_max + 1)
+                        zi = rng.choice(len(archive), 2 * delta,
+                                        replace=False)
+                        rows = np.array([archive[j] for j in zi])
+                        diff = np.sum(rows[:delta] - rows[delta:], axis=0)
+                        cr_idx = rng.choice(self.n_cr, p=cr_p)
+                        u = rng.uniform(size=d)
+                        e = rng.uniform(-self.b, self.b, size=d)
+                        eps = self.b_star * rng.standard_normal(d)
+                    else:
+                        delta = min(int(1 + u_delta * self.delta_max),
+                                    self.delta_max)
+                        # fixed pair slots (j, delta_max + j), j < delta —
+                        # the JAX engine's layout
+                        r1 = np.array([archive[row_idx[j]]
+                                       for j in range(delta)])
+                        r2 = np.array([archive[row_idx[self.delta_max + j]]
+                                       for j in range(delta)])
+                        diff = np.sum(r1 - r2, axis=0)
+                        cr_idx = int(cr_inj)
+                        u = np.asarray(u_ue[0])
+                        e = self.b * (2.0 * np.asarray(u_ue[1]) - 1.0)
+                        eps = self.b_star * np.asarray(eps_n)
                     cr = (cr_idx + 1) / self.n_cr
-                    u = rng.uniform(size=d)
                     mask = u < cr
                     mask[np.argmin(u)] = True
                     d_eff = mask.sum()
                     gamma = 1.0 if gamma_jump else 2.38 / np.sqrt(
                         2.0 * delta * d_eff)
-                    e = rng.uniform(-self.b, self.b, size=d)
-                    eps = self.b_star * rng.standard_normal(d)
                     x_star = x[i] + mask * ((1.0 + e) * gamma * diff + eps)
                     log_jac = 0.0
 
                 lp_star = self.log_prob(x_star)      # dominant cost
-                if np.isfinite(lp_star) and np.log(rng.uniform()) < min(
+                u_accept = rng.uniform() if draws is None else u_acc
+                if np.isfinite(lp_star) and np.log(u_accept) < min(
                         0.0, lp_star - logp[i] + log_jac):
                     x[i] = x_star
                     logp[i] = lp_star
@@ -144,7 +183,11 @@ class NumpyDram:
         r = x - mean
         return -0.5 * (r @ cov_inv @ r + log_det)
 
-    def run(self, x0, n_steps, cov0=None):
+    def run(self, x0, n_steps, cov0=None, draws=None):
+        """draws: optional injected randomness for exact-fidelity tests:
+        ``draws(t) -> (z1 [d], z2 [d], u1, u2)`` — stage-1/-2 standard
+        normals and accept uniforms, same packing as
+        ``bipymc_tpu.samplers.rw.make_step``'s draws_fn."""
         rng = self.rng
         x = np.array(x0, dtype=np.float64)
         d = x.size
@@ -157,14 +200,20 @@ class NumpyDram:
         for t in range(n_steps):
             cov_inv = np.linalg.inv(cov)
             log_det = 2.0 * np.sum(np.log(np.diag(chol)))
-            y1 = x + chol @ rng.standard_normal(d)
+            if draws is None:
+                z1, z2 = rng.standard_normal(d), None
+                u1, u2 = rng.uniform(), None
+            else:
+                z1, z2, u1, u2 = draws(t)
+            y1 = x + chol @ z1
             lp1 = self.log_prob(y1)
             a1 = min(0.0, lp1 - lp)                     # log α₁(x, y₁)
-            if np.log(rng.uniform()) < a1:
+            if np.log(u1) < a1:
                 x, lp = y1, lp1
             else:
-                y2 = x + (chol / np.sqrt(self.kappa)) @ \
-                    rng.standard_normal(d)
+                if draws is None:
+                    z2, u2 = rng.standard_normal(d), rng.uniform()
+                y2 = x + (chol / np.sqrt(self.kappa)) @ z2
                 lp2 = self.log_prob(y2)
                 a1_rev = min(0.0, lp1 - lp2)            # log α₁(y₂, y₁)
                 lq_num = self._log_q(y1, y2, cov_inv, log_det)
@@ -173,14 +222,17 @@ class NumpyDram:
                     log_a2 = (lp2 + lq_num + np.log1p(-np.exp(a1_rev))
                               - lp - lq_den - np.log1p(-np.exp(a1)))
                 if np.isfinite(log_a2) and \
-                        np.log(rng.uniform()) < min(0.0, log_a2):
+                        np.log(u2) < min(0.0, log_a2):
                     x, lp = y2, lp2
             history[t] = x
 
             if t >= self.adapt_start and \
                     (t + 1) % self.adapt_interval == 0:
-                c = s_d * (np.cov(history[: t + 1].T) +
-                           self.eps * np.eye(d))
+                # include x0: Haario's recursion folds the initial state
+                # into the covariance (matches the JAX Welford carry)
+                visited = np.vstack([np.asarray(x0, dtype=np.float64)[None],
+                                     history[: t + 1]])
+                c = s_d * (np.cov(visited.T) + self.eps * np.eye(d))
                 try:
                     chol_new = np.linalg.cholesky(c)
                     cov, chol = c, chol_new

@@ -31,15 +31,17 @@ import bipymc_tpu as bp
 from bipymc_tpu.models.targets import (
     correlated_gaussian, banana, gaussian_mixture)
 from bipymc_tpu.gp.regressor import GpRegressor
-from bipymc_tpu.utils.diagnostics import effective_sample_size
+from bipymc_tpu.utils.diagnostics import ess_rate
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def ess_per_sec(sampler, discard, elapsed):
+def ess_per_sec(sampler, discard, elapsed, n_timed):
+    """ESS/sec under the repo-wide fixed-window convention
+    (utils.diagnostics.ess_rate): ESS over the final ESS_WINDOW_GENS kept
+    generations, scaled by the timed segment's generation rate."""
     kept = sampler.get_chain(discard=discard)
-    ess = float(effective_sample_size(kept))
-    return ess, ess / elapsed
+    return ess_rate(kept, n_timed / elapsed)
 
 
 # ---------------------------------------------------------------------------
@@ -56,7 +58,7 @@ def config1(quick):
     t0 = time.time()
     s2.run_mcmc(n, jnp.zeros(2))                          # continuation
     elapsed = time.time() - t0
-    ess, eps = ess_per_sec(s2, n + n // 4, elapsed)
+    ess, eps = ess_per_sec(s2, n + n // 4, elapsed, n)
 
     from reference_numpy import NumpyDram
     def np_lp(th):
@@ -66,15 +68,15 @@ def config1(quick):
     t0 = time.time()
     hist = ref.run(np.zeros(2), n)
     ref_elapsed = time.time() - t0
-    ref_ess = float(effective_sample_size(hist[None, n // 4:]))
+    _, ref_eps = ess_rate(hist[None, n // 4:], n / ref_elapsed)
 
     return {
         "name": "1: 2D Gaussian / DRAM (1 chain)",
         "steps_per_sec": n / elapsed,
         "ess_per_sec": eps,
         "ref_steps_per_sec": n / ref_elapsed,
-        "ref_ess_per_sec": ref_ess / ref_elapsed,
-        "speedup_ess": eps / (ref_ess / ref_elapsed),
+        "ref_ess_per_sec": ref_eps,
+        "speedup_ess": eps / ref_eps,
     }
 
 
@@ -87,7 +89,7 @@ def config2(quick):
     t0 = time.time()
     s2.run_mcmc(n, jnp.zeros(2))                          # continuation
     elapsed = time.time() - t0
-    ess, eps = ess_per_sec(s2, n + n // 3, elapsed)
+    ess, eps = ess_per_sec(s2, n + n // 3, elapsed, n)
     rhat = float(np.max(np.asarray(
         bp.gelman_rubin(s2.get_chain(discard=n)))))
     return {
@@ -111,9 +113,10 @@ def config3(quick):
     t0 = time.time()
     s2.run_mcmc(n, jnp.zeros(100))                        # continuation
     elapsed = time.time() - t0
-    ess, eps = ess_per_sec(s2, n, elapsed)
+    ess, eps = ess_per_sec(s2, n, elapsed, n)
 
     from reference_numpy import NumpyDreamZs, mixture_log_prob_numpy
+    from bipymc_tpu.utils.diagnostics import ESS_WINDOW_GENS
     np_lp = mixture_log_prob_numpy(means)
     ref = NumpyDreamZs(np_lp, 256, burnin_gens=50, seed=1)
     x0 = 2.0 * rng.standard_normal((256, 100))
@@ -122,13 +125,31 @@ def config3(quick):
     t0 = time.time()
     ref.run(x0, z0, n_ref)
     ref_gps = n_ref / (time.time() - t0)
-    ref_eps = (ess / (n - burn)) * ref_gps      # same per-gen efficiency
+    # same per-gen efficiency (identical algorithm): ess is over the fixed
+    # window, so ess/gen = ess / window
+    window = min(ESS_WINDOW_GENS, n)
+    ref_eps = (ess / window) * ref_gps
+
+    # BASELINE.json:2 second north-star metric: wall-clock to R̂ < 1.1 on
+    # the headline config, from scratch, via the on-device streaming stop
+    s3 = bp.DreamZs(log_prob, n_chains=256, seed=2, burnin_gens=burn)
+    s3.run_mcmc_until(jnp.zeros(100), rhat_tol=1.1, chunk=50,
+                      max_chunks=2, warmup_chunks=1, spread=2.0)  # compile
+    s3 = bp.DreamZs(log_prob, n_chains=256, seed=3, burnin_gens=burn)
+    t0 = time.time()
+    until = s3.run_mcmc_until(jnp.zeros(100), rhat_tol=1.1, chunk=200,
+                              max_chunks=150, warmup_chunks=burn // 200 + 1,
+                              spread=2.0)
+    wall_rhat = time.time() - t0
 
     return {
         "name": "3: 100-dim mixture / DREAM-zs (256 chains) [headline]",
         "gens_per_sec": n / elapsed,
         "chain_steps_per_sec": n * 256 / elapsed,
         "ess_per_sec": eps,
+        "wall_clock_to_rhat_1p1_s": wall_rhat,
+        "rhat_stop_generations": int(until["steps"]),
+        "rhat_final": float(until["rhat"].max()),
         "ref_gens_per_sec": ref_gps,
         "ref_ess_per_sec_1proc": ref_eps,
         "speedup_ess_vs_1proc": eps / ref_eps,
@@ -157,7 +178,7 @@ def config4(quick):
     t0 = time.time()
     s2.run_mcmc(n, jnp.zeros(4))                          # continuation
     elapsed = time.time() - t0
-    ess, eps = ess_per_sec(s2, n + n // 4, elapsed)
+    ess, eps = ess_per_sec(s2, n + n // 4, elapsed, n)
     # DR: 2 likelihoods/step/chain; each likelihood = kernel build + chol
     chols_per_sec = 2 * 4 * n / elapsed
     return {

@@ -101,13 +101,17 @@ class GpRegressor:
 
     def _lml_impl(self, params, x, y):
         n = x.shape[0]
-        y, _, _ = self._normalize(y)
+        y, _, y_std = self._normalize(y)
         kmat = self._gram(params, x)
         chol = jnp.linalg.cholesky(kmat)
         v = jax.scipy.linalg.solve_triangular(chol, y, lower=True)
+        # -n log(y_std): change-of-variables so the value is the LML of the
+        # *original* y under normalize_y (constant in params, so hyperopt
+        # is unaffected, but values stay comparable across settings)
         return (-0.5 * jnp.sum(v * v)
                 - jnp.sum(jnp.log(jnp.diagonal(chol)))
-                - 0.5 * n * jnp.log(2.0 * jnp.pi))
+                - 0.5 * n * jnp.log(2.0 * jnp.pi)
+                - n * jnp.log(y_std))
 
     # ---- public API ------------------------------------------------------
     def fit(self, x, y, params=None):

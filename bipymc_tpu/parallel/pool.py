@@ -49,6 +49,10 @@ def _state_specs(state, sharded_fields, axis_name):
     return type(state)(**specs)
 
 
+def _default_collect(state, info):
+    return {"x": state.x, "logp": info.logp, "accepted": info.accepted}
+
+
 def _history_spec(leaf_ndim, axis_name):
     # history leaves are [T, n_chains, ...]: shard the chain axis
     return P(None, axis_name, *([None] * (leaf_ndim - 2)))
@@ -99,13 +103,13 @@ class ChainPool:
         Returns (final_state, history) — history chain axis is sharded on
         the mesh path.
         """
-        collect_fn = collect_fn or self.collect_fn
-        if collect_fn is None:
-            def collect_fn(state, info):
-                return {"x": state.x, "logp": info.logp,
-                        "accepted": info.accepted}
-
-        cache_key = (n_steps, thin, progress_every)
+        collect_fn = collect_fn or self.collect_fn or _default_collect
+        # collect_fn is part of the key (held strongly by the dict, so its
+        # identity stays valid): a second run with the same shape key but a
+        # different collect_fn must not reuse the first run's compiled
+        # history layout. Callers passing per-call lambdas recompile; pass
+        # a stable callable (or set the constructor collect_fn) to cache.
+        cache_key = (n_steps, thin, progress_every, collect_fn)
         t0 = jnp.asarray(t0, jnp.int32)
 
         if self.mesh is None:

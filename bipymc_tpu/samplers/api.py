@@ -47,26 +47,46 @@ class McmcSampler:
         self.log_like_fn = log_like_fn
         self.seed = int(seed)
         self.dtype = dtype
-        self._history = None       # dict: x [T, M, d], logp [T, M], accepted
+        # history accumulates as a list of device-resident chunks (one per
+        # run_mcmc call); host concatenation is deferred to first access.
+        # Eager device concatenation per run cost ~12x the sampling time on
+        # a remote-device path, so the hot loop never touches history.
+        self._chunks = []          # each: dict of [T, M, ...] device arrays
+        self._history_np = None    # host cache: dict of np arrays
         self._super_chain_np = None
         self._final_state = None
         self._steps_run = 0
 
     # -- results ----------------------------------------------------------
     @property
+    def _history(self):
+        """Full kept history as host NumPy (fetched once per run)."""
+        self._require_run()
+        if self._history_np is None:
+            if len(self._chunks) == 1:
+                self._history_np = {k: np.asarray(v)
+                                    for k, v in self._chunks[0].items()}
+            else:
+                self._history_np = {
+                    k: np.concatenate(
+                        [np.asarray(c[k]) for c in self._chunks], axis=0)
+                    for k in self._chunks[0]}
+            # drop device buffers once the host copy exists
+            self._chunks = [self._history_np]
+        return self._history_np
+
+    @property
     def chain(self):
         """History of chain 0 as host NumPy, shape [n_kept, d]."""
-        self._require_run()
         return np.asarray(self._history["x"][:, 0, :])
 
     @property
     def super_chain(self):
         """All chains, [n_chains, n_kept, d] (host NumPy, fetched once —
         the device→host transfer is cached until the next run_mcmc)."""
-        self._require_run()
         if self._super_chain_np is None:
-            self._super_chain_np = np.asarray(
-                jnp.swapaxes(self._history["x"], 0, 1))
+            self._super_chain_np = np.ascontiguousarray(
+                np.swapaxes(self._history["x"], 0, 1))
         return self._super_chain_np
 
     @property
@@ -82,8 +102,7 @@ class McmcSampler:
     @property
     def acceptance_fraction(self):
         """Per-chain acceptance fraction over the kept history."""
-        self._require_run()
-        acc = jnp.swapaxes(self._history["accepted"], 0, 1)
+        acc = np.swapaxes(self._history["accepted"], 0, 1)
         return np.asarray(acceptance_fraction(acc))
 
     def get_autocorr_time(self, discard=0, c=5.0):
@@ -100,20 +119,16 @@ class McmcSampler:
         return self._final_state
 
     def _require_run(self):
-        if self._history is None:
+        if not self._chunks:
             raise RuntimeError("call run_mcmc first")
 
     def _store(self, final_state, history, n_steps):
         self._final_state = final_state
-        # block once so wall-clock timing by callers is honest
-        history = jax.block_until_ready(history)
-        if self._history is None:
-            self._history = {k: v for k, v in history.items()}
-        else:
-            self._history = {
-                k: jnp.concatenate([self._history[k], history[k]], axis=0)
-                for k in history}
-        self._super_chain_np = None      # invalidate host cache
+        # block once so wall-clock timing by callers is honest; the chunk
+        # stays device-resident — no concatenation in the hot path
+        self._chunks.append(jax.block_until_ready(history))
+        self._history_np = None          # invalidate host caches
+        self._super_chain_np = None
         self._steps_run += n_steps
 
 
@@ -249,6 +264,11 @@ class ParallelTempering(McmcSampler):
         if abs(betas[0] - 1.0) > 1e-6 or list(betas) != sorted(
                 betas, reverse=True):
             raise ValueError("betas must be descending with betas[0]=1")
+        if betas[-1] <= 0:
+            raise ValueError(
+                "betas must be positive: beta=0 (sampling the prior) makes "
+                "the swap criterion logp/beta non-finite — use a small "
+                "beta_min instead")
         self.n_chains = int(n_chains)
         self.n_temps = len(betas)
         self.cfg = tempering.PtConfig(

@@ -70,7 +70,12 @@ def make_step(log_prob: Callable, cfg: DeMcConfig, axis_name=None) -> Callable:
         x_star, log_u = jax.vmap(propose)(i_locals, state.x)
         logp_star = jax.vmap(log_prob)(x_star)             # dominant cost
 
-        acc = log_u < jnp.minimum(0.0, logp_star - state.logp)
+        log_alpha = jnp.minimum(0.0, logp_star - state.logp)
+        # guard NaN/-inf proposals (out-of-support): always reject. Without
+        # this, logp = logp_star = -inf gives a NaN ratio → a chain with a
+        # bad init rejects forever, silently (parity with dream.py).
+        log_alpha = jnp.where(jnp.isfinite(logp_star), log_alpha, -jnp.inf)
+        acc = log_u < log_alpha
         x_new = jnp.where(acc[:, None], x_star, state.x)
         logp_new = jnp.where(acc, logp_star, state.logp)
 

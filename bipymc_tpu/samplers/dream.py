@@ -130,8 +130,19 @@ def archive_init_checked(z0, capacity, cfg: DreamConfig):
     return archive_init(z0, capacity)
 
 
-def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None) -> Callable:
-    """Build ``step(state, key, t) -> (state, info)`` for the population."""
+def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
+              draws_fn: Callable | None = None) -> Callable:
+    """Build ``step(state, key, t) -> (state, info)`` for the population.
+
+    draws_fn: optional override of the per-proposal randomness for
+    injected-stream fidelity tests (SURVEY.md §6 contract (a)). Signature
+    ``(t, i_global, d, dtype) -> (u_scal [3], row_idx [n_rows] int32,
+    cr_idx int32, u_ue [2, d], eps_n [d], u_acc [])`` — u_scal packs the
+    [snooker coin, delta uniform, gamma_s uniform]; row_idx indexes the
+    archive buffer (use_archive) or the gathered population; u_ue packs
+    the crossover uniforms and the e-jitter uniforms; u_acc is the accept
+    uniform. Default: jax.random draws (the production path).
+    """
     n_pairs = cfg.delta_max
 
     # rows drawn per proposal: the parallel move needs 2·δ_max, the
@@ -242,22 +253,28 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None) -> Callable:
         in_burnin = state.gen < cfg.burnin_gens
 
         i_locals = jnp.arange(n_local, dtype=jnp.int32)
-        chain_keys = jax.vmap(
-            lambda i: jax.random.fold_in(key, offset + i))(i_locals)
-        prop_keys = jax.vmap(lambda k: jax.random.split(k, 2))(chain_keys)
-
         x_full = (all_gather_chains(state.x, axis_name)
                   if not cfg.use_archive else state.x)
-        u_scal, rows, cr_idx, u_ue, eps_n = jax.vmap(
-            lambda k, i_l: draw_one(k, offset + i_l, x_full,
-                                    state.archive, state.cr_p, d, dtype)
-        )(prop_keys[:, 0], i_locals)
+        if draws_fn is None:
+            chain_keys = jax.vmap(
+                lambda i: jax.random.fold_in(key, offset + i))(i_locals)
+            prop_keys = jax.vmap(lambda k: jax.random.split(k, 2))(chain_keys)
+            u_scal, rows, cr_idx, u_ue, eps_n = jax.vmap(
+                lambda k, i_l: draw_one(k, offset + i_l, x_full,
+                                        state.archive, state.cr_p, d, dtype)
+            )(prop_keys[:, 0], i_locals)
+            u_acc = jax.vmap(
+                lambda k: jax.random.uniform(k, dtype=dtype))(prop_keys[:, 1])
+        else:
+            u_scal, row_idx, cr_idx, u_ue, eps_n, u_acc = jax.vmap(
+                lambda i_l: draws_fn(t, offset + i_l, d, dtype))(i_locals)
+            src = state.archive.buf if cfg.use_archive else x_full
+            rows = src[row_idx]                            # [n_local, n_rows, d]
         x_star, log_jac, is_snk = propose_all(
             state.x, u_scal, rows, cr_idx, u_ue, eps_n, gamma_jump, dtype)
 
         logp_star = jax.vmap(log_prob)(x_star)             # dominant cost
-        log_u = jnp.log(jax.vmap(
-            lambda k: jax.random.uniform(k, dtype=dtype))(prop_keys[:, 1]))
+        log_u = jnp.log(u_acc)
         log_alpha = jnp.minimum(0.0, logp_star - state.logp + log_jac)
         # guard NaN/-inf proposals (out-of-support): always reject
         log_alpha = jnp.where(jnp.isfinite(logp_star), log_alpha, -jnp.inf)
@@ -289,9 +306,10 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None) -> Callable:
                 cr_count = state.cr_count + d_count
                 rate = cr_jump / jnp.maximum(cr_count, 1.0)
                 cr_p_new = rate / jnp.maximum(jnp.sum(rate), 1e-30)
-                # adapt only once every CR value has some mass
+                # adapt only once every CR value has some mass (and at
+                # least one jump actually moved, else keep the old p)
                 use_new = (jnp.min(cr_count) > 4.0) & \
-                    jnp.all(jnp.isfinite(cr_p_new))
+                    jnp.all(jnp.isfinite(cr_p_new)) & (jnp.sum(rate) > 0)
                 return (jnp.where(use_new, cr_p_new, state.cr_p),
                         cr_jump, cr_count)
 

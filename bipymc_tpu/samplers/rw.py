@@ -40,7 +40,12 @@ class RwConfig(NamedTuple):
     t0: first step at which adapted covariance may be used (non-adaptive
         warmup period; diminishing adaptation preserves ergodicity).
     adapt_interval: Cholesky refresh period (adaptation statistics are
-        updated every step regardless).
+        updated every step regardless). ``adapt_interval=1`` switches to
+        the O(d²) rank-1 Cholesky update of the scatter factor
+        (ops.linalg.chol_rank1_update) instead of an O(d³) refactorisation
+        per step — BASELINE.json:5 "adaptive proposal-covariance Cholesky
+        updates". In that mode the ``m2`` state field carries
+        chol(scatter + ε·I) rather than the raw scatter.
     eps: ε-regularisation added to the adapted covariance.
     kappa: DR stage-2 covariance shrink factor, C₂ = C₁/κ ("bold then timid").
     sd: proposal scaling; None → 2.38²/d at init time.
@@ -97,27 +102,43 @@ def init(theta0: jax.Array, log_prob: Callable, cov0: jax.Array) -> RwState:
     )
 
 
-def make_step(log_prob: Callable, cfg: RwConfig) -> Callable:
-    """Build ``step(state, key, t)`` for one chain. vmap for many chains."""
+def make_step(log_prob: Callable, cfg: RwConfig,
+              draws_fn: Callable | None = None) -> Callable:
+    """Build ``step(state, key, t)`` for one chain. vmap for many chains.
+
+    draws_fn: optional override of the step's randomness, for
+    injected-stream fidelity tests (SURVEY.md §6 contract (a): identical
+    results given identical proposal streams). Signature
+    ``(key, t, d, dtype) -> (z1 [d], z2 [d], u1 [], u2 [])`` with z
+    standard normals and u uniforms on (0,1). Default: jax.random draws
+    from ``key`` (the production path).
+    """
+
+    def _default_draws(key, t, d, dtype):
+        k_z1, k_z2, k_u1, k_u2 = jax.random.split(key, 4)
+        return (jax.random.normal(k_z1, (d,), dtype=dtype),
+                jax.random.normal(k_z2, (d,), dtype=dtype),
+                jax.random.uniform(k_u1, dtype=dtype),
+                jax.random.uniform(k_u2, dtype=dtype))
+
+    draws = draws_fn or _default_draws
 
     def step(state: RwState, key: jax.Array, t: jax.Array):
         d = state.theta.shape[-1]
         dtype = state.theta.dtype
         sd = cfg.sd if cfg.sd is not None else 2.38 ** 2 / d
-        k_z1, k_z2, k_u1, k_u2 = jax.random.split(key, 4)
+        z1, z2, uu1, uu2 = draws(key, t, d, dtype)
 
         # ---- stage 1: y₁ ~ N(x, C₁) -------------------------------------
-        z1 = jax.random.normal(k_z1, (d,), dtype=dtype)
         y1 = state.theta + state.chol @ z1
         l1 = log_prob(y1)
         log_a1 = jnp.minimum(0.0, l1 - state.logp)
-        u1 = jnp.log(jax.random.uniform(k_u1, dtype=dtype))
+        u1 = jnp.log(uu1)
         acc1 = u1 < log_a1
 
         if cfg.delayed:
             # ---- stage 2: y₂ ~ N(x, C₁/κ), Green–Mira ratio (§4.3) ------
             inv_sqrt_kappa = jnp.asarray(1.0 / jnp.sqrt(cfg.kappa), dtype)
-            z2 = jax.random.normal(k_z2, (d,), dtype=dtype)
             y2 = state.theta + (state.chol * inv_sqrt_kappa) @ z2
             l2 = log_prob(y2)
             # α₁(y₂, y₁) — reverse-path stage-1 acceptance
@@ -127,7 +148,7 @@ def make_step(log_prob: Callable, cfg: RwConfig) -> Callable:
             log_num = l2 + lq_y1_y2 + _log1mexp(log_a1_rev)
             log_den = state.logp + lq_y1_x + _log1mexp(log_a1)
             log_a2 = jnp.minimum(0.0, log_num - log_den)
-            u2 = jnp.log(jax.random.uniform(k_u2, dtype=dtype))
+            u2 = jnp.log(uu2)
             # NaN from an unused branch (α₁=1 ⇒ stage 1 accepted) compares
             # False, so acc2 is well-defined.
             acc2 = jnp.logical_and(jnp.logical_not(acc1), u2 < log_a2)
@@ -141,7 +162,26 @@ def make_step(log_prob: Callable, cfg: RwConfig) -> Callable:
         logp_new = jnp.where(take1, l1, jnp.where(take2, l2, state.logp))
         stage = jnp.where(take1, 1, jnp.where(take2, 2, 0)).astype(jnp.int32)
 
-        if cfg.adapt:
+        if cfg.adapt and cfg.adapt_interval == 1:
+            # ---- every-step rank-1 Cholesky adaptation (§4.2) -----------
+            # Welford scatter update m2 += (n-1)/n · δδᵀ expressed directly
+            # on the factor: O(d²)/step instead of O(d³) refactorisation.
+            # state.m2 carries L_s = chol(scatter + ε·I) in this mode.
+            from bipymc_tpu.ops.linalg import chol_rank1_update
+
+            n = state.count + 1
+            delta = theta_new - state.mean
+            mean_new = state.mean + delta / n.astype(dtype)
+            nf = n.astype(dtype)
+            # seed the factor on first use (scatter starts at ε·I)
+            L_s = jnp.where(state.count == 1,
+                            jnp.sqrt(jnp.asarray(cfg.eps, dtype))
+                            * jnp.eye(d, dtype=dtype),
+                            state.m2)
+            m2_new = chol_rank1_update(L_s, delta, alpha=(nf - 1.0) / nf)
+            scale = jnp.sqrt(jnp.asarray(sd, dtype) / (nf - 1.0))
+            chol_new = jnp.where(t >= cfg.t0, scale * m2_new, state.chol)
+        elif cfg.adapt:
             # ---- Haario recursion (§4.2), Welford form ------------------
             n = state.count + 1
             delta = theta_new - state.mean

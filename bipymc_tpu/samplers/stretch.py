@@ -55,35 +55,66 @@ def make_step(log_prob: Callable, cfg: StretchConfig,
         raise ValueError("stretch move needs an even number of walkers")
     half = n_total // 2
 
-    def half_update(x, logp, key, update_first_half):
-        """Update one half against the frozen other half."""
-        x_full = all_gather_chains(x, axis_name)          # [N, d]
-        n_local, d = x.shape
-        offset = chain_offset(x.shape[0], axis_name)
-        i_global = offset + jnp.arange(n_local, dtype=jnp.int32)
-        in_half = (i_global < half) == update_first_half  # [n_local] bool
+    def _propose(key, x_i, x_full, update_first_half):
+        k_j, k_z, k_u = jax.random.split(key, 3)
+        # complementary walker from the OTHER half
+        j = jax.random.randint(k_j, (), 0, half)
+        j = jnp.where(update_first_half, half + j, j)
+        x_j = x_full[j]
+        u = jax.random.uniform(k_z, dtype=x_i.dtype)
+        z = ((cfg.a - 1.0) * u + 1.0) ** 2 / cfg.a
+        x_star = x_j + z * (x_i - x_j)
+        log_u = jnp.log(jax.random.uniform(k_u, dtype=x_i.dtype))
+        return x_star, z, log_u
 
-        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(i_global)
-
-        def propose(k, x_i):
-            k_j, k_z, k_u = jax.random.split(k, 3)
-            # complementary walker from the OTHER half
-            j = jax.random.randint(k_j, (), 0, half)
-            j = jnp.where(update_first_half, half + j, j)
-            x_j = x_full[j]
-            u = jax.random.uniform(k_z, dtype=x_i.dtype)
-            z = ((cfg.a - 1.0) * u + 1.0) ** 2 / cfg.a
-            x_star = x_j + z * (x_i - x_j)
-            log_u = jnp.log(jax.random.uniform(k_u, dtype=x_i.dtype))
-            return x_star, z, log_u
-
-        x_star, z, log_u = jax.vmap(propose)(keys, x)
-        logp_star = jax.vmap(log_prob)(x_star)
-        d_f = jnp.asarray(x.shape[-1], x.dtype)
+    def _accept(x_star, z, log_u, logp, logp_star, d):
+        d_f = jnp.asarray(d, x_star.dtype)
         log_alpha = (d_f - 1.0) * jnp.log(z) + logp_star - logp
         log_alpha = jnp.where(jnp.isfinite(logp_star),
                               jnp.minimum(0.0, log_alpha), -jnp.inf)
-        acc = in_half & (log_u < log_alpha)
+        return log_u < log_alpha
+
+    def half_update(x, logp, key, update_first_half):
+        """Update one half against the frozen other half.
+
+        Single-device path: the active half is a *static* contiguous slice
+        of the walker axis, so only its n/2 likelihoods are evaluated
+        (emcee's red-black economy). The per-walker RNG folds by global
+        walker index, so trajectories are identical to the masked form.
+        """
+        n_local, d = x.shape
+
+        if axis_name is None:
+            sl = slice(0, half) if update_first_half else slice(half, n_total)
+            i_global = sl.start + jnp.arange(half, dtype=jnp.int32)
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(i_global)
+            x_star, z, log_u = jax.vmap(
+                lambda k, xi: _propose(k, xi, x, update_first_half)
+            )(keys, x[sl])
+            logp_star = jax.vmap(log_prob)(x_star)          # n/2 evals
+            acc_h = _accept(x_star, z, log_u, logp[sl], logp_star, d)
+            x = x.at[sl].set(jnp.where(acc_h[:, None], x_star, x[sl]))
+            logp = logp.at[sl].set(jnp.where(acc_h, logp_star, logp[sl]))
+            acc = jnp.zeros((n_local,), bool).at[sl].set(acc_h)
+            return x, logp, acc
+
+        # Mesh path: each device holds a contiguous walker block that may
+        # lie in either half, and SPMD forbids per-device control flow —
+        # so every device evaluates its whole local block and masks the
+        # inactive half (2x likelihood evals per generation; wall-clock
+        # per half-update is n_local evals either way once devices align
+        # with halves).
+        x_full = all_gather_chains(x, axis_name)            # [N, d]
+        offset = chain_offset(n_local, axis_name)
+        i_global = offset + jnp.arange(n_local, dtype=jnp.int32)
+        in_half = (i_global < half) == update_first_half    # [n_local] bool
+
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(i_global)
+        x_star, z, log_u = jax.vmap(
+            lambda k, xi: _propose(k, xi, x_full, update_first_half)
+        )(keys, x)
+        logp_star = jax.vmap(log_prob)(x_star)
+        acc = in_half & _accept(x_star, z, log_u, logp, logp_star, d)
         return (jnp.where(acc[:, None], x_star, x),
                 jnp.where(acc, logp_star, logp), acc)
 

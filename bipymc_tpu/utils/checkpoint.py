@@ -84,12 +84,15 @@ def restore_sampler(path, sampler):
     # leading axes: [n_chains, d], or [n_temps, n_chains, d] for tempered
     want = (getattr(sampler, "n_temps", None), sampler.n_chains) \
         if hasattr(sampler, "n_temps") else (sampler.n_chains,)
-    if n_ck is not None and hasattr(sampler, "n_chains") \
-            and n_ck.ndim > len(want) \
-            and tuple(n_ck.shape[:len(want)]) != want:
+    if n_ck is not None and hasattr(sampler, "n_chains") and (
+            n_ck.ndim != len(want) + 1
+            or tuple(n_ck.shape[:len(want)]) != want):
+        # too few leading axes is as wrong as a mismatched count: e.g. a
+        # plain [n_chains, d] RW checkpoint restored into a tempered
+        # sampler would otherwise fail later with an opaque vmap error
         raise ValueError(
-            f"checkpoint population shape {n_ck.shape[:len(want)]} does "
-            f"not match sampler layout {want}")
+            f"checkpoint position shape {tuple(n_ck.shape)} does not match "
+            f"sampler layout {want} + (d,)")
     sampler._final_state = state
     sampler._steps_run = step
     return sampler

@@ -114,3 +114,24 @@ def effective_sample_size(chains, c=5.0, per_dim=False):
 def acceptance_fraction(accepted):
     """Mean acceptance per chain. accepted: [..., N] bool → [...]."""
     return jnp.mean(jnp.asarray(accepted, jnp.float32), axis=-1)
+
+
+# Benchmark convention: ESS is window-dependent (the emcee auto-window τ
+# grows with chain length), so throughput numbers are only comparable when
+# computed over a FIXED window. All harnesses in this repo (bench.py,
+# benchmarks/run_all.py) report ESS/sec as
+#   ess_rate(chains, gens_per_sec) = ESS(last ESS_WINDOW_GENS) / window_time
+ESS_WINDOW_GENS = 2000
+
+
+def ess_rate(chains, gens_per_sec, window=ESS_WINDOW_GENS, c=5.0):
+    """ESS/sec over the final ``window`` kept generations.
+
+    chains: [M, N, d] kept history (N ≥ window recommended; shorter
+    histories use all of N). Returns (ess, ess_per_sec).
+    """
+    chains = _promote(chains)
+    n = chains.shape[1]
+    w = min(window, n)
+    ess = float(effective_sample_size(chains[:, n - w:, :], c=c))
+    return ess, ess * float(gens_per_sec) / w

@@ -75,3 +75,38 @@ def test_seeded_reproducibility():
     np.testing.assert_array_equal(a, b)
     c = Metropolis(log_prob, seed=8).run_mcmc(500, MEAN).chain
     assert not np.array_equal(a, c)
+
+
+def test_am_every_step_rank1_mode():
+    """adapt_interval=1 switches to the O(d²) rank-1 Cholesky update; the
+    maintained factor must track chol(scatter + eps·I) and the sampler must
+    still adapt to the target covariance."""
+    import jax
+    from bipymc_tpu.samplers import rw
+    from bipymc_tpu.core.scan import run_scan
+
+    log_prob = correlated_gaussian(MEAN, COV)
+    cfg = rw.adaptive_metropolis_config(t0=300, adapt_interval=1, eps=1e-6)
+    state = rw.init(MEAN, log_prob, jnp.eye(2) * 0.05)
+    step = rw.make_step(log_prob, cfg)
+    final, hist = jax.jit(lambda s, k: run_scan(
+        step, s, k, 6000, collect_fn=lambda s_, i: s_.theta))(
+        state, jax.random.key(0))
+
+    # (a) factor integrity: m2 holds L_s with L_s L_sᵀ = scatter + eps·I
+    theta_hist = np.asarray(hist)
+    samples = np.concatenate([np.asarray(MEAN)[None, :], theta_hist], axis=0)
+    mu = samples.mean(axis=0)
+    scatter = (samples - mu).T @ (samples - mu)
+    L_s = np.asarray(final.m2)
+    np.testing.assert_allclose(L_s @ L_s.T,
+                               scatter + 1e-6 * np.eye(2), rtol=1e-3)
+
+    # (b) proposal factor approximates s_d^{1/2} chol(posterior cov)
+    chol = np.asarray(final.chol)
+    adapted_cov = chol @ chol.T / (2.38 ** 2 / 2)
+    np.testing.assert_allclose(adapted_cov, np.asarray(COV), atol=0.6)
+
+    # (c) posterior recovery
+    kept = theta_hist[2000:]
+    np.testing.assert_allclose(kept.mean(axis=0), MEAN, atol=0.3)
