@@ -53,14 +53,21 @@ class GpRegressor:
     """
 
     def __init__(self, kernel: Callable = squared_exp, jitter: float = 1e-5,
-                 normalize_y: bool = False):
+                 normalize_y: bool = False, pallas_solve: bool = False):
         """normalize_y: standardise targets to zero mean / unit variance
         before fitting and undo it in predict — essential when y spans
         orders of magnitude (e.g. GP surrogates of log-likelihood surfaces,
-        BASELINE config 5) since the SE prior assumes O(σ_f) amplitudes."""
+        BASELINE config 5) since the SE prior assumes O(σ_f) amplitudes.
+
+        pallas_solve: route the triangular solves through the blocked
+        Pallas substitution kernels (ops.pallas_solve) on TPU. Measured at
+        parity with XLA's triangular_solve (0.85–1.10x over n=512–4096,
+        m=1–1024 on v5e — docs/design.md §solves), so off by default;
+        differentiable either way. Off-TPU backends always use XLA."""
         self.kernel = kernel
         self.jitter = jitter
         self.normalize_y = normalize_y
+        self.pallas_solve = pallas_solve
         self._fit_jit = jax.jit(self._fit_impl)
         self._predict_jit = jax.jit(self._predict_impl)
         self._lml_jit = jax.jit(self._lml_impl)
@@ -82,19 +89,33 @@ class GpRegressor:
             y_std = jnp.ones((), dtype=y.dtype)
         return (y - y_mean) / y_std, y_mean, y_std
 
+    def _solve_lower(self, chol, b):
+        """L⁻¹ b — Pallas blocked substitution on TPU when enabled."""
+        if self.pallas_solve and jax.default_backend() == "tpu":
+            from bipymc_tpu.ops.pallas_solve import tri_solve
+            return tri_solve(chol, b)
+        return jax.scipy.linalg.solve_triangular(chol, b, lower=True)
+
+    def _solve_lower_t(self, chol, b):
+        """L⁻ᵀ b."""
+        if self.pallas_solve and jax.default_backend() == "tpu":
+            from bipymc_tpu.ops.pallas_solve import tri_solve_t
+            return tri_solve_t(chol, b)
+        return jax.scipy.linalg.solve_triangular(chol.T, b, lower=False)
+
     def _fit_impl(self, params, x, y):
         yn, y_mean, y_std = self._normalize(y)
         kmat = self._gram(params, x)
         chol = jnp.linalg.cholesky(kmat)
-        v = jax.scipy.linalg.solve_triangular(chol, yn, lower=True)
-        alpha = jax.scipy.linalg.solve_triangular(chol.T, v, lower=False)
+        v = self._solve_lower(chol, yn)
+        alpha = self._solve_lower_t(chol, v)
         return GpFit(params=params, x=x, chol=chol, alpha=alpha,
                      y_mean=y_mean, y_std=y_std)
 
     def _predict_impl(self, fit: GpFit, xs):
         ks = self.kernel(fit.params, fit.x, xs)          # [n, m]
         mu = ks.T @ fit.alpha
-        w = jax.scipy.linalg.solve_triangular(fit.chol, ks, lower=True)
+        w = self._solve_lower(fit.chol, ks)
         sf2 = jnp.exp(2.0 * fit.params["log_sigma_f"])
         var = jnp.maximum(sf2 - jnp.sum(w * w, axis=0), 1e-12)
         return fit.y_mean + fit.y_std * mu, fit.y_std ** 2 * var
@@ -104,7 +125,7 @@ class GpRegressor:
         y, _, y_std = self._normalize(y)
         kmat = self._gram(params, x)
         chol = jnp.linalg.cholesky(kmat)
-        v = jax.scipy.linalg.solve_triangular(chol, y, lower=True)
+        v = self._solve_lower(chol, y)
         # -n log(y_std): change-of-variables so the value is the LML of the
         # *original* y under normalize_y (constant in params, so hyperopt
         # is unaffected, but values stay comparable across settings)

@@ -94,15 +94,18 @@ def _make_kernel(n_pairs, d_true, b, b_star):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_pairs", "d_true", "b", "b_star"))
+    jax.jit,
+    static_argnames=("n_pairs", "d_true", "b", "b_star", "interpret"))
 def dream_propose_pallas(x, rows, u_mask, u_e, eps, scal,
-                         n_pairs, d_true, b, b_star):
+                         n_pairs, d_true, b, b_star, interpret=False):
     """Fused proposal math.
 
     x [n, d]; rows [n, k, d] (k = max(2·n_pairs, 3) gathered archive
     rows); u_mask/u_e/eps [n, d]; scal [n, 5] packed per-chain scalars
     (delta, cr, gamma_s, is_snooker, gamma_jump as floats).
     Returns (x_star [n, d], log_jac [n]).
+    ``interpret=True`` runs the kernel in Pallas interpret mode (CPU
+    golden/equivalence tests of the fused path).
     """
     n, d = x.shape
     k = rows.shape[1]
@@ -132,5 +135,6 @@ def dream_propose_pallas(x, rows, u_mask, u_e, eps, scal,
         out_specs=[nd_spec, nd_spec],
         out_shape=[jax.ShapeDtypeStruct((n_p, d_p), x.dtype),
                    jax.ShapeDtypeStruct((n_p, d_p), x.dtype)],
+        interpret=interpret,
     )(x_p, rows_p, umask_p, ue_p, eps_p, scal_p)
     return x_star[:n, :d], aux[:n, 0]

@@ -57,19 +57,35 @@ def _diag_block_inverses(L, block):
         d, eye, lower=True))(blocks)
 
 
+def _zero_scratch_blockwise(ref, block):
+    """Zero a [n, m] scratch ref in block-row strips (bounded stack temp).
+
+    Full zeroing is required before the first block-row's read: rows not
+    yet solved are multiplied by L's zero blocks, but uninitialised VMEM
+    can hold NaN bit patterns and NaN·0 = NaN.
+    """
+    zeros = jnp.zeros((block, ref.shape[1]), ref.dtype)
+
+    def body(j, _):
+        ref[pl.ds(j * block, block), :] = zeros
+        return 0
+
+    jax.lax.fori_loop(0, ref.shape[0] // block, body, 0)
+
+
 def _fwd_kernel(l_row, b_blk, invd, out, x_acc):
-    i = pl.program_id(0)
+    i = pl.program_id(1)
+    block = out.shape[0]
 
     @pl.when(i == 0)
     def _():
-        x_acc[:] = jnp.zeros_like(x_acc)
+        _zero_scratch_blockwise(x_acc, block)
 
     acc = b_blk[:] - jax.lax.dot_general(
         l_row[:], x_acc[:], (((1,), (0,)), ((), ())), precision=_HIGHEST)
     x_i = jax.lax.dot_general(
         invd[:], acc, (((1,), (0,)), ((), ())), precision=_HIGHEST)
     out[:] = x_i
-    block = out.shape[0]
     x_acc[pl.ds(i * block, block), :] = x_i
 
 
@@ -80,20 +96,20 @@ def _bwd_kernel(l_col, c_blk, invd_t, out, y_acc):
     l_col is the [n, B] column block i of L; Y rows < i·B are still zero,
     so the full-column matmul picks up exactly the j > i terms.
     """
-    k = pl.program_id(0)
+    k = pl.program_id(1)
+    block = out.shape[0]
+    nb = pl.num_programs(1)          # block-row axis (axis 0 is m-tiles)
+    i = nb - 1 - k
 
     @pl.when(k == 0)
     def _():
-        y_acc[:] = jnp.zeros_like(y_acc)
+        _zero_scratch_blockwise(y_acc, block)
 
     acc = c_blk[:] - jax.lax.dot_general(
         l_col[:], y_acc[:], (((0,), (0,)), ((), ())), precision=_HIGHEST)
     y_i = jax.lax.dot_general(
         invd_t[:], acc, (((0,), (0,)), ((), ())), precision=_HIGHEST)
     out[:] = y_i
-    block = out.shape[0]
-    nb = pl.num_programs(0)
-    i = nb - 1 - k
     y_acc[pl.ds(i * block, block), :] = y_i
 
 
@@ -114,34 +130,41 @@ def _solve_impl(L, b, block, transposed, interpret):
     nb = n_pad // block
     invd = _diag_block_inverses(Lp, block)
 
+    # tile the RHS axis so the VMEM scratch stays bounded (~4 MB — the
+    # full budget is 16 MB and the L row/column block is double-buffered):
+    # each m-tile is an independent substitution (parallel grid axis)
+    m_tile = min(m_pad, max(128, (2 * 2 ** 20 // (4 * n_pad)) // 128 * 128))
+    m_tiles = m_pad // m_tile
+
     if not transposed:
         in_specs = [
-            pl.BlockSpec((block, n_pad), lambda i: (i, 0)),   # L row
-            pl.BlockSpec((block, m_pad), lambda i: (i, 0)),   # b block
-            pl.BlockSpec((None, block, block), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block, n_pad), lambda j, i: (i, 0)),   # L row
+            pl.BlockSpec((block, m_tile), lambda j, i: (i, j)),  # b block
+            pl.BlockSpec((None, block, block), lambda j, i: (i, 0, 0)),
         ]
-        out_specs = pl.BlockSpec((block, m_pad), lambda i: (i, 0))
+        out_specs = pl.BlockSpec((block, m_tile), lambda j, i: (i, j))
         kernel = _fwd_kernel
     else:
         in_specs = [
             # column block of L, iterated bottom-up
-            pl.BlockSpec((n_pad, block), lambda k: (0, nb - 1 - k)),
-            pl.BlockSpec((block, m_pad), lambda k: (nb - 1 - k, 0)),
+            pl.BlockSpec((n_pad, block), lambda j, k: (0, nb - 1 - k)),
+            pl.BlockSpec((block, m_tile), lambda j, k: (nb - 1 - k, j)),
             pl.BlockSpec((None, block, block),
-                         lambda k: (nb - 1 - k, 0, 0)),
+                         lambda j, k: (nb - 1 - k, 0, 0)),
         ]
-        out_specs = pl.BlockSpec((block, m_pad), lambda k: (nb - 1 - k, 0))
+        out_specs = pl.BlockSpec((block, m_tile),
+                                 lambda j, k: (nb - 1 - k, j))
         kernel = _bwd_kernel
 
     x = pl.pallas_call(
         kernel,
-        grid=(nb,),
+        grid=(m_tiles, nb),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), b.dtype),
-        scratch_shapes=[pltpu.VMEM((n_pad, m_pad), b.dtype)],
+        scratch_shapes=[pltpu.VMEM((n_pad, m_tile), b.dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(Lp, bp_, invd)
     x = x[:n, :m]

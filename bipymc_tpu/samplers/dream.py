@@ -242,7 +242,10 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
             [delta, cr, gamma_s, is_snk.astype(dtype), gj], axis=1)
         x_star, log_jac = dream_propose_pallas(
             x, rows, u_ue[:, 0], u_ue[:, 1], eps_n, scal,
-            n_pairs=n_pairs, d_true=d, b=cfg.b, b_star=cfg.b_star)
+            n_pairs=n_pairs, d_true=d, b=cfg.b, b_star=cfg.b_star,
+            # explicit pallas_proposal=True off-TPU → interpret mode, so
+            # CPU goldens/fidelity tests can pin the fused path
+            interpret=jax.default_backend() != "tpu")
         return x_star, log_jac, is_snk
 
     def step(state: DreamState, key: jax.Array, t: jax.Array):

@@ -48,6 +48,11 @@ def _runs():
     yield ("dreamzs", lambda: bp.DreamZs(log_b, n_chains=8, seed=7,
                                          n_archive_init=16)
            .run_mcmc(50, jnp.zeros(2), spread=1.0))
+    # fused Pallas proposal path (interpret mode on CPU): same randomness
+    # as "dreamzs", so drift in the kernel math shows up here
+    yield ("dreamzs_pallas", lambda: bp.DreamZs(
+        log_b, n_chains=8, seed=7, n_archive_init=16, pallas_proposal=True)
+        .run_mcmc(50, jnp.zeros(2), spread=1.0))
 
 
 @pytest.mark.parametrize("name,run", list(_runs()),

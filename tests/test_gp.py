@@ -153,3 +153,23 @@ def test_surrogate_log_like_runs_in_sampler():
     # true posterior ∝ exp(−0.5‖θ‖²)·prior → mean 0, std < 1
     assert np.all(np.abs(flat.mean(axis=0)) < 0.5)
     assert np.all(flat.std(axis=0) < 1.5)
+
+
+def test_gp_pallas_solve_flag_cpu_fallback():
+    """pallas_solve=True must transparently fall back to XLA off-TPU and
+    produce identical results to the default path."""
+    import numpy as np
+    from bipymc_tpu.gp.regressor import GpRegressor
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-2, 2, (64, 2)).astype(np.float32)
+    y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(64)).astype(np.float32)
+    a = GpRegressor()
+    b = GpRegressor(pallas_solve=True)
+    fa = a.fit(x, y)
+    fb = b.fit(x, y)
+    np.testing.assert_array_equal(np.asarray(fa.alpha), np.asarray(fb.alpha))
+    xs = rng.uniform(-2, 2, (16, 2)).astype(np.float32)
+    mu_a, var_a = a.predict(fa, xs)
+    mu_b, var_b = b.predict(fb, xs)
+    np.testing.assert_array_equal(np.asarray(mu_a), np.asarray(mu_b))
+    np.testing.assert_array_equal(np.asarray(var_a), np.asarray(var_b))
