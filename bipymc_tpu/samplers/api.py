@@ -297,10 +297,12 @@ class ParallelTempering(McmcSampler):
         step = tempering.make_step(self.log_like_fn, self.cfg)
 
         def collect(state, info):
-            # cold replica only; logp rescaled is β=1 so already ℓ
-            return {"x": state.theta[0], "logp": info.logp[0],
+            # cold replica history; pair_swap kept for the whole ladder
+            # (the per-interface diagnostic needs every temperature)
+            return {"x": state.kernel.theta[0], "logp": info.logp[0],
                     "accepted": info.accepted[0],
-                    "swapped": info.swapped[0]}
+                    "swapped": info.swapped[0],
+                    "pair_swap": info.pair_swap}
 
         cache_key = (n_samples, thin)
         if cache_key not in self._runners:
@@ -313,11 +315,80 @@ class ParallelTempering(McmcSampler):
         self._store(final_state, history, n_samples)
         return self
 
+    def run_mcmc_until(self, theta_0, cov_est=None, rhat_tol=1.05,
+                       chunk=100, max_chunks=200, warmup_chunks=2,
+                       spread=1.0):
+        """Run until the COLD replica's streaming R̂ < rhat_tol (same
+        stopping machinery as the ensemble samplers). Returns an info
+        dict (steps/rhat/mean/var over the cold replica's chains)."""
+        if self.n_chains < 2:
+            raise ValueError("R-hat early stop needs n_chains >= 2")
+        key = jax.random.key(self.seed)
+        k_init, k_run = jax.random.split(key)
+        flat0 = _as_2d_theta0(theta_0, self.n_temps * self.n_chains,
+                              k_init, spread, self.dtype)
+        d = flat0.shape[-1]
+        theta0 = flat0.reshape(self.n_temps, self.n_chains, d)
+        if cov_est is None:
+            cov_est = jnp.eye(d, dtype=self.dtype) * spread ** 2
+        cov_est = jnp.asarray(cov_est, dtype=self.dtype)
+        state = (self._final_state if self._final_state is not None
+                 else tempering.init(theta0, self.log_like_fn, self.cfg,
+                                     cov_est))
+        pool = ChainPool(
+            step_factory=lambda axis: tempering.make_step(
+                self.log_like_fn, self.cfg),
+            sharded_fields=(), mesh=None)
+        final_state, info = pool.run_until(
+            state, k_run, rhat_tol=rhat_tol, chunk=chunk,
+            max_chunks=max_chunks, warmup_chunks=warmup_chunks,
+            position_fn=lambda s: s.kernel.theta[0])
+        self._final_state = jax.block_until_ready(final_state)
+        self._steps_run += int(info["steps"])
+        return {k: np.asarray(v) for k, v in info.items()}
+
     @property
     def swap_fraction(self):
         """Fraction of cold-replica steps that swapped (post-run)."""
         self._require_run()
         return float(np.mean(np.asarray(self._history["swapped"])))
+
+    @property
+    def swap_rates(self):
+        """Per-interface swap acceptance, shape [n_temps-1]: entry k is
+        the accepted fraction of attempted (k, k+1) swaps. The DEO
+        schedule attempts pair k only on swap rounds whose parity matches
+        k, so attempts are counted per pair."""
+        self._require_run()
+        ps = np.asarray(self._history["pair_swap"])   # [T, K, M]
+        T = ps.shape[0]
+        interval = self.cfg.swap_interval
+        ts = np.arange(self._steps_run - T, self._steps_run)
+        is_round = (ts % interval) == interval - 1
+        parity = (ts // interval) % 2
+        rates = np.zeros(self.n_temps - 1)
+        for k in range(self.n_temps - 1):
+            attempted = is_round & (parity == k % 2)
+            n_att = attempted.sum() * ps.shape[2]
+            rates[k] = (ps[attempted, k, :].sum() / n_att if n_att else
+                        np.nan)
+        return rates
+
+    @property
+    def round_trips(self):
+        """Completed cold→hot→cold walker round trips (total, all chains).
+        The round-trip rate (trips per swap round per chain) is THE
+        ladder-quality metric: near zero means the ladder has a choke
+        point (check swap_rates for the weak interface)."""
+        self._require_run()
+        return int(np.asarray(self._final_state.trips))
+
+    @property
+    def round_trip_rate(self):
+        """Round trips per swap round per chain slot."""
+        self._require_run()
+        n_rounds = max(self._steps_run // self.cfg.swap_interval, 1)
+        return self.round_trips / (n_rounds * self.n_chains)
 
 
 class DeMc(McmcSampler):

@@ -15,6 +15,12 @@ TPU mapping: replicas are ANOTHER batch axis — states are stacked pytrees
 [n_temps, n_chains, ...] advanced by a temps×chains double-vmap of the
 single-chain step; swaps are pure index shuffles. Everything lives in one
 ``lax.scan``.
+
+Diagnostics carried in state: each temperature slot tracks the *walker*
+(configuration lineage) currently occupying it plus the walker's travel
+direction, so completed cold→hot→cold round trips — THE mixing metric for
+PT ladders (Syed et al. 2022 non-reversible PT analysis) — count on
+device with no host bookkeeping.
 """
 
 from typing import Callable, NamedTuple
@@ -32,9 +38,16 @@ class PtConfig(NamedTuple):
     kernel: rw.RwConfig = rw.RwConfig()
 
 
+class PtState(NamedTuple):
+    kernel: rw.RwState         # stacked [n_temps, n_chains, ...] pytree
+    direction: jax.Array       # [n_temps, n_chains] int8: +1 → heading hot
+    trips: jax.Array           # [] int32 completed cold→hot→cold trips
+
+
 class PtInfo(NamedTuple):
     accepted: jax.Array        # [n_temps, n_chains] within-temp moves
     swapped: jax.Array         # [n_temps, n_chains] replica swapped up/down
+    pair_swap: jax.Array       # [n_temps, n_chains] swap accepted with k+1
     logp: jax.Array            # [n_temps, n_chains] tempered log-density
 
 
@@ -47,8 +60,7 @@ def geometric_ladder(n_temps: int, beta_min: float = 0.05):
 
 
 def make_step(log_like: Callable, cfg: PtConfig) -> Callable:
-    """Build ``step(state, key, t)`` over stacked [n_temps, n_chains, …]
-    RwState pytrees. Within-temp kernel: RW family per cfg.kernel."""
+    """Build ``step(state, key, t)`` over a :class:`PtState`."""
     # NumPy, not jnp: closed-over device constants force trace-time
     # device->host fetches (see models/targets.py note)
     betas = np.asarray(cfg.betas, np.float32)
@@ -71,11 +83,12 @@ def make_step(log_like: Callable, cfg: PtConfig) -> Callable:
 
         return jax.vmap(per_temp)(state, jnp.arange(n_temps), betas)
 
-    def swap(state, key, t):
+    def swap(state: PtState, key, t):
         """DEO adjacent swaps: even pairs on even swap rounds, odd else."""
         b = jnp.asarray(betas)                    # host const -> traced view
-        theta = state.theta                       # [K, M, d]
-        logp = state.logp                         # [K, M] = β_k·ℓ
+        kern = state.kernel
+        theta = kern.theta                        # [K, M, d]
+        logp = kern.logp                          # [K, M] = β_k·ℓ
         ell = logp / b[:, None]                   # unscaled ℓ per replica
 
         parity = (t // cfg.swap_interval) % 2
@@ -99,28 +112,53 @@ def make_step(log_like: Callable, cfg: PtConfig) -> Callable:
         theta_new = jnp.where(acc[..., None], theta[partner], theta)
         # received configuration re-tempered to this replica's β
         logp_new = jnp.where(acc, b[:, None] * ell[partner], logp)
-        return state._replace(theta=theta_new, logp=logp_new), acc
+        kern = kern._replace(theta=theta_new, logp=logp_new)
 
-    def step(state, key, t):
+        # walker direction travels with the configuration; endpoints flip
+        # it and the cold endpoint counts completed round trips
+        direction = jnp.where(acc, state.direction[partner],
+                              state.direction)
+        if n_temps > 1:
+            at_cold = jnp.zeros_like(direction, bool).at[0].set(True)
+            at_hot = jnp.zeros_like(direction, bool).at[-1].set(True)
+            completed = at_cold & (direction == -1)
+            trips = state.trips + jnp.sum(completed.astype(jnp.int32))
+            direction = jnp.where(at_cold, 1, direction)
+            direction = jnp.where(at_hot, -1, direction).astype(jnp.int8)
+        else:
+            trips = state.trips
+
+        pair_swap = acc & is_lo[:, None]
+        new_state = PtState(kernel=kern, direction=direction, trips=trips)
+        return new_state, acc, pair_swap
+
+    def step(state: PtState, key: jax.Array, t: jax.Array):
         k_move, k_swap = jax.random.split(key)
-        state, info = advance(state, k_move, t)
+        kern, info = advance(state.kernel, k_move, t)
+        state = state._replace(kernel=kern)
         do_swap = (t % cfg.swap_interval) == (cfg.swap_interval - 1)
-        state, swapped = jax.lax.cond(
+        no = jnp.zeros_like(kern.logp, dtype=bool)
+        state, swapped, pair_swap = jax.lax.cond(
             do_swap, lambda s: swap(s, k_swap, t),
-            lambda s: (s, jnp.zeros_like(s.logp, dtype=bool)), state)
+            lambda s: (s, no, no), state)
         return state, PtInfo(accepted=info.accepted, swapped=swapped,
-                             logp=state.logp)
+                             pair_swap=pair_swap, logp=state.kernel.logp)
 
     return step
 
 
 def init(theta0: jax.Array, log_like: Callable, cfg: PtConfig,
-         cov0: jax.Array) -> rw.RwState:
-    """theta0 [n_temps, n_chains, d] → stacked RwState pytree."""
+         cov0: jax.Array) -> PtState:
+    """theta0 [n_temps, n_chains, d] → :class:`PtState`."""
     betas = np.asarray(cfg.betas, np.float32)
+    n_temps, n_chains = theta0.shape[0], theta0.shape[1]
 
     def init_one(th, beta):
         return jax.vmap(lambda x: rw.init(
             x, lambda t: beta * log_like(t), cov0))(th)
 
-    return jax.vmap(init_one)(theta0, jnp.asarray(betas))
+    kernel = jax.vmap(init_one)(theta0, jnp.asarray(betas))
+    return PtState(
+        kernel=kernel,
+        direction=jnp.ones((n_temps, n_chains), jnp.int8),
+        trips=jnp.zeros((), jnp.int32))

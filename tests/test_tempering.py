@@ -54,3 +54,30 @@ def test_pt_validates_ladder():
     lp = gaussian_mixture(MODES, sigma=1.0)
     with pytest.raises(ValueError, match="betas"):
         bp.ParallelTempering(lp, betas=(0.5, 1.0))
+
+
+def test_pt_ladder_diagnostics_and_until():
+    """swap_rates per interface, round trips, and R-hat early stop."""
+    lp = gaussian_mixture(MODES, sigma=0.5)
+    pt = bp.ParallelTempering(lp, n_temps=8, n_chains=4, seed=0,
+                              beta_min=0.02, swap_interval=5, kind="dram")
+    pt.run_mcmc(6000, jnp.asarray([-4.0, -4.0]), cov_est=jnp.eye(2) * 0.25)
+
+    rates = pt.swap_rates
+    assert rates.shape == (7,)
+    assert np.all(rates >= 0) and np.all(rates <= 1)
+    assert np.all(rates > 0.05), f"dead interface: {rates}"
+
+    # a healthy 8-rung geometric ladder on this target completes trips
+    assert pt.round_trips > 0
+    assert 0 < pt.round_trip_rate < 1
+
+    # early stop on the cold replica (fresh sampler, easy unimodal target)
+    lp1 = gaussian_mixture(MODES[:1], sigma=1.0)
+    pt2 = bp.ParallelTempering(lp1, n_temps=4, n_chains=4, seed=3,
+                               swap_interval=5, kind="am")
+    info = pt2.run_mcmc_until(jnp.asarray(MODES[0]), rhat_tol=1.1,
+                              chunk=100, max_chunks=50,
+                              cov_est=jnp.eye(2))
+    assert float(info["rhat"].max()) < 1.1
+    assert int(info["steps"]) <= 5000
