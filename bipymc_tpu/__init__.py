@@ -32,8 +32,9 @@ from bipymc_tpu.samplers.api import (
 )
 from bipymc_tpu.utils.init import var_ball
 from bipymc_tpu.utils.diagnostics import gelman_rubin, effective_sample_size
+from bipymc_tpu.utils.external import external_log_like
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Metropolis",
@@ -49,4 +50,5 @@ __all__ = [
     "var_ball",
     "gelman_rubin",
     "effective_sample_size",
+    "external_log_like",
 ]
