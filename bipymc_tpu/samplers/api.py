@@ -259,6 +259,8 @@ class ParallelTempering(McmcSampler):
                  beta_min=0.05, swap_interval=10, kind="dram", seed=0,
                  dtype=jnp.float32, **kernel_kw):
         super().__init__(log_like_fn, seed=seed, dtype=dtype)
+        self._ctor_kw = dict(n_chains=n_chains, swap_interval=swap_interval,
+                             kind=kind, dtype=dtype, **kernel_kw)
         if betas is None:
             betas = tempering.geometric_ladder(n_temps, beta_min)
         if abs(betas[0] - 1.0) > 1e-6 or list(betas) != sorted(
@@ -389,6 +391,21 @@ class ParallelTempering(McmcSampler):
         self._require_run()
         n_rounds = max(self._steps_run // self.cfg.swap_interval, 1)
         return self.round_trips / (n_rounds * self.n_chains)
+
+    def tune_ladder(self, theta_0, n_pilot=3000, cov_est=None, spread=1.0,
+                    seed=None):
+        """Pilot-run this ladder, equalise the measured rejection profile
+        (tempering.tune_ladder — Syed et al. 2021 schedule tuning), and
+        return a FRESH ParallelTempering on the re-spaced ladder. This
+        sampler is left untouched; iterate for further rounds."""
+        pilot = ParallelTempering(
+            self.log_like_fn, betas=self.cfg.betas,
+            seed=self.seed if seed is None else seed, **self._ctor_kw)
+        pilot.run_mcmc(n_pilot, theta_0, cov_est=cov_est, spread=spread)
+        new_betas = tempering.tune_ladder(self.cfg.betas, pilot.swap_rates)
+        return ParallelTempering(
+            self.log_like_fn, betas=new_betas, seed=self.seed,
+            **self._ctor_kw)
 
 
 class DeMc(McmcSampler):

@@ -59,6 +59,26 @@ def geometric_ladder(n_temps: int, beta_min: float = 0.05):
                  for k in range(n_temps))
 
 
+def tune_ladder(betas, swap_rates):
+    """Re-space a ladder so swap rejection equalises across interfaces.
+
+    Schedule-tuning step of Syed et al. (2021, non-reversible PT): the
+    communication barrier Λ(β) is estimated by accumulating measured
+    per-interface rejection rates, and the new ladder places the K rungs
+    at equal Λ increments (round-trip rate is maximised when every
+    interface rejects equally). betas: descending, betas[0]=1;
+    swap_rates: [K-1] measured acceptance per interface. Returns a new
+    descending tuple with the same endpoints.
+    """
+    betas = np.asarray(betas, np.float64)
+    rej = np.clip(1.0 - np.asarray(swap_rates, np.float64), 1e-3, 1.0)
+    lam = np.concatenate([[0.0], np.cumsum(rej)])     # Λ at each rung
+    target = np.linspace(0.0, lam[-1], betas.size)
+    new = np.interp(target, lam, betas)
+    new[0], new[-1] = betas[0], betas[-1]             # pin endpoints
+    return tuple(float(b) for b in new)
+
+
 def make_step(log_like: Callable, cfg: PtConfig) -> Callable:
     """Build ``step(state, key, t)`` over a :class:`PtState`."""
     # NumPy, not jnp: closed-over device constants force trace-time

@@ -81,3 +81,24 @@ def test_pt_ladder_diagnostics_and_until():
                               cov_est=jnp.eye(2))
     assert float(info["rhat"].max()) < 1.1
     assert int(info["steps"]) <= 5000
+
+
+def test_pt_tune_ladder_flattens_rejection():
+    """tune_ladder re-spaces rungs so per-interface rejection equalises
+    (lower spread than the pilot's) and preserves the endpoints."""
+    lp = gaussian_mixture(MODES, sigma=0.5)
+    pt = bp.ParallelTempering(lp, n_temps=8, n_chains=4, seed=0,
+                              beta_min=0.02, swap_interval=5, kind="dram")
+    tuned = pt.tune_ladder(jnp.asarray([-4.0, -4.0]), n_pilot=4000,
+                           cov_est=jnp.eye(2) * 0.25)
+    b0, b1 = np.asarray(pt.cfg.betas), np.asarray(tuned.cfg.betas)
+    assert b1[0] == 1.0 and abs(b1[-1] - b0[-1]) < 1e-9
+    assert np.all(np.diff(b1) < 0)
+
+    pt.run_mcmc(6000, jnp.asarray([-4.0, -4.0]), cov_est=jnp.eye(2) * 0.25)
+    tuned.run_mcmc(6000, jnp.asarray([-4.0, -4.0]),
+                   cov_est=jnp.eye(2) * 0.25)
+    spread0 = np.std(1.0 - pt.swap_rates)
+    spread1 = np.std(1.0 - tuned.swap_rates)
+    assert spread1 < spread0 + 0.03, (spread0, spread1)
+    assert tuned.round_trips > 0
