@@ -29,6 +29,9 @@ def test_two_process_distributed_psum():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
+    # the worker is a script, so sys.path[0] is tests/ — make the package
+    # importable without requiring an editable install
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
         [sys.executable, WORKER, coord, "2", str(pid)],
         cwd=REPO, env=env, stdout=subprocess.PIPE,
