@@ -36,17 +36,32 @@ from bipymc_tpu.utils.streaming import rhat_init, rhat_update, rhat_compute
 def _state_specs(state, sharded_fields, axis_name):
     """PartitionSpec pytree for a population state NamedTuple.
 
-    Fields named in ``sharded_fields`` are sharded on their leading (chain)
-    axis; everything else (archive, CR weights, counters) is replicated.
+    Fields named in ``sharded_fields`` are sharded on their leading axis;
+    everything else (CR weights, counters, …) is replicated. Dotted names
+    reach into nested NamedTuples (e.g. ``"archive.buf"`` block-shards the
+    DREAM archive ring buffer for the ppermute sampling path —
+    ensemble/archive.py).
     """
+    sharded = set(sharded_fields)
     specs = {}
     for name in state._fields:
         leaf = getattr(state, name)
-        if name in sharded_fields:
+        if name in sharded:
             specs[name] = P(axis_name, *([None] * (jnp.ndim(leaf) - 1)))
+        elif hasattr(leaf, "_fields"):
+            sub = [f.split(".", 1)[1] for f in sharded
+                   if f.startswith(name + ".")]
+            specs[name] = _state_specs(leaf, sub, axis_name)
         else:
             specs[name] = jax.tree_util.tree_map(lambda _: P(), leaf)
     return type(state)(**specs)
+
+
+def _get_field(state, dotted_name):
+    obj = state
+    for part in dotted_name.split("."):
+        obj = getattr(obj, part)
+    return obj
 
 
 def _default_collect(state, info):
@@ -82,12 +97,13 @@ class ChainPool:
         """device_put a replicated/host state onto the mesh layout."""
         if self.mesh is None:
             return state
-        n_chains = getattr(state, self.sharded_fields[0]).shape[0]
         n_dev = self.mesh.devices.size
-        if n_chains % n_dev != 0:
-            raise ValueError(
-                f"n_chains={n_chains} must be divisible by the mesh's "
-                f"{n_dev} devices")
+        for name in self.sharded_fields:
+            n = _get_field(state, name).shape[0]
+            if n % n_dev != 0:
+                raise ValueError(
+                    f"sharded field '{name}' leading dim {n} must be "
+                    f"divisible by the mesh's {n_dev} devices")
         specs = _state_specs(state, self.sharded_fields, self.axis_name)
         shardings = jax.tree_util.tree_map(
             lambda s: NamedSharding(self.mesh, s), specs,

@@ -527,10 +527,15 @@ class DreamZs(McmcSampler):
                 return {"x": state.x, "logp": info.logp,
                         "accepted": info.accepted, "snooker": info.snooker}
 
+            sharded = ("x", "logp", "logp_sum")
+            if self.cfg.shard_archive:
+                # block-shard the archive ring buffer over the mesh too
+                # (ppermute sampling path — ensemble/archive.py)
+                sharded += ("archive.buf",)
             self._pool_obj = ChainPool(
                 step_factory=lambda axis: dream.make_step(
                     self.log_like_fn, self.cfg, axis_name=axis),
-                sharded_fields=("x", "logp", "logp_sum"), mesh=self.mesh,
+                sharded_fields=sharded, mesh=self.mesh,
                 collect_fn=collect)
         return self._pool_obj
 
@@ -545,6 +550,10 @@ class DreamZs(McmcSampler):
             appended = self.n_chains * (
                 n_gens_hint // self.cfg.archive_thin + 1)
             capacity = int(min(max(256, appended), 65536))
+        if self.cfg.shard_archive and self.mesh is not None:
+            # block layout needs equal blocks per device
+            n_dev = int(self.mesh.devices.size)
+            capacity = -(-capacity // n_dev) * n_dev
         n_z0 = self.n_archive_init or max(
             max(2 * self.cfg.delta_max, 3), self.n_chains, 10)
         n_z0 = min(n_z0, capacity)

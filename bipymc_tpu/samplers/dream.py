@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from bipymc_tpu.ensemble.archive import (
-    Archive, archive_append, archive_sample)
+    Archive, archive_append, archive_append_sharded,
+    archive_gather_sharded, archive_sample_idx)
 from bipymc_tpu.parallel.collectives import (
     all_gather_chains, psum_chains, chain_offset)
 
@@ -60,6 +61,11 @@ class DreamConfig(NamedTuple):
                                 # generation-start population, r₁≠r₂≠i
     pallas_proposal: bool | None = None   # fused proposal-math kernel;
                                           # None → auto (TPU backend only)
+    shard_archive: bool = False  # shard Z block-wise over the chain mesh
+                                 # axis and ring-pass (ppermute) blocks for
+                                 # sampling — for archives too large to
+                                 # replicate per device (SURVEY.md §7.7);
+                                 # no-op on the single-device vmap path
 
 
 def demcz_config(n_chains: int, **kw) -> DreamConfig:
@@ -144,6 +150,9 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
     uniform. Default: jax.random draws (the production path).
     """
     n_pairs = cfg.delta_max
+    if cfg.shard_archive and not cfg.use_archive:
+        raise ValueError("shard_archive requires use_archive=True "
+                         "(population-DREAM keeps no archive)")
 
     # rows drawn per proposal: the parallel move needs 2·δ_max, the
     # snooker move 3 — only ONE branch fires per step, and any subset of
@@ -151,26 +160,31 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
     # two branches can share one draw of max(2·δ_max, 3) rows.
     n_rows = max(2 * n_pairs, 3)
 
-    def draw_one(key, i_global, x_full, archive: Archive, cr_p, d, dtype):
-        """All randomness for one proposal (shared by both math paths)."""
+    def draw_one(key, i_global, archive: Archive, cr_p, d, dtype):
+        """All randomness for one proposal (shared by both math paths).
+
+        Returns *row indices*, not rows: the gather happens outside the
+        per-chain vmap so it can be a plain device gather (replicated
+        archive / population) or a ring-pass over a sharded archive
+        (:func:`archive_gather_sharded`) — identical streams either way.
+        """
         k_scal, k_rows, k_cr, k_ue, k_eps = jax.random.split(key, 5)
         # one vector draw for the per-proposal scalars:
         # [coin, delta, gamma_s]
         u_scal = jax.random.uniform(k_scal, (3,), dtype=dtype)
         if cfg.use_archive:
-            rows = archive_sample(archive, k_rows, n_rows)
+            row_idx = archive_sample_idx(archive, k_rows, n_rows)
         else:
             # population-DREAM: r-chains from the generation-start
             # population, all distinct and ≠ i (SURVEY.md §4.5/§4.7)
             from bipymc_tpu.ensemble.indices import sample_distinct
-            idx = sample_distinct(k_rows, n_rows, cfg.n_chains,
-                                  exclude=i_global)
-            rows = x_full[idx]
+            row_idx = sample_distinct(k_rows, n_rows, cfg.n_chains,
+                                      exclude=i_global)
         cr_idx = jax.random.choice(k_cr, cfg.n_cr, p=cr_p)
         # one (2, d) draw covers the crossover mask and the e jitter
         u_ue = jax.random.uniform(k_ue, (2, d), dtype=dtype)
         eps_n = jax.random.normal(k_eps, (d,), dtype=dtype)
-        return u_scal, rows, cr_idx, u_ue, eps_n
+        return u_scal, row_idx, cr_idx, u_ue, eps_n
 
     def propose_math_one(x_i, u_scal, rows, cr_idx, u_ue, eps_n,
                          gamma_jump, dtype):
@@ -262,8 +276,8 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
             chain_keys = jax.vmap(
                 lambda i: jax.random.fold_in(key, offset + i))(i_locals)
             prop_keys = jax.vmap(lambda k: jax.random.split(k, 2))(chain_keys)
-            u_scal, rows, cr_idx, u_ue, eps_n = jax.vmap(
-                lambda k, i_l: draw_one(k, offset + i_l, x_full,
+            u_scal, row_idx, cr_idx, u_ue, eps_n = jax.vmap(
+                lambda k, i_l: draw_one(k, offset + i_l,
                                         state.archive, state.cr_p, d, dtype)
             )(prop_keys[:, 0], i_locals)
             u_acc = jax.vmap(
@@ -271,8 +285,13 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
         else:
             u_scal, row_idx, cr_idx, u_ue, eps_n, u_acc = jax.vmap(
                 lambda i_l: draws_fn(t, offset + i_l, d, dtype))(i_locals)
-            src = state.archive.buf if cfg.use_archive else x_full
-            rows = src[row_idx]                            # [n_local, n_rows, d]
+        if cfg.use_archive and cfg.shard_archive and axis_name is not None:
+            rows = archive_gather_sharded(
+                state.archive.buf, row_idx, axis_name)
+        elif cfg.use_archive:
+            rows = state.archive.buf[row_idx]              # [n_local, n_rows, d]
+        else:
+            rows = x_full[row_idx]
         x_star, log_jac, is_snk = propose_all(
             state.x, u_scal, rows, cr_idx, u_ue, eps_n, gamma_jump, dtype)
 
@@ -354,12 +373,14 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
 
         # ---------- archive append every K generations -------------------
         do_append = (state.gen % cfg.archive_thin) == (cfg.archive_thin - 1)
+        if cfg.shard_archive and axis_name is not None:
+            append_fn = lambda ar: archive_append_sharded(
+                ar, all_gather_chains(x_new, axis_name), axis_name)
+        else:
+            append_fn = lambda ar: archive_append(
+                ar, all_gather_chains(x_new, axis_name))
         archive = jax.lax.cond(
-            do_append,
-            lambda ar: archive_append(
-                ar, all_gather_chains(x_new, axis_name)),
-            lambda ar: ar,
-            state.archive)
+            do_append, append_fn, lambda ar: ar, state.archive)
 
         new_state = DreamState(
             x=x_new, logp=logp_new, archive=archive,
