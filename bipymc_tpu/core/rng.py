@@ -9,9 +9,42 @@ independent stream derived from one base key, so
 - chain ``i``'s stream does not depend on how many chains run (chain-count
   invariance — required for the vmap path and the shard_map path to agree),
 - no RNG state needs to be gathered/broadcast across devices.
+
+Hot samplers draw all their per-generation randomness as ONE batched
+``random.bits`` block per population (two threefry launches per
+generation: the per-chain ``fold_in`` and the block) and convert words to
+uniforms/normals with :func:`bits_to_uniform` / :func:`bits_to_normal` —
+the per-draw-site ``split``+draw pattern costs one latency-bound kernel
+per site, which measured at a third of the DREAM generation step.
 """
 
 import jax
+import jax.numpy as jnp
+
+
+def bits_to_uniform(bits, dtype=jnp.float32):
+    """uint32 words → U[0, 1) floats, element-wise.
+
+    Same construction as ``jax.random.uniform`` for float32: keep the top
+    23 bits as the mantissa of a float in [1, 2), subtract 1. 2⁻²³
+    resolution regardless of ``dtype`` (casting up does not add entropy —
+    fine for MCMC accept/proposal noise; documented knob).
+    """
+    f = jax.lax.bitcast_convert_type(
+        (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000), jnp.float32)
+    return (f - 1.0).astype(dtype)
+
+
+def bits_to_normal(bits, dtype=jnp.float32):
+    """uint32 words → standard normals via the inverse-erf map.
+
+    Mirrors ``jax.random.normal``: n = √2·erf⁻¹(v) with v uniform on
+    (−1, 1); v is clamped one ulp away from −1 so the tail is bounded at
+    the same ≈5.7σ as jax's own float32 normal.
+    """
+    u = bits_to_uniform(bits, jnp.float32)
+    v = jnp.maximum(2.0 * u - 1.0, -1.0 + 2.0 ** -23)
+    return (jnp.sqrt(2.0) * jax.lax.erf_inv(v)).astype(dtype)
 
 
 def step_key(base_key, step):

@@ -51,6 +51,22 @@ def sample_distinct(key, k: int, n, exclude=None):
     Caller must guarantee n ≥ k (+1 if exclude is given).
     Returns int32 [k].
     """
+    # one batched bits draw instead of k randint kernels; r_t uniform on
+    # [0, avail−t) via modulo (bias ~(avail)/2³² — the same class as
+    # randint's own remainder construction, and < 2e-6 here)
+    bits = jax.random.bits(key, (k,), jnp.uint32)
+    return distinct_from_bits(bits, k, n, exclude=exclude)
+
+
+def distinct_from_bits(bits, k: int, n, exclude=None):
+    """:func:`sample_distinct` driven by ``k`` caller-supplied uint32 words.
+
+    Lets samplers that draw all their per-generation randomness as one
+    batched ``random.bits`` block (one threefry launch for the whole
+    population instead of one per draw site) reuse the identical exact
+    shift construction. ``sample_distinct(key, ...)`` ≡
+    ``distinct_from_bits(random.bits(key, (k,), uint32), ...)``.
+    """
     n = jnp.asarray(n, jnp.int32)
     m = k + (1 if exclude is not None else 0)
     taken = jnp.full((m,), _SENTINEL, dtype=jnp.int32)
@@ -61,10 +77,6 @@ def sample_distinct(key, k: int, n, exclude=None):
     avail = n - n_excl
 
     idxs = jnp.arange(m, dtype=jnp.int32)
-    # one batched bits draw instead of k randint kernels; r_t uniform on
-    # [0, avail−t) via modulo (bias ~(avail)/2³² — the same class as
-    # randint's own remainder construction, and < 2e-6 here)
-    bits = jax.random.bits(key, (k,), jnp.uint32)
     out = []
     for t in range(k):
         r = (bits[t] % (avail - t).astype(jnp.uint32)).astype(jnp.int32)

@@ -29,9 +29,11 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from bipymc_tpu.core.rng import bits_to_normal, bits_to_uniform
 from bipymc_tpu.ensemble.archive import (
     Archive, archive_append, archive_append_sharded,
-    archive_gather_sharded, archive_sample_idx)
+    archive_gather_sharded)
+from bipymc_tpu.ensemble.indices import distinct_from_bits
 from bipymc_tpu.parallel.collectives import (
     all_gather_chains, psum_chains, chain_offset)
 
@@ -160,32 +162,6 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
     # two branches can share one draw of max(2·δ_max, 3) rows.
     n_rows = max(2 * n_pairs, 3)
 
-    def draw_one(key, i_global, archive: Archive, cr_p, d, dtype):
-        """All randomness for one proposal (shared by both math paths).
-
-        Returns *row indices*, not rows: the gather happens outside the
-        per-chain vmap so it can be a plain device gather (replicated
-        archive / population) or a ring-pass over a sharded archive
-        (:func:`archive_gather_sharded`) — identical streams either way.
-        """
-        k_scal, k_rows, k_cr, k_ue, k_eps = jax.random.split(key, 5)
-        # one vector draw for the per-proposal scalars:
-        # [coin, delta, gamma_s]
-        u_scal = jax.random.uniform(k_scal, (3,), dtype=dtype)
-        if cfg.use_archive:
-            row_idx = archive_sample_idx(archive, k_rows, n_rows)
-        else:
-            # population-DREAM: r-chains from the generation-start
-            # population, all distinct and ≠ i (SURVEY.md §4.5/§4.7)
-            from bipymc_tpu.ensemble.indices import sample_distinct
-            row_idx = sample_distinct(k_rows, n_rows, cfg.n_chains,
-                                      exclude=i_global)
-        cr_idx = jax.random.choice(k_cr, cfg.n_cr, p=cr_p)
-        # one (2, d) draw covers the crossover mask and the e jitter
-        u_ue = jax.random.uniform(k_ue, (2, d), dtype=dtype)
-        eps_n = jax.random.normal(k_eps, (d,), dtype=dtype)
-        return u_scal, row_idx, cr_idx, u_ue, eps_n
-
     def propose_math_one(x_i, u_scal, rows, cr_idx, u_ue, eps_n,
                          gamma_jump, dtype):
         """Deterministic proposal math, reference (unfused jnp) path."""
@@ -273,15 +249,42 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
         x_full = (all_gather_chains(state.x, axis_name)
                   if not cfg.use_archive else state.x)
         if draws_fn is None:
+            # ALL per-generation randomness as one batched bits block (two
+            # threefry launches: fold_in + block) — the per-draw-site
+            # split+draw pattern measured at a third of the whole step.
+            # Per-chain word layout: [u_scal(3) | u_cr | u_acc |
+            # row_bits(n_rows) | u_ue(2d) | eps(d)]. Streams key on the
+            # GLOBAL chain id, so vmap and shard_map paths stay identical.
+            n_words = 5 + n_rows + 3 * d
+            gid = offset + i_locals
             chain_keys = jax.vmap(
-                lambda i: jax.random.fold_in(key, offset + i))(i_locals)
-            prop_keys = jax.vmap(lambda k: jax.random.split(k, 2))(chain_keys)
-            u_scal, row_idx, cr_idx, u_ue, eps_n = jax.vmap(
-                lambda k, i_l: draw_one(k, offset + i_l,
-                                        state.archive, state.cr_p, d, dtype)
-            )(prop_keys[:, 0], i_locals)
-            u_acc = jax.vmap(
-                lambda k: jax.random.uniform(k, dtype=dtype))(prop_keys[:, 1])
+                lambda i: jax.random.fold_in(key, i))(gid)
+            blk = jax.vmap(lambda k: jax.random.bits(
+                k, (n_words,), jnp.uint32))(chain_keys)
+            u_scal = bits_to_uniform(blk[:, 0:3], dtype)
+            u_cr = bits_to_uniform(blk[:, 3], dtype)
+            u_acc = bits_to_uniform(blk[:, 4], dtype)
+            row_bits = blk[:, 5:5 + n_rows]
+            u_ue = bits_to_uniform(
+                blk[:, 5 + n_rows:5 + n_rows + 2 * d], dtype
+            ).reshape(n_local, 2, d)
+            eps_n = bits_to_normal(blk[:, 5 + n_rows + 2 * d:], dtype)
+            if cfg.use_archive:
+                row_idx = jax.vmap(
+                    lambda b: distinct_from_bits(
+                        b, n_rows, state.archive.fill))(row_bits)
+            else:
+                # population-DREAM: r-chains from the generation-start
+                # population, all distinct and ≠ i (SURVEY.md §4.5/§4.7)
+                row_idx = jax.vmap(
+                    lambda b, i: distinct_from_bits(
+                        b, n_rows, cfg.n_chains, exclude=i))(row_bits, gid)
+            # CR index by inverse CDF over the selection probabilities
+            # (same law as random.choice(p=cr_p))
+            cum = jnp.cumsum(state.cr_p / jnp.sum(state.cr_p))
+            cr_idx = jnp.minimum(
+                jnp.sum(u_cr[:, None] >= cum[None, :], axis=1),
+                cfg.n_cr - 1).astype(jnp.int32)
         else:
             u_scal, row_idx, cr_idx, u_ue, eps_n, u_acc = jax.vmap(
                 lambda i_l: draws_fn(t, offset + i_l, d, dtype))(i_locals)
