@@ -66,6 +66,13 @@ def distinct_from_bits(bits, k: int, n, exclude=None):
     population instead of one per draw site) reuse the identical exact
     shift construction. ``sample_distinct(key, ...)`` ≡
     ``distinct_from_bits(random.bits(key, (k,), uint32), ...)``.
+
+    The raw words are masked to 31 bits and the r_t draw uses *int32*
+    remainder: pure i32 arithmetic maps 1:1 onto the Mosaic VPU, so the
+    fused single-launch kernel (:func:`bipymc_tpu.ops.distinct_idx.
+    distinct_idx_pallas`) is bit-identical to this reference path. The
+    modulo bias is avail/2³¹ < 2⁻¹⁵ at the largest supported archives —
+    the same class as randint's own remainder construction.
     """
     n = jnp.asarray(n, jnp.int32)
     m = k + (1 if exclude is not None else 0)
@@ -76,10 +83,11 @@ def distinct_from_bits(bits, k: int, n, exclude=None):
         n_excl = 1
     avail = n - n_excl
 
+    b31 = (bits & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     idxs = jnp.arange(m, dtype=jnp.int32)
     out = []
     for t in range(k):
-        r = (bits[t] % (avail - t).astype(jnp.uint32)).astype(jnp.int32)
+        r = b31[t] % (avail - t)
         # shift past taken values, processed in increasing (sorted) order
         for j in range(m):
             r = r + (r >= taken[j]).astype(jnp.int32)

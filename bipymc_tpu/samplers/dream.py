@@ -269,7 +269,21 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
                 blk[:, 5 + n_rows:5 + n_rows + 2 * d], dtype
             ).reshape(n_local, 2, d)
             eps_n = bits_to_normal(blk[:, 5 + n_rows + 2 * d:], dtype)
-            if cfg.use_archive:
+            # distinct rows: fused single-launch kernel on the pallas path
+            # (the unrolled shift chain is ~60 dependent i32 ops — half the
+            # step when left to per-op dispatch), identical bits either way
+            use_pallas = cfg.pallas_proposal
+            if use_pallas is None:
+                use_pallas = jax.default_backend() == "tpu"
+            if use_pallas:
+                from bipymc_tpu.ops.distinct_idx import distinct_idx_pallas
+                bound = (state.archive.fill if cfg.use_archive
+                         else cfg.n_chains)
+                row_idx = distinct_idx_pallas(
+                    row_bits, n_rows, bound,
+                    exclude=None if cfg.use_archive else gid,
+                    interpret=jax.default_backend() != "tpu")
+            elif cfg.use_archive:
                 row_idx = jax.vmap(
                     lambda b: distinct_from_bits(
                         b, n_rows, state.archive.fill))(row_bits)
