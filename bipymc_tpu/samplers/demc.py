@@ -15,7 +15,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from bipymc_tpu.ensemble.indices import sample_distinct
+from bipymc_tpu.core.rng import bits_to_normal, bits_to_uniform
+from bipymc_tpu.ensemble.indices import distinct_from_bits
 from bipymc_tpu.parallel.collectives import all_gather_chains, chain_offset
 
 
@@ -56,18 +57,25 @@ def make_step(log_prob: Callable, cfg: DeMcConfig, axis_name=None) -> Callable:
         is_jump = (state.gen % cfg.jump_interval) == (cfg.jump_interval - 1)
         gamma = jnp.where(is_jump, 1.0, gamma_base).astype(dtype)
 
-        def propose(i_local, x_i):
-            i_global = offset + i_local
-            k_idx, k_e, k_u = jax.random.split(
-                jax.random.fold_in(key, i_global), 3)
-            r = sample_distinct(k_idx, 2, cfg.n_chains, exclude=i_global)
-            e = cfg.b * jax.random.normal(k_e, (d,), dtype=dtype)
-            x_star = x_i + gamma * (x_full[r[0]] - x_full[r[1]]) + e
-            log_u = jnp.log(jax.random.uniform(k_u, dtype=dtype))
-            return x_star, log_u
-
+        # one batched bits block per generation (see samplers/dream.py);
+        # per-chain word layout: [r_bits(2) | eps(d) | u_acc(1)]
         i_locals = jnp.arange(n_local, dtype=jnp.int32)
-        x_star, log_u = jax.vmap(propose)(i_locals, state.x)
+        gid = offset + i_locals
+        chain_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(gid)
+        blk = jax.vmap(lambda k: jax.random.bits(
+            k, (3 + d,), jnp.uint32))(chain_keys)
+        row_bits = blk[:, 0:2]
+        eps = cfg.b * bits_to_normal(blk[:, 2:2 + d], dtype)
+        log_u = jnp.log(bits_to_uniform(blk[:, 2 + d], dtype))
+        if jax.default_backend() == "tpu":
+            # fused single-launch distinct draw (bit-identical to the jnp
+            # path — ops/distinct_idx.py)
+            from bipymc_tpu.ops.distinct_idx import distinct_idx_pallas
+            r = distinct_idx_pallas(row_bits, 2, cfg.n_chains, exclude=gid)
+        else:
+            r = jax.vmap(lambda b, i: distinct_from_bits(
+                b, 2, cfg.n_chains, exclude=i))(row_bits, gid)
+        x_star = state.x + gamma * (x_full[r[:, 0]] - x_full[r[:, 1]]) + eps
         logp_star = jax.vmap(log_prob)(x_star)             # dominant cost
 
         log_alpha = jnp.minimum(0.0, logp_star - state.logp)
