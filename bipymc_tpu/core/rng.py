@@ -35,16 +35,21 @@ def bits_to_uniform(bits, dtype=jnp.float32):
     return (f - 1.0).astype(dtype)
 
 
-def bits_to_normal(bits, dtype=jnp.float32):
-    """uint32 words → standard normals via the inverse-erf map.
+def uniform_to_normal(u, dtype=None):
+    """U[0, 1) floats → standard normals via the inverse-erf map.
 
     Mirrors ``jax.random.normal``: n = √2·erf⁻¹(v) with v uniform on
     (−1, 1); v is clamped one ulp away from −1 so the tail is bounded at
     the same ≈5.7σ as jax's own float32 normal.
     """
-    u = bits_to_uniform(bits, jnp.float32)
     v = jnp.maximum(2.0 * u - 1.0, -1.0 + 2.0 ** -23)
-    return (jnp.sqrt(2.0) * jax.lax.erf_inv(v)).astype(dtype)
+    n = jnp.sqrt(2.0).astype(u.dtype) * jax.lax.erf_inv(v)
+    return n if dtype is None else n.astype(dtype)
+
+
+def bits_to_normal(bits, dtype=jnp.float32):
+    """uint32 words → standard normals (see :func:`uniform_to_normal`)."""
+    return uniform_to_normal(bits_to_uniform(bits, jnp.float32), dtype)
 
 
 def step_key(base_key, step):

@@ -29,7 +29,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from bipymc_tpu.core.rng import bits_to_normal, bits_to_uniform
+from bipymc_tpu.core.rng import bits_to_uniform, uniform_to_normal
 from bipymc_tpu.ensemble.archive import (
     Archive, archive_append, archive_append_sharded,
     archive_gather_sharded)
@@ -93,6 +93,8 @@ class DreamState(NamedTuple):
     logp: jax.Array       # [n_local]
     archive: Archive      # replicated
     cr_p: jax.Array       # [n_cr] CR selection probabilities (replicated)
+    cr_cum: jax.Array     # [n_cr] normalised CDF of cr_p — carried so the
+                          # per-generation inverse-CDF pick costs no cumsum
     cr_jump: jax.Array    # [n_cr] accumulated normalised sq jump dist Δ_m
     cr_count: jax.Array   # [n_cr] times CR_m was tried, L_m
     logp_sum: jax.Array   # [n_local] running Σ logp (outlier statistic)
@@ -115,11 +117,13 @@ def init(x0: jax.Array, log_prob: Callable, cfg: DreamConfig,
     """
     logp = jax.vmap(log_prob)(x0)
     n_cr = cfg.n_cr
+    cr_p = jnp.full((n_cr,), 1.0 / n_cr, dtype=x0.dtype)
     return DreamState(
         x=x0,
         logp=logp,
         archive=archive_init_checked(z0, archive_capacity, cfg),
-        cr_p=jnp.full((n_cr,), 1.0 / n_cr, dtype=x0.dtype),
+        cr_p=cr_p,
+        cr_cum=jnp.cumsum(cr_p / jnp.sum(cr_p)),
         cr_jump=jnp.zeros((n_cr,), dtype=x0.dtype),
         cr_count=jnp.zeros((n_cr,), dtype=x0.dtype),
         logp_sum=jnp.zeros_like(logp),
@@ -162,7 +166,7 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
     # two branches can share one draw of max(2·δ_max, 3) rows.
     n_rows = max(2 * n_pairs, 3)
 
-    def propose_math_one(x_i, u_scal, rows, cr_idx, u_ue, eps_n,
+    def propose_math_one(x_i, u_scal, rows, cr_idx, u_mask, u_e, eps_n,
                          gamma_jump, dtype):
         """Deterministic proposal math, reference (unfused jnp) path."""
         d = x_i.shape[-1]
@@ -175,7 +179,7 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
         diff = jnp.sum(pair_mask * (z1 - z2), axis=0)
 
         cr = (cr_idx + 1).astype(dtype) / cfg.n_cr
-        u = u_ue[0]
+        u = u_mask
         mask = u < cr
         # guarantee at least one crossed-over dimension
         mask = mask.at[jnp.argmin(u)].set(True)
@@ -183,7 +187,7 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
 
         gamma = 2.38 / jnp.sqrt(2.0 * delta.astype(dtype) * d_eff)
         gamma = jnp.where(gamma_jump, jnp.asarray(1.0, dtype), gamma)
-        e = cfg.b * (2.0 * u_ue[1] - 1.0)            # U(−b, b)
+        e = cfg.b * (2.0 * u_e - 1.0)                # U(−b, b)
         eps = cfg.b_star * eps_n
         x_par = x_i + mask * ((1.0 + e) * gamma * diff + eps)
 
@@ -205,8 +209,8 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
         log_jac = jnp.where(is_snooker, log_jac_snk, 0.0)
         return x_star, log_jac, is_snooker
 
-    def propose_all(x, u_scal, rows, cr_idx, u_ue, eps_n, gamma_jump,
-                    dtype):
+    def propose_all(x, u_scal, rows, cr_idx, u_mask, u_e, eps_n,
+                    gamma_jump, dtype):
         """Proposal math over the population: fused Pallas kernel on TPU
         (one VPU launch instead of ~30 small ops), unfused jnp elsewhere.
         Both paths consume the identical randomness."""
@@ -215,9 +219,9 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
             use_pallas = jax.default_backend() == "tpu"
         if not use_pallas:
             return jax.vmap(
-                lambda xi, us, rw, ci, uu, ep: propose_math_one(
-                    xi, us, rw, ci, uu, ep, gamma_jump, dtype)
-            )(x, u_scal, rows, cr_idx, u_ue, eps_n)
+                lambda xi, us, rw, ci, um, ue, ep: propose_math_one(
+                    xi, us, rw, ci, um, ue, ep, gamma_jump, dtype)
+            )(x, u_scal, rows, cr_idx, u_mask, u_e, eps_n)
 
         from bipymc_tpu.ops.dream_proposal import dream_propose_pallas
         d = x.shape[-1]
@@ -231,7 +235,7 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
         scal = jnp.stack(
             [delta, cr, gamma_s, is_snk.astype(dtype), gj], axis=1)
         x_star, log_jac = dream_propose_pallas(
-            x, rows, u_ue[:, 0], u_ue[:, 1], eps_n, scal,
+            x, rows, u_mask, u_e, eps_n, scal,
             n_pairs=n_pairs, d_true=d, b=cfg.b, b_star=cfg.b_star,
             # explicit pallas_proposal=True off-TPU → interpret mode, so
             # CPU goldens/fidelity tests can pin the fused path
@@ -261,14 +265,17 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
                 lambda i: jax.random.fold_in(key, i))(gid)
             blk = jax.vmap(lambda k: jax.random.bits(
                 k, (n_words,), jnp.uint32))(chain_keys)
-            u_scal = bits_to_uniform(blk[:, 0:3], dtype)
-            u_cr = bits_to_uniform(blk[:, 3], dtype)
-            u_acc = bits_to_uniform(blk[:, 4], dtype)
+            # one whole-block word→uniform pass; the slices below fuse
+            # into their consumers instead of launching per-slice kernels
+            u_all = bits_to_uniform(blk, dtype)
+            u_scal = u_all[:, 0:3]
+            u_cr = u_all[:, 3]
+            u_acc = u_all[:, 4]
             row_bits = blk[:, 5:5 + n_rows]
-            u_ue = bits_to_uniform(
-                blk[:, 5 + n_rows:5 + n_rows + 2 * d], dtype
-            ).reshape(n_local, 2, d)
-            eps_n = bits_to_normal(blk[:, 5 + n_rows + 2 * d:], dtype)
+            off_w = 5 + n_rows
+            u_mask = u_all[:, off_w:off_w + d]
+            u_e = u_all[:, off_w + d:off_w + 2 * d]
+            eps_n = uniform_to_normal(u_all[:, off_w + 2 * d:])
             # distinct rows: fused single-launch kernel on the pallas path
             # (the unrolled shift chain is ~60 dependent i32 ops — half the
             # step when left to per-op dispatch), identical bits either way
@@ -294,14 +301,15 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
                     lambda b, i: distinct_from_bits(
                         b, n_rows, cfg.n_chains, exclude=i))(row_bits, gid)
             # CR index by inverse CDF over the selection probabilities
-            # (same law as random.choice(p=cr_p))
-            cum = jnp.cumsum(state.cr_p / jnp.sum(state.cr_p))
+            # (same law as random.choice(p=cr_p); the CDF is carried in
+            # state so no per-generation cumsum kernels)
             cr_idx = jnp.minimum(
-                jnp.sum(u_cr[:, None] >= cum[None, :], axis=1),
+                jnp.sum(u_cr[:, None] >= state.cr_cum[None, :], axis=1),
                 cfg.n_cr - 1).astype(jnp.int32)
         else:
             u_scal, row_idx, cr_idx, u_ue, eps_n, u_acc = jax.vmap(
                 lambda i_l: draws_fn(t, offset + i_l, d, dtype))(i_locals)
+            u_mask, u_e = u_ue[:, 0], u_ue[:, 1]
         if cfg.use_archive and cfg.shard_archive and axis_name is not None:
             rows = archive_gather_sharded(
                 state.archive.buf, row_idx, axis_name)
@@ -310,7 +318,8 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
         else:
             rows = x_full[row_idx]
         x_star, log_jac, is_snk = propose_all(
-            state.x, u_scal, rows, cr_idx, u_ue, eps_n, gamma_jump, dtype)
+            state.x, u_scal, rows, cr_idx, u_mask, u_e, eps_n, gamma_jump,
+            dtype)
 
         logp_star = jax.vmap(log_prob)(x_star)             # dominant cost
         log_u = jnp.log(u_acc)
@@ -349,16 +358,18 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
                 # least one jump actually moved, else keep the old p)
                 use_new = (jnp.min(cr_count) > 4.0) & \
                     jnp.all(jnp.isfinite(cr_p_new)) & (jnp.sum(rate) > 0)
-                return (jnp.where(use_new, cr_p_new, state.cr_p),
+                cr_p = jnp.where(use_new, cr_p_new, state.cr_p)
+                return (cr_p, jnp.cumsum(cr_p / jnp.sum(cr_p)),
                         cr_jump, cr_count)
 
-            cr_p, cr_jump, cr_count = jax.lax.cond(
+            cr_p, cr_cum, cr_jump, cr_count = jax.lax.cond(
                 in_burnin, adapt_cr,
-                lambda _: (state.cr_p, state.cr_jump, state.cr_count),
+                lambda _: (state.cr_p, state.cr_cum, state.cr_jump,
+                           state.cr_count),
                 operand=None)
         else:
-            cr_jump, cr_count, cr_p = (
-                state.cr_jump, state.cr_count, state.cr_p)
+            cr_jump, cr_count, cr_p, cr_cum = (
+                state.cr_jump, state.cr_count, state.cr_p, state.cr_cum)
 
         # ---------- outlier-chain reset (burn-in only, §4.7) -------------
         logp_sum = state.logp_sum + logp_new
@@ -401,7 +412,7 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
 
         new_state = DreamState(
             x=x_new, logp=logp_new, archive=archive,
-            cr_p=cr_p, cr_jump=cr_jump, cr_count=cr_count,
+            cr_p=cr_p, cr_cum=cr_cum, cr_jump=cr_jump, cr_count=cr_count,
             logp_sum=logp_sum, gen=state.gen + 1)
         return new_state, DreamInfo(accepted=acc, snooker=is_snk,
                                     logp=logp_new)
