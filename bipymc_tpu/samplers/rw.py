@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from bipymc_tpu.core.rng import bits_to_uniform, uniform_to_normal
+
 
 
 class RwConfig(NamedTuple):
@@ -116,11 +118,14 @@ def make_step(log_prob: Callable, cfg: RwConfig,
     """
 
     def _default_draws(key, t, d, dtype):
-        k_z1, k_z2, k_u1, k_u2 = jax.random.split(key, 4)
-        return (jax.random.normal(k_z1, (d,), dtype=dtype),
-                jax.random.normal(k_z2, (d,), dtype=dtype),
-                jax.random.uniform(k_u1, dtype=dtype),
-                jax.random.uniform(k_u2, dtype=dtype))
+        # one bits call instead of split(4) + 4 draw kernels — the
+        # single-chain path is launch-latency-bound (core/rng.py);
+        # word layout [z1(d) | z2(d) | u1 | u2]
+        u = bits_to_uniform(
+            jax.random.bits(key, (2 * d + 2,), jnp.uint32), dtype)
+        return (uniform_to_normal(u[0:d]),
+                uniform_to_normal(u[d:2 * d]),
+                u[2 * d], u[2 * d + 1])
 
     draws = draws_fn or _default_draws
 
