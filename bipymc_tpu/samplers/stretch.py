@@ -23,6 +23,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from bipymc_tpu.core.rng import bits_to_uniform
+
 from bipymc_tpu.parallel.collectives import all_gather_chains, chain_offset
 
 
@@ -55,16 +57,17 @@ def make_step(log_prob: Callable, cfg: StretchConfig,
         raise ValueError("stretch move needs an even number of walkers")
     half = n_total // 2
 
-    def _propose(key, x_i, x_full, update_first_half):
-        k_j, k_z, k_u = jax.random.split(key, 3)
+    def _propose(bits, x_i, x_full, update_first_half):
+        # bits: [3] uint32 — one bits block per walker instead of
+        # split(3) + three draw kernels (launch-latency economy, core/rng)
+        j = (bits[0] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) % half
         # complementary walker from the OTHER half
-        j = jax.random.randint(k_j, (), 0, half)
         j = jnp.where(update_first_half, half + j, j)
         x_j = x_full[j]
-        u = jax.random.uniform(k_z, dtype=x_i.dtype)
-        z = ((cfg.a - 1.0) * u + 1.0) ** 2 / cfg.a
+        u2 = bits_to_uniform(bits[1:], x_i.dtype)
+        z = ((cfg.a - 1.0) * u2[0] + 1.0) ** 2 / cfg.a
         x_star = x_j + z * (x_i - x_j)
-        log_u = jnp.log(jax.random.uniform(k_u, dtype=x_i.dtype))
+        log_u = jnp.log(u2[1])
         return x_star, z, log_u
 
     def _accept(x_star, z, log_u, logp, logp_star, d):
@@ -87,10 +90,11 @@ def make_step(log_prob: Callable, cfg: StretchConfig,
         if axis_name is None:
             sl = slice(0, half) if update_first_half else slice(half, n_total)
             i_global = sl.start + jnp.arange(half, dtype=jnp.int32)
-            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(i_global)
+            blk = jax.vmap(lambda i: jax.random.bits(
+                jax.random.fold_in(key, i), (3,), jnp.uint32))(i_global)
             x_star, z, log_u = jax.vmap(
-                lambda k, xi: _propose(k, xi, x, update_first_half)
-            )(keys, x[sl])
+                lambda b, xi: _propose(b, xi, x, update_first_half)
+            )(blk, x[sl])
             logp_star = jax.vmap(log_prob)(x_star)          # n/2 evals
             acc_h = _accept(x_star, z, log_u, logp[sl], logp_star, d)
             x = x.at[sl].set(jnp.where(acc_h[:, None], x_star, x[sl]))
@@ -109,10 +113,11 @@ def make_step(log_prob: Callable, cfg: StretchConfig,
         i_global = offset + jnp.arange(n_local, dtype=jnp.int32)
         in_half = (i_global < half) == update_first_half    # [n_local] bool
 
-        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(i_global)
+        blk = jax.vmap(lambda i: jax.random.bits(
+            jax.random.fold_in(key, i), (3,), jnp.uint32))(i_global)
         x_star, z, log_u = jax.vmap(
-            lambda k, xi: _propose(k, xi, x_full, update_first_half)
-        )(keys, x)
+            lambda b, xi: _propose(b, xi, x_full, update_first_half)
+        )(blk, x)
         logp_star = jax.vmap(log_prob)(x_star)
         acc = in_half & _accept(x_star, z, log_u, logp, logp_star, d)
         return (jnp.where(acc[:, None], x_star, x),
