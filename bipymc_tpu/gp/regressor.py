@@ -53,7 +53,8 @@ class GpRegressor:
     """
 
     def __init__(self, kernel: Callable = squared_exp, jitter: float = 1e-5,
-                 normalize_y: bool = False, pallas_solve: bool = False):
+                 normalize_y: bool = False, pallas_solve: bool = False,
+                 pallas_chol: bool = False):
         """normalize_y: standardise targets to zero mean / unit variance
         before fitting and undo it in predict — essential when y spans
         orders of magnitude (e.g. GP surrogates of log-likelihood surfaces,
@@ -63,11 +64,21 @@ class GpRegressor:
         Pallas substitution kernels (ops.pallas_solve) on TPU. Measured at
         parity with XLA's triangular_solve (0.85–1.10x over n=512–4096,
         m=1–1024 on v5e — docs/design.md §solves), so off by default;
-        differentiable either way. Off-TPU backends always use XLA."""
+        differentiable either way. Off-TPU backends always use XLA.
+
+        pallas_chol: route the factorization through the single-kernel
+        blocked Pallas Cholesky (ops.pallas_chol). Measured 2.2–2.5x
+        SLOWER than XLA's blocked-HLO cholesky at n=256–1024 on v5e
+        (docs/design.md §10b — the 2n sequential pivots pay Mosaic
+        per-iteration overhead that XLA's tuned panels avoid), so off by
+        default; shipped as the measured alternative completing
+        BASELINE.json:5's Cholesky clause with code + measurement.
+        Differentiable (custom adjoint); n ≤ 1024; off-TPU uses XLA."""
         self.kernel = kernel
         self.jitter = jitter
         self.normalize_y = normalize_y
         self.pallas_solve = pallas_solve
+        self.pallas_chol = pallas_chol
         self._fit_jit = jax.jit(self._fit_impl)
         self._predict_jit = jax.jit(self._predict_impl)
         self._lml_jit = jax.jit(self._lml_impl)
@@ -89,6 +100,13 @@ class GpRegressor:
             y_std = jnp.ones((), dtype=y.dtype)
         return (y - y_mean) / y_std, y_mean, y_std
 
+    def _cholesky(self, kmat):
+        if self.pallas_chol and kmat.shape[-1] <= 1024 \
+                and jax.default_backend() == "tpu":
+            from bipymc_tpu.ops.pallas_chol import cholesky_pallas
+            return cholesky_pallas(kmat)
+        return jnp.linalg.cholesky(kmat)
+
     def _solve_lower(self, chol, b):
         """L⁻¹ b — Pallas blocked substitution on TPU when enabled."""
         if self.pallas_solve and jax.default_backend() == "tpu":
@@ -106,7 +124,7 @@ class GpRegressor:
     def _fit_impl(self, params, x, y):
         yn, y_mean, y_std = self._normalize(y)
         kmat = self._gram(params, x)
-        chol = jnp.linalg.cholesky(kmat)
+        chol = self._cholesky(kmat)
         v = self._solve_lower(chol, yn)
         alpha = self._solve_lower_t(chol, v)
         return GpFit(params=params, x=x, chol=chol, alpha=alpha,
@@ -124,7 +142,7 @@ class GpRegressor:
         n = x.shape[0]
         y, _, y_std = self._normalize(y)
         kmat = self._gram(params, x)
-        chol = jnp.linalg.cholesky(kmat)
+        chol = self._cholesky(kmat)
         v = self._solve_lower(chol, y)
         # -n log(y_std): change-of-variables so the value is the LML of the
         # *original* y under normalize_y (constant in params, so hyperopt

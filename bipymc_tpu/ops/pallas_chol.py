@@ -1,0 +1,164 @@
+"""Single-kernel blocked Cholesky factorization for TPU.
+
+XLA's TPU Cholesky lowers to a many-kernel blocked HLO loop whose cost is
+launch/latency-bound at GP-relevant sizes — measured ~650µs for n=256..512
+on v5e (scan-amortised), where the useful FLOPs justify tens of µs. This
+kernel runs the whole right-looking blocked factorization in ONE Pallas
+launch: for each 128-wide diagonal block, a fused [A | I] forward
+elimination produces Lkkᵀ and Lkk⁻¹ in B in-register steps, the panel
+becomes one MXU matmul against Lkk⁻ᵀ, and the trailing update is one MXU
+matmul — no kernel boundaries anywhere.
+
+The GP module (BASELINE.json:5 scopes "Cholesky/triangular solves" as the
+Pallas surface) uses this by default on TPU for n ≤ 1024 (whole matrix in
+VMEM); jnp.linalg.cholesky elsewhere. Forward values match jnp to f32
+roundoff; the custom VJP implements the standard Cholesky adjoint
+(Murray 2016) with triangular solves, matching jax's gradient through
+``jnp.linalg.cholesky`` (tests/test_pallas_chol.py).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_B = 128
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _make_kernel(n_pad, interpret):
+    nb = n_pad // _B
+    f32 = jnp.float32
+
+    def kernel(a_ref, out_ref, ml_ref, mr_ref):
+        out_ref[:] = a_ref[:]
+        ri = lax.broadcasted_iota(jnp.int32, (_B, _B), 0)
+        ci = lax.broadcasted_iota(jnp.int32, (_B, _B), 1)
+
+        lane = lax.broadcasted_iota(jnp.int32, (1, _B), 1)
+
+        for k in range(nb):
+            o = k * _B
+
+            # ---- [A | I] forward elimination: akk → (Lᵀ, L⁻¹) ----------
+            # step j: scale row j by rsqrt(pivot), eliminate rows t > j.
+            # The trailing Schur complement stays SYMMETRIC throughout, so
+            # the column of multipliers is the (masked) row itself — no
+            # column extraction, and the already-finished rows (< j) are
+            # untouched because their multiplier is masked to zero. Rows
+            # below j self-zero at lane j by the same symmetry. The
+            # working blocks live in VMEM scratch refs so row j comes out
+            # with one dynamic sublane slice (Mosaic cannot dynamic-slice
+            # loop-carried values).
+            ml_ref[:] = out_ref[pl.ds(o, _B), pl.ds(o, _B)]
+            mr_ref[:] = (ri == ci).astype(f32)
+
+            def col_step(j, _):
+                row_raw = ml_ref[pl.ds(j, 1), :]       # [1,B]
+                piv = jnp.sum(jnp.where(lane == j, row_raw, 0.0))
+                s = lax.rsqrt(piv)
+                row_l = row_raw * s                    # [1,B] scaled row j
+                row_r = mr_ref[pl.ds(j, 1), :] * s
+                # multipliers: scaled row masked to the active lanes,
+                # transposed to a column ([1,B] → [B,1])
+                col = jnp.transpose(jnp.where(lane > j, row_l, 0.0))
+                is_j = ri == j
+                ml_ref[:] = jnp.where(is_j, row_l, ml_ref[:] - col * row_l)
+                mr_ref[:] = jnp.where(is_j, row_r, mr_ref[:] - col * row_r)
+                return 0
+
+            lax.fori_loop(0, _B, col_step, 0)
+            linv = mr_ref[:]
+            lkk = jnp.transpose(ml_ref[:]) * (ci <= ri).astype(f32)
+            out_ref[pl.ds(o, _B), pl.ds(o, _B)] = lkk
+
+            if k < nb - 1:
+                r = n_pad - o - _B                     # static per k
+                # panel: G = A[o+B:, o:o+B] @ Lkk⁻ᵀ  (one MXU matmul)
+                panel = out_ref[pl.ds(o + _B, r), pl.ds(o, _B)]
+                g = jnp.dot(panel, jnp.transpose(linv),
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=f32)
+                out_ref[pl.ds(o + _B, r), pl.ds(o, _B)] = g
+                # trailing: A[o+B:, o+B:] -= G Gᵀ  (one MXU matmul)
+                trail = out_ref[pl.ds(o + _B, r), pl.ds(o + _B, r)]
+                out_ref[pl.ds(o + _B, r), pl.ds(o + _B, r)] = (
+                    trail - jnp.dot(g, jnp.transpose(g),
+                                    precision=lax.Precision.HIGHEST,
+                                    preferred_element_type=f32))
+
+        # zero the strict upper triangle of the full matrix
+        fri = lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+        fci = lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+        out_ref[:] = jnp.where(fci <= fri, out_ref[:], 0.0)
+
+    return kernel
+
+
+def _chol_fwd_impl(a, interpret):
+    n = a.shape[-1]
+    n_pad = _round_up(n, _B)
+    # pad with identity so padded pivots are 1 (keeps rsqrt finite)
+    if n_pad != n:
+        eye = jnp.eye(n_pad, dtype=a.dtype)
+        a = eye.at[:n, :n].set(a)
+    out = pl.pallas_call(
+        _make_kernel(n_pad, interpret),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), a.dtype),
+        scratch_shapes=[pltpu.VMEM((_B, _B), jnp.float32),
+                        pltpu.VMEM((_B, _B), jnp.float32)],
+        interpret=interpret,
+    )(a)
+    return out[:n, :n]
+
+
+def _phi(x):
+    """Φ(X) = tril(X) with the diagonal halved (Cholesky adjoint helper)."""
+    return jnp.tril(x) - 0.5 * jnp.diag(jnp.diag(x))
+
+
+def _chol_bwd_impl(l, lbar):
+    """Standard Cholesky reverse-mode adjoint (Murray 2016):
+    Ā = ¼ L⁻ᵀ (Φ(Lᵀ L̄) + Φ(Lᵀ L̄)ᵀ) L⁻¹, as two triangular solves.
+    The ¼ (not ½) matches jax's convention for ``jnp.linalg.cholesky``,
+    whose cotangent is symmetric with HALF the sensitivity on each of the
+    (i,j)/(j,i) mirror entries (verified against jax.vjp elementwise)."""
+    solve = jax.scipy.linalg.solve_triangular
+    p = _phi(jnp.matmul(l.T, lbar))
+    sym = p + p.T
+    # S = L⁻ᵀ sym L⁻¹:  solve Lᵀ X = sym, then (Lᵀ Yᵀ = Xᵀ)ᵀ
+    x = solve(l, sym, lower=True, trans=1)
+    s = solve(l, x.T, lower=True, trans=1).T
+    return 0.25 * (s + s.T)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def cholesky_pallas(a, interpret=False):
+    """Lower-triangular Cholesky factor of SPD ``a`` [..., n, n].
+
+    One fused TPU kernel per matrix (vmap lifts batch dims onto the
+    grid); ``interpret=True`` runs the Mosaic interpreter off-TPU for
+    tests. Requires n ≤ ~1024 (whole matrix in VMEM); callers fall back
+    to ``jnp.linalg.cholesky`` above that.
+    """
+    return _chol_fwd_impl(a, interpret)
+
+
+def _fwd(a, interpret):
+    l = _chol_fwd_impl(a, interpret)
+    return l, l
+
+
+def _bwd(interpret, l, lbar):
+    return (_chol_bwd_impl(l, lbar),)
+
+
+cholesky_pallas.defvjp(_fwd, _bwd)
