@@ -35,8 +35,11 @@ signal.alarm(540)
 D = 100
 N_CHAINS = 256
 BURNIN_GENS = 500
-CHUNK = 2500              # one dispatch per phase: the device tunnel has
-TIMED_CHUNKS = 1          # ~30ms per-call latency, so amortise it
+CHUNK = 2500              # the device tunnel has ~30ms per-CALL latency;
+TIMED_CHUNKS = 4          # the timed chunks dispatch asynchronously (no
+                          # block between them), so that floor amortises
+                          # to ~one round-trip over all timed gens instead
+                          # of inflating every chunk by ~12µs/gen
 SEED = 0
 
 
