@@ -28,21 +28,31 @@ def bits_to_uniform(bits, dtype=jnp.float32):
     Same construction as ``jax.random.uniform`` for float32: keep the top
     23 bits as the mantissa of a float in [1, 2), subtract 1. 2⁻²³
     resolution regardless of ``dtype`` (casting up does not add entropy —
-    fine for MCMC accept/proposal noise; documented knob).
+    fine for MCMC accept/proposal noise; documented knob). For dtypes
+    narrower than float32 the cast ROUNDS, which can hit exactly 1.0 and
+    break the half-open contract (inf through erf⁻¹, log(u)=0 accepts) —
+    clamp to the largest representable value below 1.
     """
     f = jax.lax.bitcast_convert_type(
         (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000), jnp.float32)
-    return (f - 1.0).astype(dtype)
+    u = (f - 1.0).astype(dtype)
+    if jnp.finfo(dtype).nmant < 23:
+        below_one = 1.0 - float(jnp.finfo(dtype).epsneg)
+        u = jnp.minimum(u, jnp.asarray(below_one, dtype))
+    return u
 
 
 def uniform_to_normal(u, dtype=None):
     """U[0, 1) floats → standard normals via the inverse-erf map.
 
     Mirrors ``jax.random.normal``: n = √2·erf⁻¹(v) with v uniform on
-    (−1, 1); v is clamped one ulp away from −1 so the tail is bounded at
-    the same ≈5.7σ as jax's own float32 normal.
+    (−1, 1); v is clamped one machine epsilon away from −1 *in u's dtype*
+    (for float32 that is −1+2⁻²³, bounding the tail at the same ≈5.7σ as
+    jax's own float32 normal; a narrower dtype needs a wider clamp or the
+    rounding lands on −1 exactly and erf⁻¹ returns −inf).
     """
-    v = jnp.maximum(2.0 * u - 1.0, -1.0 + 2.0 ** -23)
+    lo = -1.0 + float(jnp.finfo(u.dtype).eps)
+    v = jnp.maximum(2.0 * u - 1.0, jnp.asarray(lo, u.dtype))
     n = jnp.sqrt(2.0).astype(u.dtype) * jax.lax.erf_inv(v)
     return n if dtype is None else n.astype(dtype)
 

@@ -78,17 +78,6 @@ def archive_sample(ar: Archive, key, k: int):
     return ar.buf[idx]
 
 
-def archive_sample_idx(ar: Archive, key, k: int):
-    """Buffer positions of ``k`` distinct uniform draws from [0, fill).
-
-    Same randomness stream as :func:`archive_sample` (``buf[idx]`` of this
-    result is bit-identical to it) — split out so the row gather can happen
-    outside the per-chain ``vmap``, where it can be a plain device gather
-    (replicated buffer) or a ring-pass (:func:`archive_gather_sharded`).
-    """
-    return sample_distinct(key, k, ar.fill)
-
-
 def archive_gather_sharded(buf_local, idx, axis_name):
     """Gather global ring positions ``idx`` from a block-sharded buffer.
 

@@ -52,8 +52,9 @@ def sample_distinct(key, k: int, n, exclude=None):
     Returns int32 [k].
     """
     # one batched bits draw instead of k randint kernels; r_t uniform on
-    # [0, avail−t) via modulo (bias ~(avail)/2³² — the same class as
-    # randint's own remainder construction, and < 2e-6 here)
+    # [0, avail−t) via the masked-31-bit int32 remainder construction in
+    # distinct_from_bits (bias ~avail/2³¹ — the same class as randint's
+    # own remainder construction, < 2⁻¹⁵ at the largest archives)
     bits = jax.random.bits(key, (k,), jnp.uint32)
     return distinct_from_bits(bits, k, n, exclude=exclude)
 

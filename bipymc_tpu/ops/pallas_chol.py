@@ -9,12 +9,16 @@ elimination produces Lkkᵀ and Lkk⁻¹ in B in-register steps, the panel
 becomes one MXU matmul against Lkk⁻ᵀ, and the trailing update is one MXU
 matmul — no kernel boundaries anywhere.
 
-The GP module (BASELINE.json:5 scopes "Cholesky/triangular solves" as the
-Pallas surface) uses this by default on TPU for n ≤ 1024 (whole matrix in
-VMEM); jnp.linalg.cholesky elsewhere. Forward values match jnp to f32
-roundoff; the custom VJP implements the standard Cholesky adjoint
-(Murray 2016) with triangular solves, matching jax's gradient through
-``jnp.linalg.cholesky`` (tests/test_pallas_chol.py).
+Honest measurement (docs/design.md §10b): with the dispatch floor
+amortised, XLA's blocked-HLO cholesky WINS 2.5× at n=256–1024 — its tuned
+micro-panels beat this kernel's ~0.5µs-per-pivot Mosaic loop overhead. So
+the GP module exposes it behind ``GpRegressor(pallas_chol=True)`` (OFF by
+default, TPU only, n ≤ 1024 — whole matrix in VMEM) and uses
+``jnp.linalg.cholesky`` otherwise; BASELINE.json:5's Cholesky clause is
+closed with code + measurement, and the measurement says XLA. Forward
+values match jnp to f32 roundoff; the custom VJP implements the standard
+Cholesky adjoint (Murray 2016) with triangular solves, matching jax's
+gradient through ``jnp.linalg.cholesky`` (tests/test_pallas_chol.py).
 """
 
 import functools
@@ -32,7 +36,7 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _make_kernel(n_pad, interpret):
+def _make_kernel(n_pad):
     nb = n_pad // _B
     f32 = jnp.float32
 
@@ -109,7 +113,7 @@ def _chol_fwd_impl(a, interpret):
         eye = jnp.eye(n_pad, dtype=a.dtype)
         a = eye.at[:n, :n].set(a)
     out = pl.pallas_call(
-        _make_kernel(n_pad, interpret),
+        _make_kernel(n_pad),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), a.dtype),
@@ -142,12 +146,14 @@ def _chol_bwd_impl(l, lbar):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def cholesky_pallas(a, interpret=False):
-    """Lower-triangular Cholesky factor of SPD ``a`` [..., n, n].
+    """Lower-triangular Cholesky factor of SPD ``a`` [n, n] (2-D only).
 
-    One fused TPU kernel per matrix (vmap lifts batch dims onto the
-    grid); ``interpret=True`` runs the Mosaic interpreter off-TPU for
-    tests. Requires n ≤ ~1024 (whole matrix in VMEM); callers fall back
-    to ``jnp.linalg.cholesky`` above that.
+    One fused TPU kernel per matrix. For batches, ``jax.vmap`` this —
+    vmap lifts the call onto the Pallas grid (tested); passing an array
+    with leading batch dims directly is a shape error. ``interpret=True``
+    runs the Mosaic interpreter off-TPU for tests. Requires n ≤ ~1024
+    (whole matrix in VMEM); callers fall back to ``jnp.linalg.cholesky``
+    above that.
     """
     return _chol_fwd_impl(a, interpret)
 

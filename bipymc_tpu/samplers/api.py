@@ -551,9 +551,18 @@ class DreamZs(McmcSampler):
                 n_gens_hint // self.cfg.archive_thin + 1)
             capacity = int(min(max(256, appended), 65536))
         if self.cfg.shard_archive and self.mesh is not None:
-            # block layout needs equal blocks per device
+            # block layout needs equal blocks per device; only round the
+            # AUTO-computed capacity — silently changing an explicit one
+            # would break bit-identity with a replicated run of the same
+            # settings (ring wrap positions shift) and the user's memory
+            # budget
             n_dev = int(self.mesh.devices.size)
-            capacity = -(-capacity // n_dev) * n_dev
+            if self.archive_capacity is None:
+                capacity = -(-capacity // n_dev) * n_dev
+            elif capacity % n_dev != 0:
+                raise ValueError(
+                    f"archive_capacity={capacity} must be divisible by "
+                    f"the mesh's {n_dev} devices when shard_archive=True")
         n_z0 = self.n_archive_init or max(
             max(2 * self.cfg.delta_max, 3), self.n_chains, 10)
         n_z0 = min(n_z0, capacity)

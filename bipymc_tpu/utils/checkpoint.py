@@ -32,7 +32,31 @@ def load_state(path):
         n = len([k for k in data.files if k.startswith("leaf_")])
         leaves = [jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(n)]
         step = int(data["__step__"])
-    return jax.tree_util.tree_unflatten(treedef, leaves), step
+    return _unflatten_migrating(treedef, leaves), step
+
+
+def _unflatten_migrating(treedef, leaves):
+    """tree_unflatten with migration for state-layout changes.
+
+    Checkpoints are positional leaves + a treedef pinned to the class *as
+    it was at save time*; a field added later makes plain unflatten fail.
+    Known migration: DreamState gained ``cr_cum`` (round 2) — derivable
+    from ``cr_p``, so old 10-leaf DREAM checkpoints restore exactly.
+    """
+    try:
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+    except (TypeError, ValueError):
+        if "DreamState" in str(treedef) and len(leaves) == 10:
+            from bipymc_tpu.ensemble.archive import Archive
+            from bipymc_tpu.samplers.dream import DreamState
+            (x, logp, buf, fill, head, cr_p,
+             cr_jump, cr_count, logp_sum, gen) = leaves
+            cr_cum = jax.numpy.cumsum(cr_p / jax.numpy.sum(cr_p))
+            return DreamState(x=x, logp=logp,
+                              archive=Archive(buf=buf, fill=fill, head=head),
+                              cr_p=cr_p, cr_cum=cr_cum, cr_jump=cr_jump,
+                              cr_count=cr_count, logp_sum=logp_sum, gen=gen)
+        raise
 
 
 def save_state_orbax(path, state, step=0):
@@ -64,8 +88,7 @@ def load_state_orbax(path):
         restored = ckptr.restore(os.path.join(path, "state"))
     n = len(restored)
     leaves = [jax.numpy.asarray(restored[f"leaf_{i}"]) for i in range(n)]
-    return (jax.tree_util.tree_unflatten(meta["treedef"], leaves),
-            meta["step"])
+    return _unflatten_migrating(meta["treedef"], leaves), meta["step"]
 
 
 def save_sampler(path, sampler):

@@ -77,3 +77,46 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(s.final_state),
                     jax.tree_util.tree_leaves(st2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_legacy_dream_checkpoint_migrates(tmp_path):
+    """Round-2 added DreamState.cr_cum; 10-leaf checkpoints written before
+    that must still restore exactly (cr_cum is derived from cr_p)."""
+    import pickle
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from bipymc_tpu.models.targets import correlated_gaussian
+    from bipymc_tpu.samplers import dream
+    from bipymc_tpu.utils.checkpoint import load_state, save_state
+
+    lp = correlated_gaussian(jnp.zeros(2), jnp.eye(2))
+    cfg = dream.DreamConfig(n_chains=8)
+    x0 = jnp.asarray(np.random.default_rng(0).normal(size=(8, 2)),
+                     jnp.float32)
+    state = dream.init(x0, lp, cfg, archive_capacity=64, z0=x0)
+    path = str(tmp_path / "legacy.npz")
+    save_state(path, state, step=7)
+
+    # rewrite the file as the OLD 10-leaf layout (drop leaf 6 == cr_cum)
+    with np.load(path, allow_pickle=False) as data:
+        arrays = {k: data[k] for k in data.files}
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    assert len(leaves) == 11
+    old = {}
+    j = 0
+    for i in range(11):
+        if i == 6:
+            continue                      # cr_cum's flat position
+        old[f"leaf_{j}"] = arrays[f"leaf_{i}"]
+        j += 1
+    old["__treedef__"] = arrays["__treedef__"]   # unflatten fails -> migrate
+    old["__step__"] = arrays["__step__"]
+    np.savez(path, **old)
+
+    restored, step = load_state(path)
+    assert step == 7
+    np.testing.assert_array_equal(np.asarray(restored.x),
+                                  np.asarray(state.x))
+    np.testing.assert_allclose(np.asarray(restored.cr_cum),
+                               np.asarray(state.cr_cum), rtol=1e-6)

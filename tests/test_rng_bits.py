@@ -52,6 +52,24 @@ def test_distinct_from_bits_matches_sample_distinct():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_sub_f32_dtypes_stay_half_open():
+    """bf16/f16 casts round — must never hit exactly 1.0 (inf through
+    erf⁻¹, log(u)=0 never-accept) nor land the normal clamp on −1."""
+    from bipymc_tpu.core.rng import uniform_to_normal
+    # force the worst case: the largest representable f32 below 1
+    worst = jnp.full((8,), 0xFFFFFFFF, jnp.uint32)
+    bits = jnp.concatenate([
+        worst, jax.random.bits(jax.random.key(3), (50_000,), jnp.uint32)])
+    for dtype in (jnp.bfloat16, jnp.float16):
+        u = bits_to_uniform(bits, dtype)
+        assert float(jnp.max(u)) < 1.0, dtype
+        n = uniform_to_normal(u)
+        nz = uniform_to_normal(bits_to_uniform(
+            jnp.zeros((4,), jnp.uint32), dtype))
+        assert bool(jnp.all(jnp.isfinite(n))), dtype
+        assert bool(jnp.all(jnp.isfinite(nz))), dtype
+
+
 def test_cr_inverse_cdf_selection_law():
     """The engine's inverse-CDF CR pick must follow the cr_p weights."""
     cr_p = jnp.array([0.6, 0.3, 0.1])

@@ -86,6 +86,17 @@ def test_dream_sharded_archive_equals_vmap():
                                   b.acceptance_fraction)
 
 
+@needs_devices
+def test_explicit_capacity_indivisible_raises():
+    """A user-specified capacity is never silently rounded (that would
+    break bit-identity with the replicated run once the ring wraps)."""
+    lp = correlated_gaussian(MEAN, COV)
+    with pytest.raises(ValueError, match="archive_capacity"):
+        DreamZs(lp, n_chains=16, seed=0, mesh=chain_mesh(),
+                shard_archive=True, archive_capacity=1001).run_mcmc(
+                    10, MEAN)
+
+
 def test_shard_archive_requires_archive():
     from bipymc_tpu.samplers import dream
     cfg = dream.dream_config(n_chains=16, shard_archive=True)
