@@ -87,6 +87,19 @@ def test_dream_sharded_archive_equals_vmap():
 
 
 @needs_devices
+def test_sharded_archive_run_until():
+    """R̂ early stop composes with the sharded archive (while_loop of
+    scan chunks with the ppermute ring inside)."""
+    lp = correlated_gaussian(MEAN, COV)
+    s = DreamZs(lp, n_chains=16, seed=3, mesh=chain_mesh(),
+                shard_archive=True, archive_capacity=512)
+    info = s.run_mcmc_until(MEAN, rhat_tol=1.1, chunk=100, max_chunks=60,
+                            spread=2.0)
+    assert float(info["rhat"].max()) < 1.1
+    assert np.abs(info["mean"].mean(0) - np.asarray(MEAN)).max() < 0.5
+
+
+@needs_devices
 def test_explicit_capacity_indivisible_raises():
     """A user-specified capacity is never silently rounded (that would
     break bit-identity with the replicated run once the ring wraps)."""
