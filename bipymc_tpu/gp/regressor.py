@@ -204,12 +204,16 @@ class GpRegressor:
                 key = jax.random.key(0)
             for i in range(n_restarts - 1):
                 k = jax.random.fold_in(key, i)
-                noise = jax.tree_util.tree_map(
-                    lambda leaf, kk=k: leaf + restart_scale * jax.random.normal(
-                        jax.random.fold_in(kk, hash(str(leaf.shape)) % 2**31),
-                        jnp.shape(leaf), dtype=leaf.dtype),
-                    params)
-                inits.append(noise)
+                # fold by flat-leaf INDEX: every leaf gets an independent
+                # perturbation, reproducibly (hashing str(shape) was both
+                # salted per process and identical for same-shaped leaves)
+                leaves, treedef = jax.tree_util.tree_flatten(params)
+                noised = [
+                    leaf + restart_scale * jax.random.normal(
+                        jax.random.fold_in(k, j), jnp.shape(leaf),
+                        dtype=leaf.dtype)
+                    for j, leaf in enumerate(leaves)]
+                inits.append(jax.tree_util.tree_unflatten(treedef, noised))
 
         best_p, best_l = None, -jnp.inf
         for p0 in inits:

@@ -175,7 +175,8 @@ class ChainPool:
                                         t0)
 
     def run_until(self, state, base_key, rhat_tol=1.05, chunk=100,
-                  max_chunks=200, warmup_chunks=2, position_fn=None):
+                  max_chunks=200, warmup_chunks=2, position_fn=None,
+                  t0: int = 0):
         """Run until streaming R̂ < rhat_tol (BASELINE config 5 stopping).
 
         Structure: ``while_loop`` over compiled ``chunk``-step scans so
@@ -185,20 +186,34 @@ class ChainPool:
         is kept — the return carries final state, streamed posterior
         moments, steps taken, and the final R̂ vector.
 
+        t0: global step offset for continuation runs — keys fold on the
+        GLOBAL step index so a resumed run never replays randomness the
+        previous phase already consumed (and schedule-dependent kernels
+        like AM see the true step count). Pass the sampler's running step
+        total, exactly as ``run`` does.
+
         Returns (final_state, info dict with steps/rhat/mean/var).
         """
         if position_fn is None:
             position_fn = lambda s: s.x
-        n_dev = 1 if self.mesh is None else self.mesh.devices.size
         pos0 = position_fn(state)
         n_total = pos0.shape[0]
-        n_local = n_total // n_dev
         d = pos0.shape[-1]
         dtype = pos0.dtype
         axis = self.axis_name
+        t0 = jnp.asarray(t0, jnp.int32)
+
+        cache_key = ("until", rhat_tol, chunk, max_chunks, warmup_chunks,
+                     position_fn, n_total, d, dtype)
+        if cache_key in self._runners:
+            runner = self._runners[cache_key]
+            if self.mesh is None:
+                return runner(state, base_key, t0)
+            return runner(self.shard_state(state), base_key, t0)
+
         step = self.step_factory(axis)
 
-        def local_until(state, key):
+        def local_until(state, key, t0):
             rc0 = rhat_init(
                 position_fn(state).shape[0], d, dtype)
 
@@ -214,7 +229,7 @@ class ChainPool:
                 rc = jax.tree_util.tree_map(
                     lambda z: jnp.where(ci == warmup_chunks,
                                         jnp.zeros_like(z), z), rc)
-                ts = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
+                ts = t0 + ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
                 (s, rc), _ = lax.scan(one_step, (s, rc), ts)
                 rhat = jnp.where(
                     ci >= warmup_chunks,
@@ -234,14 +249,17 @@ class ChainPool:
                        jnp.maximum(rc.n - 1.0, 1.0)}
 
         if self.mesh is None:
-            return jax.jit(local_until)(state, base_key)
+            runner = jax.jit(local_until)
+            self._runners[cache_key] = runner
+            return runner(state, base_key, t0)
 
         state_specs = _state_specs(state, self.sharded_fields, axis)
         info_specs = {"steps": P(), "rhat": P(),
                       "mean": P(axis, None), "var": P(axis, None)}
-        sharded = jax.shard_map(
+        runner = jax.jit(jax.shard_map(
             local_until, mesh=self.mesh,
-            in_specs=(state_specs, P()),
+            in_specs=(state_specs, P(), P()),
             out_specs=(state_specs, info_specs),
-            check_vma=False)
-        return jax.jit(sharded)(self.shard_state(state), base_key)
+            check_vma=False))
+        self._runners[cache_key] = runner
+        return runner(self.shard_state(state), base_key, t0)

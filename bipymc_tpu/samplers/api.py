@@ -26,6 +26,16 @@ from bipymc_tpu.utils.init import var_ball
 from bipymc_tpu.utils.diagnostics import acceptance_fraction
 
 
+def _rw_position(s):
+    """Stable position_fn identity for the RW family's run_until cache."""
+    return s.theta
+
+
+def _pt_cold_position(s):
+    """Cold-replica positions for ParallelTempering's run_until."""
+    return s.kernel.theta[0]
+
+
 def _as_2d_theta0(theta_0, n_chains, key, spread, dtype):
     """Accept [d] (dispersed via var_ball) or [M, d] starting points."""
     theta_0 = jnp.asarray(theta_0, dtype=dtype)
@@ -52,6 +62,7 @@ class McmcSampler:
         # Eager device concatenation per run cost ~12x the sampling time on
         # a remote-device path, so the hot loop never touches history.
         self._chunks = []          # each: dict of [T, M, ...] device arrays
+        self._chunk_meta = []      # per chunk: (t0, thin, n_kept)
         self._history_np = None    # host cache: dict of np arrays
         self._super_chain_np = None
         self._final_state = None
@@ -114,15 +125,40 @@ class McmcSampler:
 
     @property
     def final_state(self):
-        """Sampler state pytree (for checkpoint/resume)."""
-        self._require_run()
+        """Sampler state pytree (for checkpoint/resume). Available after
+        ``run_mcmc`` OR ``run_mcmc_until`` (the latter keeps no history,
+        but its final state is checkpointable)."""
+        if self._final_state is None:
+            raise RuntimeError("call run_mcmc or run_mcmc_until first")
         return self._final_state
 
     def _require_run(self):
         if not self._chunks:
             raise RuntimeError("call run_mcmc first")
 
-    def _store(self, final_state, history, n_steps):
+    def _ensure_population(self, theta_0, spread, init_fn, step_factory,
+                           sharded_fields):
+        """Shared population-sampler setup: resolve the start state
+        (fresh init or continuation) and lazily build the ChainPool.
+        Returns (state, run_key)."""
+        key = jax.random.key(self.seed)
+        k_init, k_run = jax.random.split(key)
+        x0 = _as_2d_theta0(theta_0, self.n_chains, k_init, spread,
+                           self.dtype)
+        state = (self._final_state if self._final_state is not None
+                 else init_fn(x0))
+        if getattr(self, "_pool_obj", None) is None:
+            self._pool_obj = ChainPool(step_factory=step_factory,
+                                       sharded_fields=sharded_fields,
+                                       mesh=self.mesh)
+        return state, k_run
+
+    def _store(self, final_state, history, n_steps, thin=1):
+        # (start step, thin, kept rows) per chunk — diagnostics that need
+        # the GLOBAL step index of each kept row (e.g. PT swap rounds)
+        # reconstruct it from this, valid for any thin / continuation mix
+        self._chunk_meta.append(
+            (self._steps_run, int(thin), n_steps // int(thin)))
         self._final_state = final_state
         # block once so wall-clock timing by callers is honest; the chunk
         # stays device-resident — no concatenation in the hot path
@@ -199,7 +235,7 @@ class _RwSampler(McmcSampler):
                     progress_every=progress_every))
         final_state, history = self._runners[cache_key](
             state, k_run, jnp.asarray(self._steps_run, jnp.int32))
-        self._store(final_state, history, n_samples)
+        self._store(final_state, history, n_samples, thin=thin)
         return self
 
     def run_mcmc_until(self, theta_0, cov_est=None, rhat_tol=1.05,
@@ -211,12 +247,14 @@ class _RwSampler(McmcSampler):
         if self.n_chains < 2:
             raise ValueError("R-hat early stop needs n_chains >= 2")
         state, batched_step, k_run = self._prepare(theta_0, cov_est, spread)
-        pool = ChainPool(step_factory=lambda axis: batched_step,
-                         sharded_fields=("theta",), mesh=None)
-        final_state, info = pool.run_until(
+        if getattr(self, "_until_pool", None) is None:
+            self._until_pool = ChainPool(
+                step_factory=lambda axis: batched_step,
+                sharded_fields=("theta",), mesh=None)
+        final_state, info = self._until_pool.run_until(
             state, k_run, rhat_tol=rhat_tol, chunk=chunk,
             max_chunks=max_chunks, warmup_chunks=warmup_chunks,
-            position_fn=lambda s: s.theta)
+            position_fn=_rw_position, t0=self._steps_run)
         self._final_state = jax.block_until_ready(final_state)
         self._steps_run += int(info["steps"])
         return {k: np.asarray(v) for k, v in info.items()}
@@ -314,7 +352,7 @@ class ParallelTempering(McmcSampler):
                     collect_fn=collect, t0=t0))
         final_state, history = self._runners[cache_key](
             state, k_run, jnp.asarray(self._steps_run, jnp.int32))
-        self._store(final_state, history, n_samples)
+        self._store(final_state, history, n_samples, thin=thin)
         return self
 
     def run_mcmc_until(self, theta_0, cov_est=None, rhat_tol=1.05,
@@ -337,14 +375,15 @@ class ParallelTempering(McmcSampler):
         state = (self._final_state if self._final_state is not None
                  else tempering.init(theta0, self.log_like_fn, self.cfg,
                                      cov_est))
-        pool = ChainPool(
-            step_factory=lambda axis: tempering.make_step(
-                self.log_like_fn, self.cfg),
-            sharded_fields=(), mesh=None)
-        final_state, info = pool.run_until(
+        if getattr(self, "_until_pool", None) is None:
+            self._until_pool = ChainPool(
+                step_factory=lambda axis: tempering.make_step(
+                    self.log_like_fn, self.cfg),
+                sharded_fields=(), mesh=None)
+        final_state, info = self._until_pool.run_until(
             state, k_run, rhat_tol=rhat_tol, chunk=chunk,
             max_chunks=max_chunks, warmup_chunks=warmup_chunks,
-            position_fn=lambda s: s.kernel.theta[0])
+            position_fn=_pt_cold_position, t0=self._steps_run)
         self._final_state = jax.block_until_ready(final_state)
         self._steps_run += int(info["steps"])
         return {k: np.asarray(v) for k, v in info.items()}
@@ -363,9 +402,14 @@ class ParallelTempering(McmcSampler):
         k, so attempts are counted per pair."""
         self._require_run()
         ps = np.asarray(self._history["pair_swap"])   # [T, K, M]
-        T = ps.shape[0]
         interval = self.cfg.swap_interval
-        ts = np.arange(self._steps_run - T, self._steps_run)
+        # GLOBAL step index of every kept history row: with thin > 1 the
+        # kept rows are t0 + k·thin + (thin−1), NOT the last T integers —
+        # assuming the latter silently mis-assigned swap rounds
+        ts = np.concatenate([
+            t0 + np.arange(n_kept) * thin + (thin - 1)
+            for (t0, thin, n_kept) in self._chunk_meta])
+        assert ts.shape[0] == ps.shape[0]
         is_round = (ts % interval) == interval - 1
         parity = (ts // interval) % 2
         rates = np.zeros(self.n_temps - 1)
@@ -382,13 +426,11 @@ class ParallelTempering(McmcSampler):
         The round-trip rate (trips per swap round per chain) is THE
         ladder-quality metric: near zero means the ladder has a choke
         point (check swap_rates for the weak interface)."""
-        self._require_run()
-        return int(np.asarray(self._final_state.trips))
+        return int(np.asarray(self.final_state.trips))
 
     @property
     def round_trip_rate(self):
         """Round trips per swap round per chain slot."""
-        self._require_run()
         n_rounds = max(self._steps_run // self.cfg.swap_interval, 1)
         return self.round_trips / (n_rounds * self.n_chains)
 
@@ -402,7 +444,13 @@ class ParallelTempering(McmcSampler):
             self.log_like_fn, betas=self.cfg.betas,
             seed=self.seed if seed is None else seed, **self._ctor_kw)
         pilot.run_mcmc(n_pilot, theta_0, cov_est=cov_est, spread=spread)
-        new_betas = tempering.tune_ladder(self.cfg.betas, pilot.swap_rates)
+        rates = pilot.swap_rates
+        if np.any(np.isnan(rates)):
+            raise ValueError(
+                "pilot run attempted no swaps at some interfaces "
+                f"(swap_rates={rates}); raise n_pilot or lower "
+                "swap_interval so every parity gets swap rounds")
+        new_betas = tempering.tune_ladder(self.cfg.betas, rates)
         return ParallelTempering(
             self.log_like_fn, betas=new_betas, seed=self.seed,
             **self._ctor_kw)
@@ -419,19 +467,12 @@ class DeMc(McmcSampler):
         self.mesh = mesh
 
     def _ensure(self, theta_0, spread):
-        key = jax.random.key(self.seed)
-        k_init, k_run = jax.random.split(key)
-        x0 = _as_2d_theta0(theta_0, self.n_chains, k_init, spread, self.dtype)
-        if self._final_state is None:
-            state = demc.init(x0, self.log_like_fn)
-        else:
-            state = self._final_state
-        if not hasattr(self, "_pool_obj") or self._pool_obj is None:
-            self._pool_obj = ChainPool(
-                step_factory=lambda axis: demc.make_step(
-                    self.log_like_fn, self.cfg, axis_name=axis),
-                sharded_fields=("x", "logp"), mesh=self.mesh)
-        return state, k_run
+        return self._ensure_population(
+            theta_0, spread,
+            init_fn=lambda x0: demc.init(x0, self.log_like_fn),
+            step_factory=lambda axis: demc.make_step(
+                self.log_like_fn, self.cfg, axis_name=axis),
+            sharded_fields=("x", "logp"))
 
     def run_mcmc(self, n_gens, theta_0, thin=1, spread=1.0,
                  progress_every=None):
@@ -439,7 +480,7 @@ class DeMc(McmcSampler):
         final_state, history = self._pool_obj.run(
             state, k_run, n_gens, thin=thin, t0=self._steps_run,
             progress_every=progress_every)
-        self._store(final_state, history, n_gens)
+        self._store(final_state, history, n_gens, thin=thin)
         return self
 
     def run_mcmc_until(self, theta_0, rhat_tol=1.05, chunk=100,
@@ -449,7 +490,8 @@ class DeMc(McmcSampler):
         state, k_run = self._ensure(theta_0, spread)
         final_state, info = self._pool_obj.run_until(
             state, k_run, rhat_tol=rhat_tol, chunk=chunk,
-            max_chunks=max_chunks, warmup_chunks=warmup_chunks)
+            max_chunks=max_chunks, warmup_chunks=warmup_chunks,
+            t0=self._steps_run)
         self._final_state = jax.block_until_ready(final_state)
         self._steps_run += int(info["steps"])
         return {k: np.asarray(v) for k, v in info.items()}
@@ -469,20 +511,12 @@ class EnsembleSampler(McmcSampler):
         self.mesh = mesh
 
     def _ensure(self, theta_0, spread):
-        key = jax.random.key(self.seed)
-        k_init, k_run = jax.random.split(key)
-        x0 = _as_2d_theta0(theta_0, self.n_chains, k_init, spread,
-                           self.dtype)
-        if self._final_state is None:
-            state = stretch.init(x0, self.log_like_fn)
-        else:
-            state = self._final_state
-        if getattr(self, "_pool_obj", None) is None:
-            self._pool_obj = ChainPool(
-                step_factory=lambda axis: stretch.make_step(
-                    self.log_like_fn, self.cfg, axis_name=axis),
-                sharded_fields=("x", "logp"), mesh=self.mesh)
-        return state, k_run
+        return self._ensure_population(
+            theta_0, spread,
+            init_fn=lambda x0: stretch.init(x0, self.log_like_fn),
+            step_factory=lambda axis: stretch.make_step(
+                self.log_like_fn, self.cfg, axis_name=axis),
+            sharded_fields=("x", "logp"))
 
     def run_mcmc(self, n_gens, theta_0, thin=1, spread=1.0,
                  progress_every=None):
@@ -490,7 +524,7 @@ class EnsembleSampler(McmcSampler):
         final_state, history = self._pool_obj.run(
             state, k_run, n_gens, thin=thin, t0=self._steps_run,
             progress_every=progress_every)
-        self._store(final_state, history, n_gens)
+        self._store(final_state, history, n_gens, thin=thin)
         return self
 
     def run_mcmc_until(self, theta_0, rhat_tol=1.05, chunk=100,
@@ -498,7 +532,8 @@ class EnsembleSampler(McmcSampler):
         state, k_run = self._ensure(theta_0, spread)
         final_state, info = self._pool_obj.run_until(
             state, k_run, rhat_tol=rhat_tol, chunk=chunk,
-            max_chunks=max_chunks, warmup_chunks=warmup_chunks)
+            max_chunks=max_chunks, warmup_chunks=warmup_chunks,
+            t0=self._steps_run)
         self._final_state = jax.block_until_ready(final_state)
         self._steps_run += int(info["steps"])
         return {k: np.asarray(v) for k, v in info.items()}
@@ -579,7 +614,7 @@ class DreamZs(McmcSampler):
         final_state, history = self._pool().run(
             state, k_run, n_gens, thin=thin,
             t0=self._steps_run, progress_every=progress_every)
-        self._store(final_state, history, n_gens)
+        self._store(final_state, history, n_gens, thin=thin)
         return self
 
     def run_mcmc_until(self, theta_0, rhat_tol=1.05, chunk=100,
@@ -594,15 +629,15 @@ class DreamZs(McmcSampler):
                                           chunk * max_chunks)
         final_state, info = self._pool().run_until(
             state, k_run, rhat_tol=rhat_tol, chunk=chunk,
-            max_chunks=max_chunks, warmup_chunks=warmup_chunks)
+            max_chunks=max_chunks, warmup_chunks=warmup_chunks,
+            t0=self._steps_run)
         self._final_state = jax.block_until_ready(final_state)
         self._steps_run += int(info["steps"])
         return {k: np.asarray(v) for k, v in info.items()}
 
     @property
     def cr_probabilities(self):
-        self._require_run()
-        return np.asarray(self._final_state.cr_p)
+        return np.asarray(self.final_state.cr_p)
 
 
 class DeMcZ(DreamZs):

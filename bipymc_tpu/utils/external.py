@@ -36,6 +36,10 @@ def external_log_like(fn, batched: bool = False, dtype=None):
     def host_eval(theta_np):
         theta_np = np.asarray(theta_np)
         if theta_np.ndim == 1:
+            # honour the batched contract ([n, d] -> [n]) even for a
+            # single un-vmapped evaluation
+            if batched:
+                return np.asarray(fn(theta_np[None]))[0]
             return np.asarray(fn(theta_np))
         flat = theta_np.reshape(-1, theta_np.shape[-1])
         if batched:

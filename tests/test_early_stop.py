@@ -78,3 +78,48 @@ def test_rw_family_run_until():
     import pytest
     with pytest.raises(ValueError, match="n_chains"):
         bp.Dram(lp, n_chains=1).run_mcmc_until(jnp.zeros(2))
+
+
+def test_run_until_t0_decorrelates_continuation():
+    """run_until must fold keys on the GLOBAL step index: a continuation
+    run (t0 > 0) must not replay the randomness of steps 0..t0-1."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bipymc_tpu.models.targets import correlated_gaussian
+    from bipymc_tpu.parallel.pool import ChainPool
+    from bipymc_tpu.samplers import demc
+
+    lp = correlated_gaussian(jnp.array([0.0, 0.0]), jnp.eye(2))
+    cfg = demc.DeMcConfig(n_chains=8)
+    x0 = jax.random.normal(jax.random.key(0), (8, 2))
+    state = demc.init(x0, lp)
+    pool = ChainPool(
+        step_factory=lambda axis: demc.make_step(lp, cfg, axis_name=axis),
+        sharded_fields=("x", "logp"))
+    key = jax.random.key(5)
+    s_a, _ = pool.run_until(state, key, rhat_tol=0.0, chunk=20,
+                            max_chunks=2, warmup_chunks=0, t0=0)
+    s_b, _ = pool.run_until(state, key, rhat_tol=0.0, chunk=20,
+                            max_chunks=2, warmup_chunks=0, t0=40)
+    assert not np.array_equal(np.asarray(s_a.x), np.asarray(s_b.x))
+
+
+def test_final_state_available_after_until_only():
+    """Checkpointing the R-hat-stop workflow: final_state (and state-backed
+    diagnostics) must work after run_mcmc_until with no run_mcmc."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    import bipymc_tpu as bp
+    from bipymc_tpu.models.targets import correlated_gaussian
+
+    lp = correlated_gaussian(jnp.array([1.0, -1.0]),
+                             jnp.array([[1.0, 0.3], [0.3, 0.8]]))
+    s = bp.DreamZs(lp, n_chains=8, seed=2)
+    s.run_mcmc_until(jnp.zeros(2), rhat_tol=1.2, chunk=50, max_chunks=40,
+                     spread=2.0)
+    assert s.final_state is not None
+    assert s.cr_probabilities.shape == (3,)
+    with pytest.raises(RuntimeError):
+        s.super_chain  # history-backed access still requires run_mcmc

@@ -102,3 +102,21 @@ def test_pt_tune_ladder_flattens_rejection():
     spread1 = np.std(1.0 - tuned.swap_rates)
     assert spread1 < spread0 + 0.03, (spread0, spread1)
     assert tuned.round_trips > 0
+
+
+def test_swap_rates_independent_of_thin():
+    """Kept rows sit at t0 + k*thin + thin-1; with swap_interval=10 and
+    thin=5 every swap round is still recorded, so the per-interface rates
+    must be EXACTLY the thin=1 rates (same seed, same dynamics)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import bipymc_tpu as bp
+    from bipymc_tpu.models.targets import correlated_gaussian
+
+    lp = correlated_gaussian(jnp.array([0.0, 0.0]), jnp.eye(2))
+    kw = dict(n_temps=4, n_chains=4, swap_interval=10, kind="mh", seed=3)
+    a = bp.ParallelTempering(lp, **kw)
+    a.run_mcmc(2000, jnp.zeros(2), cov_est=jnp.eye(2), thin=1)
+    b = bp.ParallelTempering(lp, **kw)
+    b.run_mcmc(2000, jnp.zeros(2), cov_est=jnp.eye(2), thin=5)
+    np.testing.assert_allclose(a.swap_rates, b.swap_rates, rtol=0, atol=0)
