@@ -196,10 +196,12 @@ class NumpyDram:
         chol = np.linalg.cholesky(cov)
         lp = self.log_prob(x)
         history = np.empty((n_steps, d))
+        # inv/log_det change only when cov adapts — computing them per
+        # step inflated the baseline's cost (and thus the speedup ratio)
+        cov_inv = np.linalg.inv(cov)
+        log_det = 2.0 * np.sum(np.log(np.diag(chol)))
 
         for t in range(n_steps):
-            cov_inv = np.linalg.inv(cov)
-            log_det = 2.0 * np.sum(np.log(np.diag(chol)))
             if draws is None:
                 z1, z2 = rng.standard_normal(d), None
                 u1, u2 = rng.uniform(), None
@@ -208,7 +210,9 @@ class NumpyDram:
             y1 = x + chol @ z1
             lp1 = self.log_prob(y1)
             a1 = min(0.0, lp1 - lp)                     # log α₁(x, y₁)
-            if np.log(u1) < a1:
+            # guard non-finite proposals: Python's min(0.0, nan) is 0.0,
+            # which would ACCEPT — the JAX path rejects via NaN compares
+            if np.isfinite(lp1) and np.log(u1) < a1:
                 x, lp = y1, lp1
             else:
                 if draws is None:
@@ -236,6 +240,8 @@ class NumpyDram:
                 try:
                     chol_new = np.linalg.cholesky(c)
                     cov, chol = c, chol_new
+                    cov_inv = np.linalg.inv(cov)
+                    log_det = 2.0 * np.sum(np.log(np.diag(chol)))
                 except np.linalg.LinAlgError:
                     pass
         return history

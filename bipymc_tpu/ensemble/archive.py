@@ -61,6 +61,12 @@ def archive_append(ar: Archive, rows) -> Archive:
     rows = jnp.atleast_2d(rows)
     k = rows.shape[0]
     capacity = ar.buf.shape[0]
+    if k > capacity:
+        # pos would wrap onto duplicate slots and the scatter winner is
+        # implementation-defined — a silently corrupted archive
+        raise ValueError(
+            f"appending {k} rows to a capacity-{capacity} archive: "
+            f"capacity must be ≥ the population size")
     pos = (ar.head + jnp.arange(k, dtype=jnp.int32)) % capacity
     buf = ar.buf.at[pos].set(rows)
     return Archive(buf=buf,
@@ -123,6 +129,10 @@ def archive_append_sharded(ar: Archive, rows, axis_name) -> Archive:
     n_shards = lax.axis_size(axis_name)
     cap_local = ar.buf.shape[0]
     capacity = cap_local * n_shards
+    if k > capacity:
+        raise ValueError(
+            f"appending {k} rows to a global capacity-{capacity} sharded "
+            f"archive: capacity must be ≥ the population size")
     me = lax.axis_index(axis_name)
     pos = (ar.head + jnp.arange(k, dtype=jnp.int32)) % capacity
     local = pos - me * cap_local

@@ -69,6 +69,10 @@ def gaussian_mixture(means, sigma=1.0, weights=None):
     means: [k, d] component centers; sigma: shared std; weights: [k].
     """
     means = np.asarray(means)
+    if not np.issubdtype(means.dtype, np.floating):
+        # integer mode centres are natural input; an int dtype would
+        # truncate -log(k) to 0 below and shift log_prob by a constant
+        means = means.astype(np.float32)
     k, d = means.shape
     if weights is None:
         log_w = np.full((k,), -np.log(k), dtype=means.dtype)

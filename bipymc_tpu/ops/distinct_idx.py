@@ -22,13 +22,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from bipymc_tpu.ops.tiling import round_up
+
 _SENTINEL = 2 ** 31 - 1
 _LANE = 128
 _SUB = 8                      # int32 tile: (8, 128)
 
-
-def _round_up(x, m):
-    return (x + m - 1) // m * m
 
 
 def _make_kernel(k, m, has_exclude):
@@ -77,7 +76,7 @@ def distinct_idx_pallas(bits, k, n, exclude=None, interpret=False):
     n_excl = 1 if exclude is not None else 0
 
     # chains → (sublane, lane) tiles; k is the (static-indexed) major axis
-    n_pad = _round_up(n_chains, _SUB * _LANE)
+    n_pad = round_up(n_chains, _SUB * _LANE)
     s = n_pad // _LANE
     b31 = (bits & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     b31 = jnp.pad(b31, ((0, n_pad - n_chains), (0, 0)))

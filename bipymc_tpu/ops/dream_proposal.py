@@ -28,15 +28,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from bipymc_tpu.ops.tiling import round_up
+
 _BC = 128          # chain block (sublanes)
 _LANE = 128
 
 # scalar lane assignments in the packed per-chain scalar array
 _S_DELTA, _S_CR, _S_GS, _S_SNK, _S_GJUMP = 0, 1, 2, 3, 4
 
-
-def _round_up(x, m):
-    return (x + m - 1) // m * m
 
 
 def _make_kernel(n_pairs, d_true, b, b_star):
@@ -59,9 +58,14 @@ def _make_kernel(n_pairs, d_true, b, b_star):
                                - rows_ref[:, n_pairs + j, :])
 
         mask = (u < cr).astype(x.dtype)
-        # guarantee ≥1 crossed dim: mark the lane holding the min uniform
+        # guarantee ≥1 crossed dim: mark the lane holding the min uniform.
+        # FIRST minimum only — (u == umin) alone would set every tied lane,
+        # diverging from the reference paths' argmin on bit-equal draws
         umin = jnp.min(u, axis=1, keepdims=True)
-        mask = jnp.maximum(mask, (u == umin).astype(x.dtype))
+        lane = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+        first_min = jnp.min(
+            jnp.where(u == umin, lane, u.shape[1]), axis=1, keepdims=True)
+        mask = jnp.maximum(mask, (lane == first_min).astype(x.dtype))
         d_eff = jnp.sum(mask, axis=1, keepdims=True)
 
         gamma = 2.38 * jax.lax.rsqrt(2.0 * delta * d_eff)
@@ -109,8 +113,8 @@ def dream_propose_pallas(x, rows, u_mask, u_e, eps, scal,
     """
     n, d = x.shape
     k = rows.shape[1]
-    n_p = _round_up(n, _BC)
-    d_p = _round_up(d, _LANE)
+    n_p = round_up(n, _BC)
+    d_p = round_up(d, _LANE)
 
     def pad_nd(a, fill=0.0):
         return jnp.pad(a, ((0, n_p - n), (0, d_p - d)),

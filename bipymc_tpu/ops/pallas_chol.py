@@ -29,11 +29,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from bipymc_tpu.ops.tiling import round_up
+
 _B = 128
 
-
-def _round_up(x, m):
-    return (x + m - 1) // m * m
 
 
 def _make_kernel(n_pad):
@@ -107,7 +106,7 @@ def _make_kernel(n_pad):
 
 def _chol_fwd_impl(a, interpret):
     n = a.shape[-1]
-    n_pad = _round_up(n, _B)
+    n_pad = round_up(n, _B)
     # pad with identity so padded pivots are 1 (keeps rsqrt finite)
     if n_pad != n:
         eye = jnp.eye(n_pad, dtype=a.dtype)

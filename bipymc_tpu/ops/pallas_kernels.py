@@ -20,12 +20,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from bipymc_tpu.ops.tiling import round_up
+
 _BLOCK = 256      # output tile (multiple of MXU 128)
 _K_ALIGN = 128    # lane alignment for the feature axis
 
-
-def _round_up(x, m):
-    return (x + m - 1) // m * m
 
 
 def _sqdist_kernel(a_ref, b_ref, out_ref):
@@ -69,7 +68,7 @@ _sqdist_pallas.defvjp(_sqdist_pallas_fwd, _sqdist_pallas_bwd)
 def _sqdist_pallas_call(A, B, bm=_BLOCK, bn=_BLOCK):
     n, k = A.shape
     m, _ = B.shape
-    n_p, m_p, k_p = _round_up(n, bm), _round_up(m, bn), _round_up(k, _K_ALIGN)
+    n_p, m_p, k_p = round_up(n, bm), round_up(m, bn), round_up(k, _K_ALIGN)
     # zero padding changes neither norms nor the cross term
     A = jnp.pad(A, ((0, n_p - n), (0, k_p - k)))
     B = jnp.pad(B, ((0, m_p - m), (0, k_p - k)))

@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from bipymc_tpu.ops.tiling import round_up
+
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
@@ -119,14 +121,13 @@ def _solve_impl(L, b, block, transposed, interpret):
     if squeeze:
         b = b[:, None]
     m = b.shape[1]
-    n_pad = -(-n // block) * block
-    m_pad = max(-(-m // 128) * 128, 128)
+    n_pad = round_up(n, block)
+    m_pad = max(round_up(m, 128), 128)
     Lp = _pad_to(_pad_to(L, n_pad, 0), n_pad, 1)
     if n_pad > n:
         # keep padded diagonal blocks invertible
         idx = jnp.arange(n, n_pad)
         Lp = Lp.at[idx, idx].set(1.0)
-    bp_ = _pad_to(_pad_to(b, n_pad, 0), m_pad, 1)
     nb = n_pad // block
     invd = _diag_block_inverses(Lp, block)
 
@@ -134,7 +135,12 @@ def _solve_impl(L, b, block, transposed, interpret):
     # full budget is 16 MB and the L row/column block is double-buffered):
     # each m-tile is an independent substitution (parallel grid axis)
     m_tile = min(m_pad, max(128, (2 * 2 ** 20 // (4 * n_pad)) // 128 * 128))
+    # the grid must cover EVERY column: round the padded width up to a
+    # whole number of tiles (flooring here left the last partial tile's
+    # output block unwritten — NaN/garbage columns)
+    m_pad = round_up(m_pad, m_tile)
     m_tiles = m_pad // m_tile
+    bp_ = _pad_to(_pad_to(b, n_pad, 0), m_pad, 1)
 
     if not transposed:
         in_specs = [

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 
 from bipymc_tpu.ops.pallas_solve import tri_solve, tri_solve_t, solve_chol
 
+INTERPRET = jax.default_backend() != "tpu"
+
 
 def _spd_chol(n, seed=0, dtype=jnp.float32):
     rng = np.random.default_rng(seed)
@@ -96,3 +98,20 @@ def test_tri_solve_tpu_hardware():
     got_t = tri_solve_t(L, b, 128, False)
     want_t = jax.scipy.linalg.solve_triangular(L.T, b, lower=False)
     np.testing.assert_allclose(got_t, want_t, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("n,m", [(1024, 600), (256, 2500), (512, 129)])
+def test_partial_rhs_tile_covered(n, m):
+    """The RHS grid must cover every column: m_pad not a multiple of the
+    m_tile once floored the tile count and left trailing columns
+    unwritten (NaN) — regression for the review finding."""
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    chol = jnp.asarray(np.linalg.cholesky(
+        a @ a.T + n * np.eye(n, dtype=np.float32)))
+    b = jnp.asarray(rng.standard_normal((n, m)).astype(np.float32))
+    x = tri_solve(chol, b, interpret=INTERPRET)
+    ref = jax.scipy.linalg.solve_triangular(chol, b, lower=True)
+    assert np.all(np.isfinite(np.asarray(x)))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
