@@ -81,7 +81,7 @@ def config1(quick):
 
 
 def config2(quick):
-    """Banana, 8-chain DE-MC-z with snooker."""
+    """Banana, 8-chain DE-MC-z with snooker (+ NumPy reference)."""
     n = 30000 if not quick else 5000
     log_prob = banana()
     s2 = bp.DeMcZ(log_prob, n_chains=8, seed=1)
@@ -92,11 +92,31 @@ def config2(quick):
     ess, eps = ess_per_sec(s2, n + n // 3, elapsed, n)
     rhat = float(np.max(np.asarray(
         bp.gelman_rubin(s2.get_chain(discard=n)))))
+
+    # reference-semantics NumPy DREAM-zs on the same target/population;
+    # same per-generation statistical efficiency (same algorithm), so the
+    # ESS ratio equals the generation-rate ratio
+    from reference_numpy import NumpyDreamZs
+    def np_lp(th):
+        # twin of models.targets.banana (b=0.03, sigma1=10)
+        y1 = float(th[0])
+        y2 = float(th[1]) + 0.03 * y1 ** 2 - 100.0 * 0.03
+        return float(-0.5 * (y1 ** 2 / 100.0 + y2 ** 2))
+    ref = NumpyDreamZs(np_lp, 8, burnin_gens=200, seed=1)
+    rng = np.random.default_rng(1)
+    x0 = 3.0 * rng.standard_normal((8, 2))
+    z0 = 3.0 * rng.standard_normal((16, 2))
+    n_ref = 2000 if not quick else 500
+    t0 = time.time()
+    ref.run(x0, z0, n_ref)
+    ref_gps = n_ref / (time.time() - t0)
     return {
         "name": "2: banana / DE-MC-z+snooker (8 chains)",
         "gens_per_sec": n / elapsed,
         "ess_per_sec": eps,
         "rhat": rhat,
+        "ref_gens_per_sec": ref_gps,
+        "speedup": (n / elapsed) / ref_gps,
     }
 
 
@@ -181,11 +201,41 @@ def config4(quick):
     ess, eps = ess_per_sec(s2, n + n // 4, elapsed, n)
     # DR: 2 likelihoods/step/chain; each likelihood = kernel build + chol
     chols_per_sec = 2 * 4 * n / elapsed
+
+    # reference-semantics likelihood: NumPy/SciPy GP log-ML (kernel build
+    # + cho_factor + cho_solve per evaluation) inside the NumPy DRAM loop
+    # — the reference's exact execution shape for this config
+    from scipy.linalg import cho_factor, cho_solve
+    from reference_numpy import NumpyDram
+    x64, y64 = x.astype(np.float64), y.astype(np.float64)
+
+    def np_log_post(theta):
+        ls = np.exp(theta[0:2])
+        sf2 = np.exp(2.0 * theta[2])
+        sn2 = np.exp(2.0 * theta[3])
+        sq = ((x64[:, None, :] - x64[None, :, :]) / ls) ** 2
+        kmat = sf2 * np.exp(-0.5 * sq.sum(-1)) + \
+            (sn2 + 1e-5 * sf2) * np.eye(n_train)
+        c, low = cho_factor(kmat, lower=True)
+        alpha = cho_solve((c, low), y64)
+        lml = (-0.5 * y64 @ alpha - np.sum(np.log(np.diag(c)))
+               - 0.5 * n_train * np.log(2.0 * np.pi))
+        return float(lml - 0.5 * np.sum((theta / 2.0) ** 2))
+
+    ref = NumpyDram(np_log_post, seed=1)
+    n_ref = 60 if not quick else 20
+    t0 = time.time()
+    ref.run(np.zeros(4), n_ref, cov0=np.eye(4) * 0.05)
+    ref_sps = n_ref / (time.time() - t0)
+    # 4 vmapped chains vs 1 serial chain: compare per-chain-step rates
+    # times chains (throughput), same per-step statistical efficiency
     return {
         "name": f"4: GP log-ML target, n={n_train} (DRAM, 4 chains)",
         "steps_per_sec": n / elapsed,
         "cholesky_evals_per_sec": chols_per_sec,
         "ess_per_sec": eps,
+        "ref_steps_per_sec_1chain": ref_sps,
+        "speedup_chain_steps": (4 * n / elapsed) / ref_sps,
     }
 
 
