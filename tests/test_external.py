@@ -50,3 +50,20 @@ def test_external_matches_traceable():
     host.run_mcmc(300, jnp.zeros(2), cov_est=jnp.eye(2))
     np.testing.assert_allclose(dev.super_chain, host.super_chain,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_batched_contract_on_unbatched_call():
+    """batched=True fns receive [n, d] even for a single 1-d evaluation
+    (regression: the un-vmapped path used to pass a bare [d] vector)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from bipymc_tpu.utils.external import external_log_like
+
+    def fn(thetas):                      # strictly [n, d] -> [n]
+        thetas = np.asarray(thetas)
+        assert thetas.ndim == 2, thetas.shape
+        return -0.5 * (thetas ** 2).sum(axis=1)
+
+    ll = external_log_like(fn, batched=True)
+    out = ll(jnp.array([1.0, 2.0]))
+    np.testing.assert_allclose(float(out), -2.5, rtol=1e-6)

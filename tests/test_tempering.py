@@ -120,3 +120,18 @@ def test_swap_rates_independent_of_thin():
     b = bp.ParallelTempering(lp, **kw)
     b.run_mcmc(2000, jnp.zeros(2), cov_est=jnp.eye(2), thin=5)
     np.testing.assert_allclose(a.swap_rates, b.swap_rates, rtol=0, atol=0)
+
+
+def test_tune_ladder_rejects_unattempted_interfaces():
+    """A pilot too short to attempt every DEO parity must raise a clear
+    error instead of propagating NaN into the new ladder."""
+    import jax.numpy as jnp
+    import pytest
+    import bipymc_tpu as bp
+    from bipymc_tpu.models.targets import correlated_gaussian
+
+    lp = correlated_gaussian(jnp.zeros(2), jnp.eye(2))
+    pt = bp.ParallelTempering(lp, n_temps=4, n_chains=2, kind="mh",
+                              swap_interval=500, seed=0)
+    with pytest.raises(ValueError, match="pilot"):
+        pt.tune_ladder(jnp.zeros(2), n_pilot=600)
