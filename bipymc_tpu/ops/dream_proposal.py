@@ -1,12 +1,13 @@
 """Fused Pallas kernel for the DREAM-zs proposal math.
 
-Profiling the DREAM-zs generation on TPU v5e (256 chains × 100 dims)
-splits ~51µs/gen into ~8µs RNG + likelihood + accept, ~8µs distinct-index
-draws + archive gather, and ~34µs of *deterministic proposal math* — some
-thirty small element-wise/reduction ops ([n,d]-shaped) each paying kernel
-launch + HBM round-trip. This module fuses that math into ONE Pallas VPU
-kernel: inputs arrive once from HBM, everything happens in VMEM, one
-output write.
+The deterministic proposal math is ~30 small element-wise/reduction ops
+([n,d]-shaped), each paying kernel launch + HBM round-trip at 256-chain
+batch sizes; this module fuses it into ONE Pallas VPU kernel — inputs
+arrive once from HBM, everything happens in VMEM, one output write.
+Measured on v5e: the fused kernel earns ~16µs/generation at 256×100
+(current full-step ablation in docs/ROUND2.md; companion fused kernels:
+ops/distinct_idx.py for the row draws, ops/accept_select.py for the
+accept/update chain).
 
 Randomness and archive row gathers stay in XLA (identical RNG streams to
 the unfused path); the kernel is a pure deterministic function of them, so

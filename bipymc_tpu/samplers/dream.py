@@ -245,6 +245,10 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
     def step(state: DreamState, key: jax.Array, t: jax.Array):
         n_local, d = state.x.shape
         dtype = state.x.dtype
+        use_pallas = cfg.pallas_proposal
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        interp = jax.default_backend() != "tpu"
         offset = chain_offset(n_local, axis_name)
         gamma_jump = (state.gen % cfg.jump_interval) == (cfg.jump_interval - 1)
         in_burnin = state.gen < cfg.burnin_gens
@@ -279,9 +283,6 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
             # distinct rows: fused single-launch kernel on the pallas path
             # (the unrolled shift chain is ~60 dependent i32 ops — half the
             # step when left to per-op dispatch), identical bits either way
-            use_pallas = cfg.pallas_proposal
-            if use_pallas is None:
-                use_pallas = jax.default_backend() == "tpu"
             if use_pallas:
                 from bipymc_tpu.ops.distinct_idx import distinct_idx_pallas
                 bound = (state.archive.fill if cfg.use_archive
@@ -289,7 +290,7 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
                 row_idx = distinct_idx_pallas(
                     row_bits, n_rows, bound,
                     exclude=None if cfg.use_archive else gid,
-                    interpret=jax.default_backend() != "tpu")
+                    interpret=interp)
             elif cfg.use_archive:
                 row_idx = jax.vmap(
                     lambda b: distinct_from_bits(
@@ -323,13 +324,22 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
 
         logp_star = jax.vmap(log_prob)(x_star)             # dominant cost
         log_u = jnp.log(u_acc)
-        log_alpha = jnp.minimum(0.0, logp_star - state.logp + log_jac)
-        # guard NaN/-inf proposals (out-of-support): always reject
-        log_alpha = jnp.where(jnp.isfinite(logp_star), log_alpha, -jnp.inf)
-        acc = log_u < log_alpha
-
-        x_new = jnp.where(acc[:, None], x_star, state.x)
-        logp_new = jnp.where(acc, logp_star, state.logp)
+        if use_pallas:
+            # fused accept/update: exact ops only (compare/select/min/add),
+            # so this path is bit-identical to the jnp chain below
+            from bipymc_tpu.ops.accept_select import accept_select_pallas
+            x_new, logp_new, logp_sum, acc = accept_select_pallas(
+                state.x, x_star, state.logp, logp_star, log_jac, log_u,
+                state.logp_sum, interpret=interp)
+        else:
+            log_alpha = jnp.minimum(0.0, logp_star - state.logp + log_jac)
+            # guard NaN/-inf proposals (out-of-support): always reject
+            log_alpha = jnp.where(jnp.isfinite(logp_star), log_alpha,
+                                  -jnp.inf)
+            acc = log_u < log_alpha
+            x_new = jnp.where(acc[:, None], x_star, state.x)
+            logp_new = jnp.where(acc, logp_star, state.logp)
+            logp_sum = state.logp_sum + logp_new
 
         # Population-level schedule blocks below run under lax.cond — the
         # predicates are replicated (generation-counter based), so all
@@ -372,7 +382,6 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
                 state.cr_jump, state.cr_count, state.cr_p, state.cr_cum)
 
         # ---------- outlier-chain reset (burn-in only, §4.7) -------------
-        logp_sum = state.logp_sum + logp_new
         if cfg.outlier_detect:
             check = in_burnin & (state.gen > 0) & \
                 ((state.gen % cfg.outlier_interval) ==

@@ -20,4 +20,10 @@ import jax  # noqa: E402
 # alone don't win. Re-pin to CPU before any backend initialisation.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# This box exposes ONE cpu: the XLA CPU client's async dispatch pool has a
+# single thread, and interpret-mode Pallas calls occasionally deadlock
+# waiting for the slot they occupy (probabilistic, load-0 hangs observed
+# once enough kernels compile in one process). Synchronous dispatch
+# removes the pool from the picture.
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
