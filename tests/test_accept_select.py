@@ -8,6 +8,7 @@ golden additionally pins the kernel inside the full engine.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bipymc_tpu.ops.accept_select import accept_select_pallas
 
@@ -44,9 +45,6 @@ def test_matches_jnp_chain_exactly():
     for a, b in zip(out, ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert not bool(out[3][3]) and not bool(out[3][11])  # NaN/inf rejected
-
-
-import pytest
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
