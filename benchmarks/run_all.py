@@ -102,7 +102,12 @@ def config2(quick):
         y1 = float(th[0])
         y2 = float(th[1]) + 0.03 * y1 ** 2 - 100.0 * 0.03
         return float(-0.5 * (y1 ** 2 / 100.0 + y2 ** 2))
-    ref = NumpyDreamZs(np_lp, 8, burnin_gens=200, seed=1)
+    # twin CONFIG too, not just the target: DeMcZ is the demcz-restricted
+    # engine (single pair, single CR, gamma-jump every 10th gen, no
+    # adaptation), so the reference must run the same restriction or the
+    # per-generation efficiency/work differ and the ratio is biased
+    ref = NumpyDreamZs(np_lp, 8, delta_max=1, n_cr=1, jump_interval=10,
+                       burnin_gens=0, seed=1)
     rng = np.random.default_rng(1)
     x0 = 3.0 * rng.standard_normal((8, 2))
     z0 = 3.0 * rng.standard_normal((16, 2))
@@ -122,8 +127,9 @@ def config2(quick):
 
 def config3(quick):
     """100-dim mixture, 256-chain DREAM-zs (+ NumPy reference)."""
+    from bipymc_tpu.models.targets import baseline_config3_means
     rng = np.random.default_rng(1234)
-    means = 5.0 * rng.standard_normal((4, 100)).astype(np.float32)
+    means = baseline_config3_means(100)
     log_prob = gaussian_mixture(means, sigma=1.0)
     n = 3000 if not quick else 600
     burn = n // 3
@@ -151,15 +157,18 @@ def config3(quick):
     ref_eps = (ess / window) * ref_gps
 
     # BASELINE.json:2 second north-star metric: wall-clock to R̂ < 1.1 on
-    # the headline config, from scratch, via the on-device streaming stop
-    s3 = bp.DreamZs(log_prob, n_chains=256, seed=2, burnin_gens=burn)
-    s3.run_mcmc_until(jnp.zeros(100), rhat_tol=1.1, chunk=50,
-                      max_chunks=2, warmup_chunks=1, spread=2.0)  # compile
+    # the headline config, from scratch, via the on-device streaming stop.
+    # Warm up with the IDENTICAL call on the same instance (the jitted
+    # while_loop runner is cached per instance+parameters), then reset()
+    # and re-run from scratch so the timed number is execution only —
+    # a mismatched warmup left the full compile inside the timed window.
+    until_kw = dict(rhat_tol=1.1, chunk=200, max_chunks=150,
+                    warmup_chunks=burn // 200 + 1, spread=2.0)
     s3 = bp.DreamZs(log_prob, n_chains=256, seed=3, burnin_gens=burn)
+    s3.run_mcmc_until(jnp.zeros(100), **until_kw)     # compile + warm
+    s3.reset()
     t0 = time.time()
-    until = s3.run_mcmc_until(jnp.zeros(100), rhat_tol=1.1, chunk=200,
-                              max_chunks=150, warmup_chunks=burn // 200 + 1,
-                              spread=2.0)
+    until = s3.run_mcmc_until(jnp.zeros(100), **until_kw)
     wall_rhat = time.time() - t0
 
     return {
@@ -300,6 +309,11 @@ def main():
         if prior.get("_meta", {}).get("backend") == jax.default_backend() \
                 and prior.get("_meta", {}).get("quick") == args.quick:
             results = prior
+        elif set(which) != {1, 2, 3, 4, 5}:
+            raise SystemExit(
+                "results.json holds a full run from a different backend/"
+                "quick setting; a partial run would overwrite it. Run all "
+                "configs, delete results.json, or match the prior setting.")
 
     for c in which:
         t0 = time.time()

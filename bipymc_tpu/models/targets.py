@@ -63,6 +63,15 @@ def rosenbrock(a=1.0, b=20.0):
     return log_prob
 
 
+def baseline_config3_means(d=100, n_modes=4, spread=5.0, seed=1234):
+    """Canonical mode centres for BASELINE config 3 (and the dryrun's tiny
+    variant). One definition shared by bench.py, benchmarks/run_all.py and
+    __graft_entry__ so the three harnesses provably measure the same
+    target."""
+    rng = np.random.default_rng(seed)
+    return (spread * rng.standard_normal((n_modes, d))).astype(np.float32)
+
+
 def gaussian_mixture(means, sigma=1.0, weights=None):
     """Isotropic Gaussian mixture in d dims (BASELINE config 3 posterior).
 

@@ -132,6 +132,18 @@ class McmcSampler:
             raise RuntimeError("call run_mcmc or run_mcmc_until first")
         return self._final_state
 
+    def reset(self):
+        """Discard run state (history, final state, step counter) while
+        KEEPING compiled runners/pools — a subsequent run re-samples from
+        scratch without paying compilation again (benchmark harnesses)."""
+        self._chunks = []
+        self._chunk_meta = []
+        self._history_np = None
+        self._super_chain_np = None
+        self._final_state = None
+        self._steps_run = 0
+        return self
+
     def _require_run(self):
         if not self._chunks:
             raise RuntimeError("call run_mcmc first")
@@ -638,6 +650,11 @@ class DreamZs(McmcSampler):
     @property
     def cr_probabilities(self):
         return np.asarray(self.final_state.cr_p)
+
+    @property
+    def snooker_fraction(self):
+        """Fraction of kept generations×chains proposed via snooker."""
+        return float(np.mean(self._history["snooker"]))
 
 
 class DeMcZ(DreamZs):

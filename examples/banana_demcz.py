@@ -34,7 +34,7 @@ def main():
     flat = kept.reshape(-1, 2)
     rhat = np.asarray(bp.gelman_rubin(kept))
     ess = float(bp.effective_sample_size(kept))
-    snook = float(np.mean(sampler._history["snooker"]))
+    snook = sampler.snooker_fraction
     print(f"E[θ1]   = {flat[:, 0].mean():+.2f}  (truth 0)")
     print(f"Var[θ1] = {flat[:, 0].var():.1f}   (truth 100)")
     print(f"E[θ2]   = {flat[:, 1].mean():+.2f}  (truth 0)")

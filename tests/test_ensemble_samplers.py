@@ -130,3 +130,16 @@ def test_population_dream_moments_and_determinism():
     import pytest
     with pytest.raises(ValueError, match="n_chains"):
         bp.Dream(lp, n_chains=4)
+
+
+def test_reset_reruns_identically():
+    """reset() discards run state but keeps compiled runners; the same
+    seed then reproduces the identical trajectory from scratch."""
+    lp = correlated_gaussian(jnp.array([0.0, 0.0]), jnp.eye(2))
+    s = DreamZs(lp, n_chains=8, seed=4)
+    s.run_mcmc(120, jnp.zeros(2), spread=2.0)
+    first = s.super_chain.copy()
+    assert s.snooker_fraction >= 0.0
+    s.reset()
+    s.run_mcmc(120, jnp.zeros(2), spread=2.0)
+    np.testing.assert_array_equal(s.super_chain, first)
