@@ -324,22 +324,16 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
 
         logp_star = jax.vmap(log_prob)(x_star)             # dominant cost
         log_u = jnp.log(u_acc)
-        if use_pallas:
-            # fused accept/update: exact ops only (compare/select/min/add),
-            # so this path is bit-identical to the jnp chain below
-            from bipymc_tpu.ops.accept_select import accept_select_pallas
-            x_new, logp_new, logp_sum, acc = accept_select_pallas(
-                state.x, x_star, state.logp, logp_star, log_jac, log_u,
-                state.logp_sum, interpret=interp)
-        else:
-            log_alpha = jnp.minimum(0.0, logp_star - state.logp + log_jac)
-            # guard NaN/-inf proposals (out-of-support): always reject
-            log_alpha = jnp.where(jnp.isfinite(logp_star), log_alpha,
-                                  -jnp.inf)
-            acc = log_u < log_alpha
-            x_new = jnp.where(acc[:, None], x_star, state.x)
-            logp_new = jnp.where(acc, logp_star, state.logp)
-            logp_sum = state.logp_sum + logp_new
+        # accept/update stays in XLA: a fused Pallas version was built and
+        # measured 2.8µs/gen SLOWER at 256×100 (call overhead + operand
+        # packing exceed the ~4 small fusions it replaces — ROUND2.md)
+        log_alpha = jnp.minimum(0.0, logp_star - state.logp + log_jac)
+        # guard NaN/-inf proposals (out-of-support): always reject
+        log_alpha = jnp.where(jnp.isfinite(logp_star), log_alpha, -jnp.inf)
+        acc = log_u < log_alpha
+        x_new = jnp.where(acc[:, None], x_star, state.x)
+        logp_new = jnp.where(acc, logp_star, state.logp)
+        logp_sum = state.logp_sum + logp_new
 
         # Population-level schedule blocks below run under lax.cond — the
         # predicates are replicated (generation-counter based), so all
