@@ -4,14 +4,17 @@ XLA's TPU Cholesky lowers to a many-kernel blocked HLO loop whose cost is
 launch/latency-bound at GP-relevant sizes — measured ~650µs for n=256..512
 on v5e (scan-amortised), where the useful FLOPs justify tens of µs. This
 kernel runs the whole right-looking blocked factorization in ONE Pallas
-launch: for each 128-wide diagonal block, a fused [A | I] forward
-elimination produces Lkkᵀ and Lkk⁻¹ in B in-register steps, the panel
-becomes one MXU matmul against Lkk⁻ᵀ, and the trailing update is one MXU
-matmul — no kernel boundaries anywhere.
+launch: each 128-wide diagonal block factors via rank-8 micro-panel
+[A | I] elimination (one (8,128) slab tile per macro-step + a rank-8 MXU
+trailing update), producing Lkkᵀ and Lkk⁻¹ together; the panel becomes
+one MXU matmul against Lkk⁻ᵀ and the trailing update one MXU matmul —
+no kernel boundaries anywhere.
 
 Honest measurement (docs/design.md §10b): with the dispatch floor
-amortised, XLA's blocked-HLO cholesky WINS 2.5× at n=256–1024 — its tuned
-micro-panels beat this kernel's ~0.5µs-per-pivot Mosaic loop overhead. So
+amortised, XLA's blocked-HLO cholesky still WINS ~1.6× at n=256–1024 —
+the rank-8 micro-panel rewrite recovered 1.5× over the first per-column
+version (95 vs 145µs at n=256), but ~128 dependent micro-eliminations ×
+fixed Mosaic op-issue overhead remain the floor. So
 the GP module exposes it behind ``GpRegressor(pallas_chol=True)`` (OFF by
 default, TPU only, n ≤ 1024 — whole matrix in VMEM) and uses
 ``jnp.linalg.cholesky`` otherwise; BASELINE.json:5's Cholesky clause is
@@ -32,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from bipymc_tpu.ops.tiling import round_up
 
 _B = 128
+_W = 8            # micro-panel width (one (8,128) slab tile per macro-step)
 
 
 
@@ -45,38 +49,64 @@ def _make_kernel(n_pad):
         ci = lax.broadcasted_iota(jnp.int32, (_B, _B), 1)
 
         lane = lax.broadcasted_iota(jnp.int32, (1, _B), 1)
+        srow = lax.broadcasted_iota(jnp.int32, (_W, 1), 0)   # slab row idx
+        rcol = lax.broadcasted_iota(jnp.int32, (_B, 1), 0)   # block row idx
+        contract0 = (((0,), (0,)), ((), ()))
 
         for k in range(nb):
             o = k * _B
 
-            # ---- [A | I] forward elimination: akk → (Lᵀ, L⁻¹) ----------
-            # step j: scale row j by rsqrt(pivot), eliminate rows t > j.
+            # ---- [A | I] elimination in rank-W macro-steps --------------
             # The trailing Schur complement stays SYMMETRIC throughout, so
-            # the column of multipliers is the (masked) row itself — no
-            # column extraction, and the already-finished rows (< j) are
-            # untouched because their multiplier is masked to zero. Rows
-            # below j self-zero at lane j by the same symmetry. The
-            # working blocks live in VMEM scratch refs so row j comes out
-            # with one dynamic sublane slice (Mosaic cannot dynamic-slice
-            # loop-carried values).
+            # multipliers are always (masked) pivot rows — no column
+            # extraction. Each macro-step factors a W-row slab (one
+            # (8,128) tile) with W unrolled micro-eliminations, then
+            # applies ONE rank-W MXU update to the rows below:
+            #   M_below -= Σ_jj col_jj ⊗ R_jj = (masked slab)ᵀ · slab,
+            # because col_jj[t] = R_jj[lane t] by symmetry. This replaces
+            # B sequential [B,B] rank-1 passes with B/W slab steps whose
+            # per-pivot work is a [W,B] tile — the per-iteration Mosaic
+            # overhead was the whole cost of the v1 kernel.
             ml_ref[:] = out_ref[pl.ds(o, _B), pl.ds(o, _B)]
             mr_ref[:] = (ri == ci).astype(f32)
 
-            def col_step(j, _):
-                row_raw = ml_ref[pl.ds(j, 1), :]       # [1,B]
-                piv = jnp.sum(jnp.where(lane == j, row_raw, 0.0))
-                s = lax.rsqrt(piv)
-                row_l = row_raw * s                    # [1,B] scaled row j
-                row_r = mr_ref[pl.ds(j, 1), :] * s
-                # multipliers: scaled row masked to the active lanes,
-                # transposed to a column ([1,B] → [B,1])
-                col = jnp.transpose(jnp.where(lane > j, row_l, 0.0))
-                is_j = ri == j
-                ml_ref[:] = jnp.where(is_j, row_l, ml_ref[:] - col * row_l)
-                mr_ref[:] = jnp.where(is_j, row_r, mr_ref[:] - col * row_r)
+            def macro_step(p, _):
+                base = p * _W
+                sl_l = ml_ref[pl.ds(base, _W), :]      # [W,B]
+                sl_r = mr_ref[pl.ds(base, _W), :]
+                for jj in range(_W):
+                    gcol = base + jj
+                    row_l = sl_l[jj:jj + 1, :]         # [1,B] static slice
+                    piv = jnp.sum(jnp.where(lane == gcol, row_l, 0.0))
+                    s = lax.rsqrt(piv)
+                    r_l = row_l * s
+                    r_r = sl_r[jj:jj + 1, :] * s
+                    # slab multipliers from symmetry: M[t, gcol] = r at
+                    # lane (base+t); active rows only (t > jj)
+                    col = jnp.sum(
+                        jnp.where(lane == base + srow, r_l, 0.0),
+                        axis=1, keepdims=True)         # [W,1]
+                    col = jnp.where(srow > jj, col, 0.0)
+                    is_jj = srow == jj
+                    sl_l = jnp.where(is_jj, r_l, sl_l - col * r_l)
+                    sl_r = jnp.where(is_jj, r_r, sl_r - col * r_r)
+                ml_ref[pl.ds(base, _W), :] = sl_l
+                mr_ref[pl.ds(base, _W), :] = sl_r
+                # rank-W update of the rows below the slab: multipliers
+                # W[t, jj] = R_jj[lane t] (zero at lanes ≤ pivot lane)
+                rm = jnp.where(lane > base + srow, sl_l, 0.0)  # [W,B]
+                upd_l = lax.dot_general(rm, sl_l, contract0,
+                                        precision=lax.Precision.HIGHEST,
+                                        preferred_element_type=f32)
+                upd_r = lax.dot_general(rm, sl_r, contract0,
+                                        precision=lax.Precision.HIGHEST,
+                                        preferred_element_type=f32)
+                below = rcol >= base + _W              # [B,1]
+                ml_ref[:] = jnp.where(below, ml_ref[:] - upd_l, ml_ref[:])
+                mr_ref[:] = jnp.where(below, mr_ref[:] - upd_r, mr_ref[:])
                 return 0
 
-            lax.fori_loop(0, _B, col_step, 0)
+            lax.fori_loop(0, _B // _W, macro_step, 0)
             linv = mr_ref[:]
             lkk = jnp.transpose(ml_ref[:]) * (ci <= ri).astype(f32)
             out_ref[pl.ds(o, _B), pl.ds(o, _B)] = lkk
