@@ -4,17 +4,17 @@ XLA's TPU Cholesky lowers to a many-kernel blocked HLO loop whose cost is
 launch/latency-bound at GP-relevant sizes — measured ~650µs for n=256..512
 on v5e (scan-amortised), where the useful FLOPs justify tens of µs. This
 kernel runs the whole right-looking blocked factorization in ONE Pallas
-launch: each 128-wide diagonal block factors via rank-8 micro-panel
-[A | I] elimination (one (8,128) slab tile per macro-step + a rank-8 MXU
+launch: each 128-wide diagonal block factors via rank-W micro-panel
+[A | I] elimination (a W-row slab per macro-step + a rank-W MXU
 trailing update), producing Lkkᵀ and Lkk⁻¹ together; the panel becomes
 one MXU matmul against Lkk⁻ᵀ and the trailing update one MXU matmul —
 no kernel boundaries anywhere.
 
 Honest measurement (docs/design.md §10b): with the dispatch floor
 amortised, XLA's blocked-HLO cholesky still WINS ~1.6× at n=256–1024 —
-the rank-8 micro-panel rewrite recovered 1.5× over the first per-column
-version (95 vs 145µs at n=256), but ~128 dependent micro-eliminations ×
-fixed Mosaic op-issue overhead remain the floor. So
+the rank-W micro-panel rewrite recovered 1.7× over the first per-column
+version (86 vs 145µs at n=256, W=32), but ~128 dependent
+micro-eliminations × fixed Mosaic op-issue overhead remain the floor. So
 the GP module exposes it behind ``GpRegressor(pallas_chol=True)`` (OFF by
 default, TPU only, n ≤ 1024 — whole matrix in VMEM) and uses
 ``jnp.linalg.cholesky`` otherwise; BASELINE.json:5's Cholesky clause is
@@ -35,7 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 from bipymc_tpu.ops.tiling import round_up
 
 _B = 128
-_W = 8            # micro-panel width (one (8,128) slab tile per macro-step)
+_W = 32           # micro-panel width: 32 measured best of {8,16,32}; the
+                  # dependent micro-elimination chain, not panel width,
+                  # is the remaining floor
 
 
 
