@@ -76,7 +76,7 @@ def main():
     s2.run_mcmc(GENS, jnp.zeros(D), spread=2.0)       # compile + burn-in
     log(f"api: compile + burn-in run: {time.time() - t0:.1f}s")
     t0 = time.time()
-    s2.run_mcmc(GENS, jnp.zeros(D))                   # continuation (timed)
+    s2.run_mcmc(GENS)                                 # continuation (timed)
     api_elapsed = time.time() - t0
     log(f"api path: {GENS} gens in {api_elapsed:.3f}s "
         f"= {GENS / api_elapsed:,.0f} gens/s")
@@ -88,7 +88,7 @@ def main():
     jax.block_until_ready(h)
     raw2 = time.time() - t0
     t0 = time.time()
-    s2.run_mcmc(GENS, jnp.zeros(D))
+    s2.run_mcmc(GENS)
     api2 = time.time() - t0
     log(f"second pass: raw {GENS / raw2:,.0f} gens/s, "
         f"api {GENS / api2:,.0f} gens/s")

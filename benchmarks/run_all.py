@@ -56,7 +56,7 @@ def config1(quick):
     s2 = bp.Dram(log_prob, seed=1, n_chains=1)
     s2.run_mcmc(n, jnp.zeros(2), cov_est=jnp.eye(2))      # compile + warm
     t0 = time.time()
-    s2.run_mcmc(n, jnp.zeros(2))                          # continuation
+    s2.run_mcmc(n)                                        # continuation
     elapsed = time.time() - t0
     ess, eps = ess_per_sec(s2, n + n // 4, elapsed, n)
 
@@ -87,7 +87,7 @@ def config2(quick):
     s2 = bp.DeMcZ(log_prob, n_chains=8, seed=1)
     s2.run_mcmc(n, jnp.zeros(2), spread=3.0)              # compile + warm
     t0 = time.time()
-    s2.run_mcmc(n, jnp.zeros(2))                          # continuation
+    s2.run_mcmc(n)                                        # continuation
     elapsed = time.time() - t0
     ess, eps = ess_per_sec(s2, n + n // 3, elapsed, n)
     rhat = float(np.max(np.asarray(
@@ -137,7 +137,7 @@ def config3(quick):
     s2 = bp.DreamZs(log_prob, n_chains=256, seed=1, burnin_gens=burn)
     s2.run_mcmc(n, jnp.zeros(100), spread=2.0)            # compile + burn-in
     t0 = time.time()
-    s2.run_mcmc(n, jnp.zeros(100))                        # continuation
+    s2.run_mcmc(n)                                        # continuation
     elapsed = time.time() - t0
     ess, eps = ess_per_sec(s2, n, elapsed, n)
 
@@ -205,7 +205,7 @@ def config4(quick):
     s2 = bp.Dram(log_post, seed=1, n_chains=4)
     s2.run_mcmc(n, jnp.zeros(4), cov_est=jnp.eye(4) * 0.05)  # compile+warm
     t0 = time.time()
-    s2.run_mcmc(n, jnp.zeros(4))                          # continuation
+    s2.run_mcmc(n)                                        # continuation
     elapsed = time.time() - t0
     ess, eps = ess_per_sec(s2, n + n // 4, elapsed, n)
     # DR: 2 likelihoods/step/chain; each likelihood = kernel build + chol

@@ -101,7 +101,10 @@ class GpRegressor:
         return (y - y_mean) / y_std, y_mean, y_std
 
     def _cholesky(self, kmat):
+        # f32-only: the Pallas kernel's VMEM scratch is float32, so f64
+        # Gram matrices (the x64 knob) must take the XLA path
         if self.pallas_chol and kmat.shape[-1] <= 1024 \
+                and kmat.dtype == jnp.float32 \
                 and jax.default_backend() == "tpu":
             from bipymc_tpu.ops.pallas_chol import cholesky_pallas
             return cholesky_pallas(kmat)

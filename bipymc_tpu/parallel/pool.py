@@ -68,6 +68,18 @@ def _default_collect(state, info):
     return {"x": state.x, "logp": info.logp, "accepted": info.accepted}
 
 
+def _default_position(state):
+    """Stable default position_fn for ``run_until`` (population ``x``).
+
+    Module-level on purpose: the runner cache keys on the position_fn's
+    identity, and a per-call ``lambda s: s.x`` made every ``run_mcmc_until``
+    call a cache miss — re-tracing + full XLA recompilation each time
+    (round-2 verdict finding #1). Mirrors ``_rw_position`` /
+    ``_pt_cold_position`` in samplers/api.py.
+    """
+    return state.x
+
+
 def _history_spec(leaf_ndim, axis_name):
     # history leaves are [T, n_chains, ...]: shard the chain axis
     return P(None, axis_name, *([None] * (leaf_ndim - 2)))
@@ -195,7 +207,7 @@ class ChainPool:
         Returns (final_state, info dict with steps/rhat/mean/var).
         """
         if position_fn is None:
-            position_fn = lambda s: s.x
+            position_fn = _default_position
         pos0 = position_fn(state)
         n_total = pos0.shape[0]
         d = pos0.shape[-1]

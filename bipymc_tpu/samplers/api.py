@@ -15,6 +15,8 @@ devices — the mpi4py-pool replacement) — plus two beyond-reference extras:
 (Goodman-Weare affine-invariant stretch move).
 """
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -148,6 +150,31 @@ class McmcSampler:
         if not self._chunks:
             raise RuntimeError("call run_mcmc first")
 
+    def _continuing(self, theta_0, cov_est=None, spread=1.0):
+        """Continuation contract: after a run, further run_mcmc* calls
+        continue from ``final_state`` and IGNORE start-only arguments.
+        Pass ``theta_0=None`` to continue silently; passing values warns
+        (they used to be ignored with no signal — round-2 verdict #6).
+        Call ``reset()`` first to start fresh from a new ``theta_0``."""
+        if self._final_state is None:
+            if theta_0 is None:
+                raise ValueError(
+                    "theta_0 is required for the first run (no state to "
+                    "continue from)")
+            return False
+        ignored = [name for name, v in
+                   (("theta_0", theta_0), ("cov_est", cov_est))
+                   if v is not None]
+        if spread != 1.0:
+            ignored.append("spread")
+        if ignored:
+            warnings.warn(
+                f"continuing from the previous run's state: {ignored} "
+                "only affect a fresh start and are IGNORED. Pass "
+                "theta_0=None to continue silently, or call reset() to "
+                "restart from a new start point.", UserWarning, stacklevel=3)
+        return True
+
     def _ensure_population(self, theta_0, spread, init_fn, step_factory,
                            sharded_fields):
         """Shared population-sampler setup: resolve the start state
@@ -155,10 +182,11 @@ class McmcSampler:
         Returns (state, run_key)."""
         key = jax.random.key(self.seed)
         k_init, k_run = jax.random.split(key)
-        x0 = _as_2d_theta0(theta_0, self.n_chains, k_init, spread,
-                           self.dtype)
-        state = (self._final_state if self._final_state is not None
-                 else init_fn(x0))
+        if self._continuing(theta_0, spread=spread):
+            state = self._final_state
+        else:
+            state = init_fn(_as_2d_theta0(theta_0, self.n_chains, k_init,
+                                          spread, self.dtype))
         if getattr(self, "_pool_obj", None) is None:
             self._pool_obj = ChainPool(step_factory=step_factory,
                                        sharded_fields=sharded_fields,
@@ -199,18 +227,17 @@ class _RwSampler(McmcSampler):
         """Resolve start state + batched step; returns (state, step, key)."""
         key = jax.random.key(self.seed)
         k_init, k_run = jax.random.split(key)
-        theta0 = _as_2d_theta0(theta_0, self.n_chains, k_init, spread,
-                               self.dtype)
-        d = theta0.shape[-1]
-        if cov_est is None:
-            cov_est = jnp.eye(d, dtype=self.dtype) * spread ** 2
-        cov_est = jnp.asarray(cov_est, dtype=self.dtype)
-
-        if self._final_state is None:
+        if self._continuing(theta_0, cov_est, spread):
+            state = self._final_state
+        else:
+            theta0 = _as_2d_theta0(theta_0, self.n_chains, k_init, spread,
+                                   self.dtype)
+            d = theta0.shape[-1]
+            if cov_est is None:
+                cov_est = jnp.eye(d, dtype=self.dtype) * spread ** 2
+            cov_est = jnp.asarray(cov_est, dtype=self.dtype)
             state = jax.vmap(lambda t: rw.init(t, self.log_like_fn, cov_est)
                              )(theta0)
-        else:
-            state = self._final_state
 
         if self._batched_step is None:
             step = rw.make_step(self.log_like_fn, self.cfg)
@@ -223,8 +250,8 @@ class _RwSampler(McmcSampler):
             self._batched_step = batched_step
         return state, self._batched_step, k_run
 
-    def run_mcmc(self, n_samples, theta_0, cov_est=None, thin=1, spread=1.0,
-                 progress_every=None):
+    def run_mcmc(self, n_samples, theta_0=None, cov_est=None, thin=1,
+                 spread=1.0, progress_every=None):
         """Run ``n_samples`` steps from ``theta_0`` ([d] or [n_chains, d]).
 
         cov_est: initial proposal covariance ([d] diagonal or [d,d];
@@ -250,7 +277,7 @@ class _RwSampler(McmcSampler):
         self._store(final_state, history, n_samples, thin=thin)
         return self
 
-    def run_mcmc_until(self, theta_0, cov_est=None, rhat_tol=1.05,
+    def run_mcmc_until(self, theta_0=None, cov_est=None, rhat_tol=1.05,
                        chunk=100, max_chunks=200, warmup_chunks=2,
                        spread=1.0):
         """Run until streaming on-device R̂ across the vmapped chains drops
@@ -329,10 +356,12 @@ class ParallelTempering(McmcSampler):
             kernel=self._KINDS[kind](**kernel_kw))
         self._runners = {}
 
-    def run_mcmc(self, n_samples, theta_0, cov_est=None, thin=1,
-                 spread=1.0):
+    def _pt_prepare(self, theta_0, cov_est, spread):
+        """Resolve start state (fresh ladder init or continuation)."""
         key = jax.random.key(self.seed)
         k_init, k_run = jax.random.split(key)
+        if self._continuing(theta_0, cov_est, spread):
+            return self._final_state, k_run
         flat0 = _as_2d_theta0(theta_0, self.n_temps * self.n_chains,
                               k_init, spread, self.dtype)
         d = flat0.shape[-1]
@@ -340,12 +369,12 @@ class ParallelTempering(McmcSampler):
         if cov_est is None:
             cov_est = jnp.eye(d, dtype=self.dtype) * spread ** 2
         cov_est = jnp.asarray(cov_est, dtype=self.dtype)
+        return (tempering.init(theta0, self.log_like_fn, self.cfg, cov_est),
+                k_run)
 
-        if self._final_state is None:
-            state = tempering.init(theta0, self.log_like_fn, self.cfg,
-                                   cov_est)
-        else:
-            state = self._final_state
+    def run_mcmc(self, n_samples, theta_0=None, cov_est=None, thin=1,
+                 spread=1.0):
+        state, k_run = self._pt_prepare(theta_0, cov_est, spread)
         step = tempering.make_step(self.log_like_fn, self.cfg)
 
         def collect(state, info):
@@ -367,7 +396,7 @@ class ParallelTempering(McmcSampler):
         self._store(final_state, history, n_samples, thin=thin)
         return self
 
-    def run_mcmc_until(self, theta_0, cov_est=None, rhat_tol=1.05,
+    def run_mcmc_until(self, theta_0=None, cov_est=None, rhat_tol=1.05,
                        chunk=100, max_chunks=200, warmup_chunks=2,
                        spread=1.0):
         """Run until the COLD replica's streaming R̂ < rhat_tol (same
@@ -375,18 +404,7 @@ class ParallelTempering(McmcSampler):
         dict (steps/rhat/mean/var over the cold replica's chains)."""
         if self.n_chains < 2:
             raise ValueError("R-hat early stop needs n_chains >= 2")
-        key = jax.random.key(self.seed)
-        k_init, k_run = jax.random.split(key)
-        flat0 = _as_2d_theta0(theta_0, self.n_temps * self.n_chains,
-                              k_init, spread, self.dtype)
-        d = flat0.shape[-1]
-        theta0 = flat0.reshape(self.n_temps, self.n_chains, d)
-        if cov_est is None:
-            cov_est = jnp.eye(d, dtype=self.dtype) * spread ** 2
-        cov_est = jnp.asarray(cov_est, dtype=self.dtype)
-        state = (self._final_state if self._final_state is not None
-                 else tempering.init(theta0, self.log_like_fn, self.cfg,
-                                     cov_est))
+        state, k_run = self._pt_prepare(theta_0, cov_est, spread)
         if getattr(self, "_until_pool", None) is None:
             self._until_pool = ChainPool(
                 step_factory=lambda axis: tempering.make_step(
@@ -486,7 +504,7 @@ class DeMc(McmcSampler):
                 self.log_like_fn, self.cfg, axis_name=axis),
             sharded_fields=("x", "logp"))
 
-    def run_mcmc(self, n_gens, theta_0, thin=1, spread=1.0,
+    def run_mcmc(self, n_gens, theta_0=None, thin=1, spread=1.0,
                  progress_every=None):
         state, k_run = self._ensure(theta_0, spread)
         final_state, history = self._pool_obj.run(
@@ -495,7 +513,7 @@ class DeMc(McmcSampler):
         self._store(final_state, history, n_gens, thin=thin)
         return self
 
-    def run_mcmc_until(self, theta_0, rhat_tol=1.05, chunk=100,
+    def run_mcmc_until(self, theta_0=None, rhat_tol=1.05, chunk=100,
                        max_chunks=200, warmup_chunks=2, spread=1.0):
         """Run until streaming on-device R̂ < rhat_tol (same machinery as
         DreamZs.run_mcmc_until)."""
@@ -530,7 +548,7 @@ class EnsembleSampler(McmcSampler):
                 self.log_like_fn, self.cfg, axis_name=axis),
             sharded_fields=("x", "logp"))
 
-    def run_mcmc(self, n_gens, theta_0, thin=1, spread=1.0,
+    def run_mcmc(self, n_gens, theta_0=None, thin=1, spread=1.0,
                  progress_every=None):
         state, k_run = self._ensure(theta_0, spread)
         final_state, history = self._pool_obj.run(
@@ -539,7 +557,7 @@ class EnsembleSampler(McmcSampler):
         self._store(final_state, history, n_gens, thin=thin)
         return self
 
-    def run_mcmc_until(self, theta_0, rhat_tol=1.05, chunk=100,
+    def run_mcmc_until(self, theta_0=None, rhat_tol=1.05, chunk=100,
                        max_chunks=200, warmup_chunks=2, spread=1.0):
         state, k_run = self._ensure(theta_0, spread)
         final_state, info = self._pool_obj.run_until(
@@ -589,7 +607,7 @@ class DreamZs(McmcSampler):
     def _ensure_state(self, theta_0, spread, n_gens_hint):
         key = jax.random.key(self.seed)
         k_init, k_z, k_run = jax.random.split(key, 3)
-        if self._final_state is not None:
+        if self._continuing(theta_0, spread=spread):
             return self._final_state, k_run
         x0 = _as_2d_theta0(theta_0, self.n_chains, k_init, spread, self.dtype)
         capacity = self.archive_capacity
@@ -620,7 +638,7 @@ class DreamZs(McmcSampler):
                            archive_capacity=capacity, z0=z0)
         return state, k_run
 
-    def run_mcmc(self, n_gens, theta_0, thin=1, spread=1.0,
+    def run_mcmc(self, n_gens, theta_0=None, thin=1, spread=1.0,
                  progress_every=None):
         state, k_run = self._ensure_state(theta_0, spread, n_gens)
         final_state, history = self._pool().run(
@@ -629,7 +647,7 @@ class DreamZs(McmcSampler):
         self._store(final_state, history, n_gens, thin=thin)
         return self
 
-    def run_mcmc_until(self, theta_0, rhat_tol=1.05, chunk=100,
+    def run_mcmc_until(self, theta_0=None, rhat_tol=1.05, chunk=100,
                        max_chunks=200, warmup_chunks=2, spread=1.0):
         """Run until streaming on-device R̂ < rhat_tol (BASELINE config 5).
 

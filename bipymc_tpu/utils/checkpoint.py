@@ -14,6 +14,18 @@ import pickle
 import jax
 import numpy as np
 
+# Schema version per state class, bumped whenever a class's field layout
+# changes. Written into every checkpoint so migrations key on an explicit
+# (class, version) tag rather than guessing from repr/leaf-count (which
+# misfired on unrelated 10-leaf states and would break silently the next
+# time DreamState gains a field).
+_SCHEMA_VERSIONS = {"DreamState": 2}    # v2: gained cr_cum (round 2)
+
+
+def _schema_tag(state):
+    name = type(state).__name__
+    return f"{name}:v{_SCHEMA_VERSIONS.get(name, 1)}"
+
 
 def save_state(path, state, step=0):
     """Save a sampler state pytree to ``path`` (.npz)."""
@@ -22,6 +34,8 @@ def save_state(path, state, step=0):
     arrays["__treedef__"] = np.frombuffer(
         pickle.dumps(treedef), dtype=np.uint8)
     arrays["__step__"] = np.asarray(step)
+    arrays["__schema__"] = np.frombuffer(
+        _schema_tag(state).encode(), dtype=np.uint8)
     np.savez(path, **arrays)
 
 
@@ -32,30 +46,56 @@ def load_state(path):
         n = len([k for k in data.files if k.startswith("leaf_")])
         leaves = [jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(n)]
         step = int(data["__step__"])
-    return _unflatten_migrating(treedef, leaves), step
+        schema = (data["__schema__"].tobytes().decode()
+                  if "__schema__" in data.files else None)
+    return _unflatten_migrating(treedef, leaves, schema), step
 
 
-def _unflatten_migrating(treedef, leaves):
+def _migrate_dream_v1(leaves):
+    """DreamState v1 → v2: derive the added ``cr_cum`` from ``cr_p``."""
+    from bipymc_tpu.ensemble.archive import Archive
+    from bipymc_tpu.samplers.dream import DreamState
+    (x, logp, buf, fill, head, cr_p,
+     cr_jump, cr_count, logp_sum, gen) = leaves
+    cr_cum = jax.numpy.cumsum(cr_p / jax.numpy.sum(cr_p))
+    return DreamState(x=x, logp=logp,
+                      archive=Archive(buf=buf, fill=fill, head=head),
+                      cr_p=cr_p, cr_cum=cr_cum, cr_jump=cr_jump,
+                      cr_count=cr_count, logp_sum=logp_sum, gen=gen)
+
+
+# (class name, saved version) -> leaves -> current-layout state
+_MIGRATIONS = {("DreamState", 1): _migrate_dream_v1}
+
+
+def _root_class_name(treedef):
+    """Exact root node type of a pytree treedef (None for a bare leaf)."""
+    node = treedef.node_data()
+    return getattr(node[0], "__name__", None) if node is not None else None
+
+
+def _unflatten_migrating(treedef, leaves, schema=None):
     """tree_unflatten with migration for state-layout changes.
 
     Checkpoints are positional leaves + a treedef pinned to the class *as
     it was at save time*; a field added later makes plain unflatten fail.
-    Known migration: DreamState gained ``cr_cum`` (round 2) — derivable
-    from ``cr_p``, so old 10-leaf DREAM checkpoints restore exactly.
+    Migration is keyed on the checkpoint's explicit ``__schema__`` tag
+    (class name + version written at save time). Pre-tag checkpoints
+    (round ≤2) fall back to the exact treedef root class: the only
+    untagged layout in the wild is DreamState v1 (10 leaves).
     """
     try:
         return jax.tree_util.tree_unflatten(treedef, leaves)
     except (TypeError, ValueError):
-        if "DreamState" in str(treedef) and len(leaves) == 10:
-            from bipymc_tpu.ensemble.archive import Archive
-            from bipymc_tpu.samplers.dream import DreamState
-            (x, logp, buf, fill, head, cr_p,
-             cr_jump, cr_count, logp_sum, gen) = leaves
-            cr_cum = jax.numpy.cumsum(cr_p / jax.numpy.sum(cr_p))
-            return DreamState(x=x, logp=logp,
-                              archive=Archive(buf=buf, fill=fill, head=head),
-                              cr_p=cr_p, cr_cum=cr_cum, cr_jump=cr_jump,
-                              cr_count=cr_count, logp_sum=logp_sum, gen=gen)
+        if schema is not None:
+            name, _, ver = schema.partition(":v")
+            key = (name, int(ver)) if ver.isdigit() else None
+        elif _root_class_name(treedef) == "DreamState" and len(leaves) == 10:
+            key = ("DreamState", 1)
+        else:
+            key = None
+        if key in _MIGRATIONS:
+            return _MIGRATIONS[key](leaves)
         raise
 
 
@@ -73,7 +113,8 @@ def save_state_orbax(path, state, step=0):
                    {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)},
                    force=True)
     with open(os.path.join(path, "meta.pkl"), "wb") as f:
-        pickle.dump({"treedef": treedef, "step": int(step)}, f)
+        pickle.dump({"treedef": treedef, "step": int(step),
+                     "schema": _schema_tag(state)}, f)
 
 
 def load_state_orbax(path):
@@ -88,7 +129,8 @@ def load_state_orbax(path):
         restored = ckptr.restore(os.path.join(path, "state"))
     n = len(restored)
     leaves = [jax.numpy.asarray(restored[f"leaf_{i}"]) for i in range(n)]
-    return _unflatten_migrating(meta["treedef"], leaves), meta["step"]
+    return (_unflatten_migrating(meta["treedef"], leaves,
+                                 meta.get("schema")), meta["step"])
 
 
 def save_sampler(path, sampler):

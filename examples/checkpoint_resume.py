@@ -45,7 +45,7 @@ def main():
     resumed = bp.DreamZs(log_prob, n_chains=8, seed=5, n_archive_init=16,
                          archive_capacity=4096)
     restore_sampler(path, resumed)
-    resumed.run_mcmc(1000, jnp.zeros(2))          # continues from step 1000
+    resumed.run_mcmc(1000)                        # continues from step 1000
 
     tail_ref = ref.super_chain[:, 1000:, :]
     tail_res = resumed.super_chain

@@ -33,7 +33,7 @@ def main():
                             max_chunks=100, spread=1.0)
     print(f"converged in {int(info['steps'])} generations, "
           f"R-hat = {np.round(info['rhat'], 3)}")
-    s.run_mcmc(4000, jnp.asarray(MEAN))
+    s.run_mcmc(4000)
     flat = s.get_chain(discard=1000, flat=True)
     std_err = np.abs(flat.std(0) - SCALES) / SCALES
     print("posterior std relative error per dim:", np.round(std_err, 2))

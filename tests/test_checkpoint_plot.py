@@ -1,5 +1,7 @@
 """Checkpoint/resume exactness and plotting smoke tests (SURVEY.md §7.4)."""
 
+import typing
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,7 +42,7 @@ def test_checkpoint_resume_is_exact(tmp_path):
     save_sampler(path, first)
 
     resumed = restore_sampler(path, DreamZs(lp, n_chains=8, seed=3))
-    resumed.run_mcmc(100, MEAN)
+    resumed.run_mcmc(100)
     np.testing.assert_array_equal(
         resumed.super_chain, full.super_chain[:, 100:, :])
 
@@ -120,3 +122,45 @@ def test_legacy_dream_checkpoint_migrates(tmp_path):
                                   np.asarray(state.x))
     np.testing.assert_allclose(np.asarray(restored.cr_cum),
                                np.asarray(state.cr_cum), rtol=1e-6)
+
+
+class _NotADreamState(typing.NamedTuple):
+    DreamState_lookalike: object    # field name puts the string in repr
+    b: object
+
+
+def test_checkpoint_schema_tag(tmp_path):
+    """Checkpoints carry an explicit class:version tag; migration keys on
+    it (or, for pre-tag files, the exact treedef root class) — a foreign
+    10-leaf state whose repr mentions DreamState must NOT migrate."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from bipymc_tpu.models.targets import correlated_gaussian
+    from bipymc_tpu.samplers import dream
+    from bipymc_tpu.utils.checkpoint import load_state, save_state
+
+    lp = correlated_gaussian(jnp.zeros(2), jnp.eye(2))
+    state = dream.init(jnp.zeros((8, 2)), lp, dream.DreamConfig(n_chains=8),
+                       archive_capacity=64, z0=jnp.zeros((8, 2)))
+    path = str(tmp_path / "tagged.npz")
+    save_state(path, state, step=3)
+    with np.load(path, allow_pickle=False) as data:
+        assert data["__schema__"].tobytes().decode() == "DreamState:v2"
+
+    # a 10-leaf tuple state with 'DreamState' in its repr: the old
+    # substring heuristic would have mis-migrated it; now it raises
+    decoy = _NotADreamState(tuple(jnp.zeros(2) for _ in range(9)),
+                            jnp.zeros(2))
+    assert "DreamState" in str(jax.tree_util.tree_structure(decoy))
+    assert len(jax.tree_util.tree_leaves(decoy)) == 10
+    dpath = str(tmp_path / "decoy.npz")
+    save_state(dpath, decoy, step=0)
+    # strip the tag AND break the layout to force the legacy-fallback path
+    with np.load(dpath, allow_pickle=False) as data:
+        arrays = {k: data[k] for k in data.files if k != "__schema__"}
+    del arrays["leaf_9"]
+    np.savez(dpath, **arrays)
+    with pytest.raises((TypeError, ValueError)):
+        load_state(dpath)

@@ -105,6 +105,26 @@ def test_run_until_t0_decorrelates_continuation():
     assert not np.array_equal(np.asarray(s_a.x), np.asarray(s_b.x))
 
 
+def test_run_until_reuses_compiled_runner():
+    """Regression (round-2 verdict #1): the default position_fn used to be
+    a fresh per-call lambda inside run_until and was part of the runner
+    cache key, so every run_mcmc_until call on DreamZs/DeMc/EnsembleSampler
+    re-traced and re-ran XLA compilation. Two identical calls must share
+    ONE runner entry and ONE jit cache entry."""
+    lp = correlated_gaussian(MEAN, COV)
+    s = DreamZs(lp, n_chains=8, seed=3)
+    s.run_mcmc_until(MEAN, rhat_tol=1.0, chunk=20, max_chunks=2,
+                     warmup_chunks=0, spread=2.0)
+    s.run_mcmc_until(MEAN, rhat_tol=1.0, chunk=20, max_chunks=2,
+                     warmup_chunks=0, spread=2.0)
+    pool = s._pool()
+    until_keys = [k for k in pool._runners if k[0] == "until"]
+    assert len(until_keys) == 1, until_keys
+    # t0 is a traced argument, so the second (continuation) call must hit
+    # the SAME compiled executable — no retrace, no recompile
+    assert pool._runners[until_keys[0]]._cache_size() == 1
+
+
 def test_final_state_available_after_until_only():
     """Checkpointing the R-hat-stop workflow: final_state (and state-backed
     diagnostics) must work after run_mcmc_until with no run_mcmc."""

@@ -143,3 +143,31 @@ def test_reset_reruns_identically():
     s.reset()
     s.run_mcmc(120, jnp.zeros(2), spread=2.0)
     np.testing.assert_array_equal(s.super_chain, first)
+
+
+def test_continuation_warns_on_ignored_args():
+    """Round-2 verdict #6: a continuation run used to silently ignore
+    theta_0/cov_est/spread. Now theta_0=None continues silently; passing
+    start-only args warns; a fresh sampler without theta_0 raises."""
+    import warnings
+    import pytest
+
+    lp = correlated_gaussian(jnp.array([0.0, 0.0]), jnp.eye(2))
+    s = DreamZs(lp, n_chains=8, seed=5)
+    with pytest.raises(ValueError, match="theta_0"):
+        s.run_mcmc(10)                     # fresh run needs a start point
+    s.run_mcmc(50, jnp.zeros(2), spread=2.0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")     # silent continuation
+        s.run_mcmc(50)
+    with pytest.warns(UserWarning, match="IGNORED"):
+        s.run_mcmc(50, jnp.zeros(2))       # start args on a continuation
+
+    import bipymc_tpu as bp
+    r = bp.Dram(lp, n_chains=4, seed=5)
+    r.run_mcmc(50, jnp.zeros(2))
+    with pytest.warns(UserWarning, match="IGNORED"):
+        r.run_mcmc(50, cov_est=jnp.eye(2))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        r.run_mcmc(50)
