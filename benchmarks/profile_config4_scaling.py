@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Config-4 utilization profile (round-3 verdict #4).
+
+BASELINE config 4 (GP log-ML hyperparameter inference) is the one
+FLOP-bound eval config — each likelihood eval is a kernel-matrix build +
+Cholesky — yet round 2 benchmarked it at 4 chains ≈ 0.5% of chip peak.
+The batch (chain) dimension is free MXU parallelism for the vmapped
+Cholesky, so this script measures:
+
+1. chain-scaling at n=512: chains ∈ {4, 16, 64, 256} — steps/s,
+   Cholesky evals/s, achieved GFLOP/s vs the ~49 f32 TFLOP/s v5e peak;
+2. large-n points (n=2048): the per-eval FLOPs grow ~n³ and a single
+   factorisation starts to tile the MXU on its own.
+
+All variants run in ONE process (axon tunnel drifts ±35% across
+sessions — docs/design.md §10b); per-variant timing amortises the ~30ms
+per-call floor over one long continuation run. Writes
+benchmarks/config4_scaling.json and prints a markdown table.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bipymc_tpu as bp
+from bipymc_tpu.gp.regressor import GpRegressor
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+V5E_F32_PEAK_GFLOPS = 49_000.0   # ~49 TFLOP/s f32 nominal bound (2x bf16)
+
+
+def make_log_post(n_train, seed=7):
+    """The config-4 posterior: GP log-ML at fixed data + weak prior
+    (same construction as run_all.config4, parameterised by n_train)."""
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-4, 4, (n_train, 2)).astype(np.float32)
+    f = np.sin(2 * x[:, 0]) * np.cos(x[:, 1])
+    y = (f + rng.normal(0, 0.2, n_train)).astype(np.float32)
+    gp = GpRegressor()
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+    def log_post(theta):
+        p = {"log_lengthscale": theta[0:2], "log_sigma_f": theta[2],
+             "log_sigma_n": theta[3]}
+        return gp._lml_impl(p, xj, yj) - 0.5 * jnp.sum((theta / 2.0) ** 2)
+
+    return log_post
+
+
+def flops_per_eval(n, d=2):
+    """FLOPs of one likelihood eval: Cholesky n³/3 dominates; plus the
+    pairwise build (~3n²d) and two triangular solves (2n²)."""
+    return n ** 3 / 3 + 3 * n ** 2 * d + 2 * n ** 2
+
+
+def measure(n_train, n_chains, n_steps):
+    lp = make_log_post(n_train)
+    s = bp.Dram(lp, seed=1, n_chains=n_chains)
+    s.run_mcmc(n_steps, jnp.zeros(4), cov_est=jnp.eye(4) * 0.05)  # compile
+    t0 = time.time()
+    s.run_mcmc(n_steps)                                   # continuation
+    elapsed = time.time() - t0
+    evals = 2 * n_chains * n_steps          # DR: 2 stages per step/chain
+    gflops = evals * flops_per_eval(n_train) / elapsed / 1e9
+    return {
+        "n_train": n_train, "n_chains": n_chains, "n_steps": n_steps,
+        "steps_per_sec": n_steps / elapsed,
+        "chain_steps_per_sec": n_chains * n_steps / elapsed,
+        "cholesky_evals_per_sec": evals / elapsed,
+        "achieved_gflops": gflops,
+        "pct_of_f32_peak": 100.0 * gflops / V5E_F32_PEAK_GFLOPS,
+    }
+
+
+def main():
+    print("backend:", jax.default_backend(), jax.devices(), file=sys.stderr)
+    np.asarray(jnp.ones(()))                 # device-tunnel warmup
+
+    rows = []
+    for n_chains, n_steps in [(4, 2000), (16, 2000), (64, 2000),
+                              (256, 1000)]:
+        r = measure(512, n_chains, n_steps)
+        rows.append(r)
+        print(json.dumps(r), file=sys.stderr, flush=True)
+    for n_chains, n_steps in [(4, 400), (16, 400), (64, 200)]:
+        r = measure(2048, n_chains, n_steps)
+        rows.append(r)
+        print(json.dumps(r), file=sys.stderr, flush=True)
+
+    with open(os.path.join(HERE, "config4_scaling.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+
+    print("| n | chains | chol/s | GFLOP/s | % f32 peak |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['n_train']} | {r['n_chains']} | "
+              f"{r['cholesky_evals_per_sec']:,.0f} | "
+              f"{r['achieved_gflops']:,.0f} | "
+              f"{r['pct_of_f32_peak']:.1f} |")
+
+
+if __name__ == "__main__":
+    main()

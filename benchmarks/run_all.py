@@ -126,49 +126,78 @@ def config2(quick):
 
 
 def config3(quick):
-    """100-dim mixture, 256-chain DREAM-zs (+ NumPy reference)."""
-    from bipymc_tpu.models.targets import baseline_config3_means
-    rng = np.random.default_rng(1234)
+    """100-dim mixture, 256-chain DREAM-zs (+ NumPy reference).
+
+    The population is initialised stratified ACROSS the 4 modes (64 chains
+    per mode, std-2 balls — targets.stratified_mode_init). A std-2 ball at
+    the origin (round 2) drifted wholly into one basin during burn-in and
+    R̂/ESS could not see it; occupancy + hop-rate below are the honesty
+    diagnostics, and docs/ROUND3.md §2 derives why inter-mode DE hops are
+    unacceptable (Δlogp ≈ −d) at d=100, making cross-mode R̂<1.1
+    unreachable for any non-tempered sampler here — so the wall-to-R̂
+    north star is measured within one basin and labelled as such.
+    """
+    import jax
+    from bipymc_tpu.models.targets import (
+        baseline_config3_means, stratified_mode_init)
+    from bipymc_tpu.utils.diagnostics import gelman_rubin
+    from bipymc_tpu.utils.init import var_ball
     means = baseline_config3_means(100)
     log_prob = gaussian_mixture(means, sigma=1.0)
     n = 3000 if not quick else 600
     burn = n // 3
 
+    x0 = stratified_mode_init(jax.random.key(100), means, 256, var=4.0)
     s2 = bp.DreamZs(log_prob, n_chains=256, seed=1, burnin_gens=burn)
-    s2.run_mcmc(n, jnp.zeros(100), spread=2.0)            # compile + burn-in
+    s2.run_mcmc(n, x0)                                    # compile + burn-in
     t0 = time.time()
     s2.run_mcmc(n)                                        # continuation
     elapsed = time.time() - t0
     ess, eps = ess_per_sec(s2, n, elapsed, n)
+    kept = s2.get_chain(discard=n)
+    # host-side NumPy (pushing the ~300MB history back through the device
+    # tunnel to argmin a distance matrix would dominate the harness)
+    sq = ((kept ** 2).sum(-1)[..., None] + (means ** 2).sum(-1)
+          - 2.0 * kept @ means.T)
+    idx = sq.argmin(-1)
+    occ = np.bincount(idx[:, -1], minlength=means.shape[0])
+    hop_rate = float((idx[:, 1:] != idx[:, :-1]).mean())
+    # the documented metric finding: split-R̂ across mode-stratified
+    # chains plateaus far above 1.1 (between-mode variance never decays)
+    rhat_across = float(np.max(np.asarray(
+        gelman_rubin(jnp.asarray(kept), split=False))))
 
     from reference_numpy import NumpyDreamZs, mixture_log_prob_numpy
     from bipymc_tpu.utils.diagnostics import ESS_WINDOW_GENS
+    rng = np.random.default_rng(1234)
     np_lp = mixture_log_prob_numpy(means)
     ref = NumpyDreamZs(np_lp, 256, burnin_gens=50, seed=1)
-    x0 = 2.0 * rng.standard_normal((256, 100))
-    z0 = 2.0 * rng.standard_normal((256, 100))
+    centers = means[np.arange(256) % 4]
+    x0_ref = centers + 2.0 * rng.standard_normal((256, 100))
+    z0_ref = centers + 2.0 * rng.standard_normal((256, 100))
     n_ref = 100 if not quick else 30
     t0 = time.time()
-    ref.run(x0, z0, n_ref)
+    ref.run(x0_ref, z0_ref, n_ref)
     ref_gps = n_ref / (time.time() - t0)
     # same per-gen efficiency (identical algorithm): ess is over the fixed
     # window, so ess/gen = ess / window
     window = min(ESS_WINDOW_GENS, n)
     ref_eps = (ess / window) * ref_gps
 
-    # BASELINE.json:2 second north-star metric: wall-clock to R̂ < 1.1 on
-    # the headline config, from scratch, via the on-device streaming stop.
-    # Warm up with the IDENTICAL call on the same instance (the jitted
-    # while_loop runner is cached per instance+parameters), then reset()
-    # and re-run from scratch so the timed number is execution only —
-    # a mismatched warmup left the full compile inside the timed window.
+    # BASELINE.json:2 second north-star metric: wall-clock to R̂ < 1.1 via
+    # the on-device streaming stop, WITHIN one basin (see docstring).
+    # Warm with the IDENTICAL call, reset(), re-time: execution only
+    # (valid since the pool.py runner-cache fix — regression-tested).
+    theta0 = var_ball(jax.random.key(101),
+                      jnp.full((100,), 4.0, jnp.float32), 256,
+                      center=jnp.asarray(means[2]), dtype=jnp.float32)
     until_kw = dict(rhat_tol=1.1, chunk=200, max_chunks=150,
-                    warmup_chunks=burn // 200 + 1, spread=2.0)
+                    warmup_chunks=burn // 200 + 1)
     s3 = bp.DreamZs(log_prob, n_chains=256, seed=3, burnin_gens=burn)
-    s3.run_mcmc_until(jnp.zeros(100), **until_kw)     # compile + warm
+    s3.run_mcmc_until(theta0, **until_kw)             # compile + warm
     s3.reset()
     t0 = time.time()
-    until = s3.run_mcmc_until(jnp.zeros(100), **until_kw)
+    until = s3.run_mcmc_until(theta0, **until_kw)
     wall_rhat = time.time() - t0
 
     return {
@@ -176,7 +205,12 @@ def config3(quick):
         "gens_per_sec": n / elapsed,
         "chain_steps_per_sec": n * 256 / elapsed,
         "ess_per_sec": eps,
+        "mode_occupancy": occ.tolist(),
+        "mode_hops_per_chain_gen": float(hop_rate),
+        "rhat_across_modes": rhat_across,
         "wall_clock_to_rhat_1p1_s": wall_rhat,
+        "wall_to_rhat_note": "within one basin; cross-mode R-hat "
+                             "unreachable by construction (ROUND3.md #2)",
         "rhat_stop_generations": int(until["steps"]),
         "rhat_final": float(until["rhat"].max()),
         "ref_gens_per_sec": ref_gps,

@@ -72,6 +72,30 @@ def baseline_config3_means(d=100, n_modes=4, spread=5.0, seed=1234):
     return (spread * rng.standard_normal((n_modes, d))).astype(np.float32)
 
 
+def stratified_mode_init(key, means, n, var=4.0, dtype=jnp.float32):
+    """Overdispersed start points spanning ALL modes of a mixture.
+
+    Chain i is placed in a ``var_ball`` around mode ``i % k`` — round-robin
+    so every mode gets ⌈n/k⌉±1 chains (mode *proportions* match equal
+    weights, which overdispersion across the posterior's support requires
+    for R-hat validity — SURVEY.md §4.10; the reference's ``var_ball`` has
+    exactly this purpose). A std-``spread`` ball at the ORIGIN is not
+    overdispersed when the modes sit at radius ≈ |μ|·√d: the round-2
+    headline benchmark initialised that way and its whole 256-chain
+    population drifted into one basin during burn-in (verdict finding #2).
+
+    means: [k, d] mode centres; var: per-dim variance of each ball
+    (default 4 = std 2, overdispersed relative to the config-3 σ=1 modes).
+    Returns [n, d].
+    """
+    from bipymc_tpu.utils.init import var_ball
+    means = jnp.asarray(means, dtype)
+    k, d = means.shape
+    centers = means[jnp.arange(n) % k]                       # [n, d]
+    noise = var_ball(key, jnp.full((d,), var, dtype), n, dtype=dtype)
+    return centers + noise
+
+
 def gaussian_mixture(means, sigma=1.0, weights=None):
     """Isotropic Gaussian mixture in d dims (BASELINE config 3 posterior).
 

@@ -63,6 +63,10 @@ class DreamConfig(NamedTuple):
                                 # generation-start population, r₁≠r₂≠i
     pallas_proposal: bool | None = None   # fused proposal-math kernel;
                                           # None → auto (TPU backend only)
+    pallas_accept: bool = False  # fused accept/update kernel — measured
+                                 # SLOWER than XLA's fusions at 256–4096
+                                 # chains (docs/ROUND3.md §5 A/B table),
+                                 # shipped off-default like pallas_chol
     shard_archive: bool = False  # shard Z block-wise over the chain mesh
                                  # axis and ring-pass (ppermute) blocks for
                                  # sampling — for archives too large to
@@ -324,16 +328,25 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
 
         logp_star = jax.vmap(log_prob)(x_star)             # dominant cost
         log_u = jnp.log(u_acc)
-        # accept/update stays in XLA: a fused Pallas version was built and
-        # measured 2.8µs/gen SLOWER at 256×100 (call overhead + operand
-        # packing exceed the ~4 small fusions it replaces — ROUND2.md)
-        log_alpha = jnp.minimum(0.0, logp_star - state.logp + log_jac)
-        # guard NaN/-inf proposals (out-of-support): always reject
-        log_alpha = jnp.where(jnp.isfinite(logp_star), log_alpha, -jnp.inf)
-        acc = log_u < log_alpha
-        x_new = jnp.where(acc[:, None], x_star, state.x)
-        logp_new = jnp.where(acc, logp_star, state.logp)
-        logp_sum = state.logp_sum + logp_new
+        if cfg.pallas_accept:
+            # fused accept/update: exact ops only (compare/select/min/add),
+            # bit-identical to the jnp chain below. OFF by default: XLA's
+            # fusions win the A/B at every chain count measured (256–4096
+            # × d=100 — docs/ROUND3.md §5); kept as an option so the
+            # negative result stays re-measurable on future hardware.
+            from bipymc_tpu.ops.accept_select import accept_select_pallas
+            x_new, logp_new, logp_sum, acc = accept_select_pallas(
+                state.x, x_star, state.logp, logp_star, log_jac, log_u,
+                state.logp_sum, interpret=interp)
+        else:
+            log_alpha = jnp.minimum(0.0, logp_star - state.logp + log_jac)
+            # guard NaN/-inf proposals (out-of-support): always reject
+            log_alpha = jnp.where(jnp.isfinite(logp_star), log_alpha,
+                                  -jnp.inf)
+            acc = log_u < log_alpha
+            x_new = jnp.where(acc[:, None], x_star, state.x)
+            logp_new = jnp.where(acc, logp_star, state.logp)
+            logp_sum = state.logp_sum + logp_new
 
         # Population-level schedule blocks below run under lax.cond — the
         # predicates are replicated (generation-counter based), so all

@@ -116,6 +116,51 @@ def acceptance_fraction(accepted):
     return jnp.mean(jnp.asarray(accepted, jnp.float32), axis=-1)
 
 
+def nearest_mode(positions, means):
+    """Index of the nearest mode centre for each position.
+
+    positions: [..., d]; means: [k, d]. Returns int32 [...]. Distances via
+    ‖x‖²+‖μ‖²−2xμᵀ so the [... , k] matrix comes from one matmul.
+    """
+    positions = jnp.asarray(positions)
+    means = jnp.asarray(means, positions.dtype)
+    sq = (jnp.sum(positions ** 2, -1)[..., None]
+          + jnp.sum(means ** 2, -1) - 2.0 * positions @ means.T)
+    return jnp.argmin(sq, axis=-1).astype(jnp.int32)
+
+
+def mode_occupancy(positions, means):
+    """Chains per nearest mode — the multimodality diagnostic R̂/ESS are
+    structurally blind to (round-2 verdict: the headline 'multimodal'
+    benchmark sampled a single basin, occupancy [0,0,256,0], while
+    R̂=1.10 and ESS looked healthy because all chains agreed).
+
+    positions: [M, d] current population (or [M*T, d] pooled history);
+    means: [k, d]. Returns int32 counts [k]; for an equal-weight mixture a
+    healthy stratified population shows ≈M/k per mode.
+    """
+    idx = nearest_mode(positions, means)
+    return jnp.bincount(idx.reshape(-1), length=means.shape[0])
+
+
+def mode_hops(history, means):
+    """Count inter-mode transitions in a kept history.
+
+    history: [M, T, d] (chains, kept generations, dims); means: [k, d].
+    Returns (total_hops, hops_per_chain_per_gen). A hop is a generation
+    where a chain's nearest mode changes. On well-separated high-d modes
+    hops are RARE (measured 2.8e-5/chain/gen on the d=100 headline
+    config): independent-pair γ=1 jumps are e^(−d)-suppressed and the
+    surviving channel is correlated archive pairs (z₂ ≈ the chain's own
+    recent state → an equilibrium-noise mode transplant — docs/ROUND3.md
+    §2). Reporting the rate is what keeps "multimodal" claims honest.
+    """
+    idx = nearest_mode(jnp.asarray(history), means)          # [M, T]
+    hops = jnp.sum(idx[:, 1:] != idx[:, :-1])
+    m, t = idx.shape
+    return hops, hops / jnp.maximum(m * (t - 1), 1)
+
+
 # Benchmark convention: ESS is window-dependent (the emcee auto-window τ
 # grows with chain length), so throughput numbers are only comparable when
 # computed over a FIXED window. All harnesses in this repo (bench.py,

