@@ -24,8 +24,42 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from jax import custom_batching
+
 from bipymc_tpu.gp import kernels as _kernels
 from bipymc_tpu.gp.kernels import squared_exp
+
+
+@custom_batching.custom_vmap
+def _chol_dispatch(kmat):
+    """Cholesky whose BATCHED form routes to the Pallas batched kernel.
+
+    Un-vmapped callers get XLA's ``cholesky`` unchanged. Under ``vmap``
+    (the config-4 shape: one Gram factorisation per chain) the rule below
+    fires and, on TPU/f32 with enough batch, uses
+    ops.pallas_bchol.cholesky_batched_pallas — XLA's batched cholesky is
+    critical-path-bound (~112µs/matrix at n=512 for EVERY batch ≥ 16,
+    <1% of f32 peak) while the Pallas kernel shares the serial
+    elimination chain across 8 matrices per grid cell.
+
+    NOT differentiable un-vmapped (custom_vmap limitation) — grad paths
+    (``optimize``, ``log_marginal_likelihood``) use ``grad_safe=True``
+    in :meth:`GpRegressor._cholesky` instead.
+    """
+    return jnp.linalg.cholesky(kmat)
+
+
+@_chol_dispatch.def_vmap
+def _chol_dispatch_vmap(axis_size, in_batched, kmat):
+    (kb,) = in_batched
+    if (kb and kmat.ndim == 3 and kmat.dtype == jnp.float32
+            and kmat.shape[-1] <= 1024 and axis_size >= 8
+            and jax.default_backend() == "tpu"):
+        from bipymc_tpu.ops.pallas_bchol import cholesky_batched_pallas
+        return cholesky_batched_pallas(kmat), True
+    out = (jax.vmap(jnp.linalg.cholesky)(kmat) if kb
+           else jnp.linalg.cholesky(kmat))
+    return out, kb
 
 
 class GpFit(NamedTuple):
@@ -54,7 +88,7 @@ class GpRegressor:
 
     def __init__(self, kernel: Callable = squared_exp, jitter: float = 1e-5,
                  normalize_y: bool = False, pallas_solve: bool = False,
-                 pallas_chol: bool = False):
+                 pallas_chol: bool = False, batched_chol: bool = True):
         """normalize_y: standardise targets to zero mean / unit variance
         before fitting and undo it in predict — essential when y spans
         orders of magnitude (e.g. GP surrogates of log-likelihood surfaces,
@@ -73,15 +107,29 @@ class GpRegressor:
         per-iteration overhead that XLA's tuned panels avoid), so off by
         default; shipped as the measured alternative completing
         BASELINE.json:5's Cholesky clause with code + measurement.
-        Differentiable (custom adjoint); n ≤ 1024; off-TPU uses XLA."""
+        Differentiable (custom adjoint); n ≤ 1024; off-TPU uses XLA.
+
+        batched_chol: when the likelihood is VMAPPED over chains (config
+        4: one Gram factorisation per chain per DR stage), route the
+        batched Cholesky to ops.pallas_bchol, which shares the serial
+        elimination chain across 8 matrices per grid cell — XLA's batched
+        cholesky plateaus at ~112µs/matrix for every batch ≥ 16 at n=512
+        (<1% of f32 peak, benchmarks/config4_scaling.json). No effect
+        off-TPU, un-vmapped, non-f32, or n > 1024. Grad paths
+        (``optimize``/``log_marginal_likelihood``) bypass it (the
+        custom_vmap wrapper is not reverse-differentiable un-vmapped)."""
         self.kernel = kernel
         self.jitter = jitter
         self.normalize_y = normalize_y
         self.pallas_solve = pallas_solve
+        self.batched_chol = batched_chol
         self.pallas_chol = pallas_chol
         self._fit_jit = jax.jit(self._fit_impl)
         self._predict_jit = jax.jit(self._predict_impl)
-        self._lml_jit = jax.jit(self._lml_impl)
+        # public log-ML stays differentiable → grad-safe Cholesky path
+        self._lml_jit = jax.jit(
+            lambda params, x, y: self._lml_impl(params, x, y,
+                                                grad_safe=True))
 
     # ---- pure implementations -------------------------------------------
     def _gram(self, params, x):
@@ -100,7 +148,7 @@ class GpRegressor:
             y_std = jnp.ones((), dtype=y.dtype)
         return (y - y_mean) / y_std, y_mean, y_std
 
-    def _cholesky(self, kmat):
+    def _cholesky(self, kmat, grad_safe=False):
         # f32-only: the Pallas kernel's VMEM scratch is float32, so f64
         # Gram matrices (the x64 knob) must take the XLA path
         if self.pallas_chol and kmat.shape[-1] <= 1024 \
@@ -108,6 +156,10 @@ class GpRegressor:
                 and jax.default_backend() == "tpu":
             from bipymc_tpu.ops.pallas_chol import cholesky_pallas
             return cholesky_pallas(kmat)
+        if self.batched_chol and not grad_safe:
+            # no-op unless vmapped on TPU/f32 with batch ≥ 8 (see
+            # _chol_dispatch); grad paths must pass grad_safe=True
+            return _chol_dispatch(kmat)
         return jnp.linalg.cholesky(kmat)
 
     def _solve_lower(self, chol, b):
@@ -141,11 +193,11 @@ class GpRegressor:
         var = jnp.maximum(sf2 - jnp.sum(w * w, axis=0), 1e-12)
         return fit.y_mean + fit.y_std * mu, fit.y_std ** 2 * var
 
-    def _lml_impl(self, params, x, y):
+    def _lml_impl(self, params, x, y, grad_safe=False):
         n = x.shape[0]
         y, _, y_std = self._normalize(y)
         kmat = self._gram(params, x)
-        chol = self._cholesky(kmat)
+        chol = self._cholesky(kmat, grad_safe=grad_safe)
         v = self._solve_lower(chol, y)
         # -n log(y_std): change-of-variables so the value is the LML of the
         # *original* y under normalize_y (constant in params, so hyperopt
@@ -186,7 +238,7 @@ class GpRegressor:
             params = default_params(x.shape[-1], dtype=x.dtype)
 
         loss_grad = jax.value_and_grad(
-            lambda p: -self._lml_impl(p, x, y))
+            lambda p: -self._lml_impl(p, x, y, grad_safe=True))
         opt = optax.adam(lr)
 
         @jax.jit
