@@ -132,10 +132,12 @@ def config3(quick):
     per mode, std-2 balls — targets.stratified_mode_init). A std-2 ball at
     the origin (round 2) drifted wholly into one basin during burn-in and
     R̂/ESS could not see it; occupancy + hop-rate below are the honesty
-    diagnostics, and docs/ROUND3.md §2 derives why inter-mode DE hops are
-    unacceptable (Δlogp ≈ −d) at d=100, making cross-mode R̂<1.1
-    unreachable for any non-tempered sampler here — so the wall-to-R̂
-    north star is measured within one basin and labelled as such.
+    diagnostics. Inter-mode hops are RARE at d=100 (measured
+    ~3e-5/chain/gen via the correlated-archive-pair channel —
+    docs/ROUND3.md §2), so mode weights self-equilibrate only on ~35k-gen
+    timescales and cross-mode R̂<1.1 is unreachable within any practical
+    window — the wall-to-R̂ north star is therefore measured within one
+    basin and labelled as such.
     """
     import jax
     from bipymc_tpu.models.targets import (
@@ -221,9 +223,18 @@ def config3(quick):
 
 
 def config4(quick):
-    """GP hyperparameter inference: Cholesky in the MCMC hot loop."""
+    """GP hyperparameter inference: Cholesky in the MCMC hot loop.
+
+    16 chains (round 3; was 4): the chain-scaling profile
+    (benchmarks/config4_scaling.json) shows XLA's batched Cholesky
+    saturates by 16 vmapped chains (~6.6k chol/s at n=512) — the batch
+    axis stops paying because the factorisation's sequential panel loop,
+    not FLOPs, is the bound. docs/ROUND3.md §4 has the table and the
+    Pallas batched-Cholesky response (ops/pallas_bchol.py).
+    """
     rng = np.random.default_rng(7)
     n_train = 512 if not quick else 128
+    n_chains = 16
     x = rng.uniform(-4, 4, (n_train, 2)).astype(np.float32)
     f = np.sin(2 * x[:, 0]) * np.cos(x[:, 1])
     y = (f + rng.normal(0, 0.2, n_train)).astype(np.float32)
@@ -236,14 +247,14 @@ def config4(quick):
         return gp._lml_impl(p, xj, yj) - 0.5 * jnp.sum((theta / 2.0) ** 2)
 
     n = 2000 if not quick else 400
-    s2 = bp.Dram(log_post, seed=1, n_chains=4)
+    s2 = bp.Dram(log_post, seed=1, n_chains=n_chains)
     s2.run_mcmc(n, jnp.zeros(4), cov_est=jnp.eye(4) * 0.05)  # compile+warm
     t0 = time.time()
     s2.run_mcmc(n)                                        # continuation
     elapsed = time.time() - t0
     ess, eps = ess_per_sec(s2, n + n // 4, elapsed, n)
     # DR: 2 likelihoods/step/chain; each likelihood = kernel build + chol
-    chols_per_sec = 2 * 4 * n / elapsed
+    chols_per_sec = 2 * n_chains * n / elapsed
 
     # reference-semantics likelihood: NumPy/SciPy GP log-ML (kernel build
     # + cho_factor + cho_solve per evaluation) inside the NumPy DRAM loop
@@ -273,12 +284,12 @@ def config4(quick):
     # 4 vmapped chains vs 1 serial chain: compare per-chain-step rates
     # times chains (throughput), same per-step statistical efficiency
     return {
-        "name": f"4: GP log-ML target, n={n_train} (DRAM, 4 chains)",
+        "name": f"4: GP log-ML target, n={n_train} (DRAM, {n} chains)".format(n_train=n_train, n=n_chains),
         "steps_per_sec": n / elapsed,
         "cholesky_evals_per_sec": chols_per_sec,
         "ess_per_sec": eps,
         "ref_steps_per_sec_1chain": ref_sps,
-        "speedup_chain_steps": (4 * n / elapsed) / ref_sps,
+        "speedup_chain_steps": (n_chains * n / elapsed) / ref_sps,
     }
 
 

@@ -31,10 +31,13 @@ from bipymc_tpu.samplers.api import (
     DreamZs,
 )
 from bipymc_tpu.utils.init import var_ball
-from bipymc_tpu.utils.diagnostics import gelman_rubin, effective_sample_size
+from bipymc_tpu.utils.diagnostics import (gelman_rubin,
+                                          effective_sample_size,
+                                          mode_occupancy, mode_hops)
 from bipymc_tpu.utils.external import external_log_like
+from bipymc_tpu.models.targets import stratified_mode_init
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "Metropolis",
@@ -50,5 +53,8 @@ __all__ = [
     "var_ball",
     "gelman_rubin",
     "effective_sample_size",
+    "mode_occupancy",
+    "mode_hops",
+    "stratified_mode_init",
     "external_log_like",
 ]
