@@ -33,6 +33,7 @@ from bipymc_tpu.samplers.api import (
 from bipymc_tpu.utils.init import var_ball
 from bipymc_tpu.utils.diagnostics import (gelman_rubin,
                                           effective_sample_size,
+                                          rank_normalized_rhat,
                                           mode_occupancy, mode_hops)
 from bipymc_tpu.utils.external import external_log_like
 from bipymc_tpu.models.targets import stratified_mode_init
@@ -53,6 +54,7 @@ __all__ = [
     "var_ball",
     "gelman_rubin",
     "effective_sample_size",
+    "rank_normalized_rhat",
     "mode_occupancy",
     "mode_hops",
     "stratified_mode_init",

@@ -35,3 +35,10 @@ def chain_offset(n_local, axis_name):
     if axis_name is None:
         return jnp.int32(0)
     return lax.axis_index(axis_name) * n_local
+
+
+def axis_size(axis_name):
+    """Number of shards along the chain axis (1 on the vmap path)."""
+    if axis_name is None:
+        return 1
+    return lax.psum(1, axis_name)

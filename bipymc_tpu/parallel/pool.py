@@ -33,25 +33,48 @@ from bipymc_tpu.parallel.mesh import CHAIN_AXIS
 from bipymc_tpu.utils.streaming import rhat_init, rhat_update, rhat_compute
 
 
+def _parse_field(entry):
+    """``"name"`` → (name, 0); ``"name@1"`` → (name, 1)."""
+    name, _, dim = entry.partition("@")
+    return name, int(dim) if dim else 0
+
+
+def _spec_at(dim, ndim, axis_name):
+    return P(*([None] * dim), axis_name, *([None] * (ndim - dim - 1)))
+
+
 def _state_specs(state, sharded_fields, axis_name):
     """PartitionSpec pytree for a population state NamedTuple.
 
-    Fields named in ``sharded_fields`` are sharded on their leading axis;
-    everything else (CR weights, counters, …) is replicated. Dotted names
-    reach into nested NamedTuples (e.g. ``"archive.buf"`` block-shards the
-    DREAM archive ring buffer for the ppermute sampling path —
-    ensemble/archive.py).
+    Fields named in ``sharded_fields`` are sharded on their leading axis
+    by default; a ``"@k"`` suffix shards axis ``k`` instead (e.g.
+    ParallelTempering's ``"kernel@1"`` — chain axis sits behind the temp
+    axis). Everything else (CR weights, counters, …) is replicated.
+    Dotted names reach into nested NamedTuples (e.g. ``"archive.buf"``
+    block-shards the DREAM archive ring buffer — ensemble/archive.py);
+    naming a nested NamedTuple itself shards EVERY leaf under it at the
+    given axis.
     """
-    sharded = set(sharded_fields)
+    direct = {}
+    nested = {}
+    for f in sharded_fields:
+        name, dim = _parse_field(f)
+        if "." in name:
+            head, rest = name.split(".", 1)
+            nested.setdefault(head, []).append(
+                rest + (f"@{dim}" if dim else ""))
+        else:
+            direct[name] = dim
     specs = {}
     for name in state._fields:
         leaf = getattr(state, name)
-        if name in sharded:
-            specs[name] = P(axis_name, *([None] * (jnp.ndim(leaf) - 1)))
+        if name in direct:
+            dim = direct[name]
+            specs[name] = jax.tree_util.tree_map(
+                lambda l: _spec_at(dim, jnp.ndim(l), axis_name), leaf)
         elif hasattr(leaf, "_fields"):
-            sub = [f.split(".", 1)[1] for f in sharded
-                   if f.startswith(name + ".")]
-            specs[name] = _state_specs(leaf, sub, axis_name)
+            specs[name] = _state_specs(leaf, nested.get(name, []),
+                                       axis_name)
         else:
             specs[name] = jax.tree_util.tree_map(lambda _: P(), leaf)
     return type(state)(**specs)
@@ -110,12 +133,14 @@ class ChainPool:
         if self.mesh is None:
             return state
         n_dev = self.mesh.devices.size
-        for name in self.sharded_fields:
-            n = _get_field(state, name).shape[0]
-            if n % n_dev != 0:
-                raise ValueError(
-                    f"sharded field '{name}' leading dim {n} must be "
-                    f"divisible by the mesh's {n_dev} devices")
+        for entry in self.sharded_fields:
+            name, dim = _parse_field(entry)
+            for leaf in jax.tree_util.tree_leaves(_get_field(state, name)):
+                n = leaf.shape[dim]
+                if n % n_dev != 0:
+                    raise ValueError(
+                        f"sharded field '{name}' axis-{dim} dim {n} must "
+                        f"be divisible by the mesh's {n_dev} devices")
         specs = _state_specs(state, self.sharded_fields, self.axis_name)
         shardings = jax.tree_util.tree_map(
             lambda s: NamedSharding(self.mesh, s), specs,

@@ -327,17 +327,20 @@ class ParallelTempering(McmcSampler):
     """Replica-exchange MCMC over the RW family (beyond-reference extra,
     samplers/tempering.py): ``n_temps`` tempered replicas of ``n_chains``
     chains each, adjacent-pair swaps every ``swap_interval`` steps.
-    History exposes the cold (β=1) replica."""
+    History exposes the cold (β=1) replica. ``mesh=`` shards the CHAIN
+    axis over devices (every shard keeps the full temperature ladder, so
+    swaps stay local; trajectories are bit-identical to the vmap path)."""
 
     _KINDS = {"mh": rw.metropolis_config, "am": rw.adaptive_metropolis_config,
               "dr": rw.dr_metropolis_config, "dram": rw.dram_config}
 
     def __init__(self, log_like_fn, n_temps=8, n_chains=4, betas=None,
                  beta_min=0.05, swap_interval=10, kind="dram", seed=0,
-                 dtype=jnp.float32, **kernel_kw):
+                 dtype=jnp.float32, mesh=None, **kernel_kw):
         super().__init__(log_like_fn, seed=seed, dtype=dtype)
+        self.mesh = mesh
         self._ctor_kw = dict(n_chains=n_chains, swap_interval=swap_interval,
-                             kind=kind, dtype=dtype, **kernel_kw)
+                             kind=kind, dtype=dtype, mesh=mesh, **kernel_kw)
         if betas is None:
             betas = tempering.geometric_ladder(n_temps, beta_min)
         if abs(betas[0] - 1.0) > 1e-6 or list(betas) != sorted(
@@ -372,27 +375,31 @@ class ParallelTempering(McmcSampler):
         return (tempering.init(theta0, self.log_like_fn, self.cfg, cov_est),
                 k_run)
 
+    def _pt_pool(self):
+        if getattr(self, "_pool_obj", None) is None:
+            def collect(state, info):
+                # cold replica history; pair_swap kept for the whole
+                # ladder (the per-interface diagnostic needs every
+                # temperature) — chains moved to the leading axis so the
+                # pool's history sharding (chains at dim 1 of [T, ...])
+                # holds for every leaf
+                return {"x": state.kernel.theta[0], "logp": info.logp[0],
+                        "accepted": info.accepted[0],
+                        "swapped": info.swapped[0],
+                        "pair_swap": jnp.swapaxes(info.pair_swap, 0, 1)}
+
+            self._pool_obj = ChainPool(
+                step_factory=lambda axis: tempering.make_step(
+                    self.log_like_fn, self.cfg, axis_name=axis),
+                sharded_fields=("kernel@1", "direction@1"),
+                mesh=self.mesh, collect_fn=collect)
+        return self._pool_obj
+
     def run_mcmc(self, n_samples, theta_0=None, cov_est=None, thin=1,
                  spread=1.0):
         state, k_run = self._pt_prepare(theta_0, cov_est, spread)
-        step = tempering.make_step(self.log_like_fn, self.cfg)
-
-        def collect(state, info):
-            # cold replica history; pair_swap kept for the whole ladder
-            # (the per-interface diagnostic needs every temperature)
-            return {"x": state.kernel.theta[0], "logp": info.logp[0],
-                    "accepted": info.accepted[0],
-                    "swapped": info.swapped[0],
-                    "pair_swap": info.pair_swap}
-
-        cache_key = (n_samples, thin)
-        if cache_key not in self._runners:
-            self._runners[cache_key] = jax.jit(
-                lambda state, key, t0: run_scan_thinned(
-                    step, state, key, n_steps=n_samples, thin=thin,
-                    collect_fn=collect, t0=t0))
-        final_state, history = self._runners[cache_key](
-            state, k_run, jnp.asarray(self._steps_run, jnp.int32))
+        final_state, history = self._pt_pool().run(
+            state, k_run, n_samples, thin=thin, t0=self._steps_run)
         self._store(final_state, history, n_samples, thin=thin)
         return self
 
@@ -405,12 +412,7 @@ class ParallelTempering(McmcSampler):
         if self.n_chains < 2:
             raise ValueError("R-hat early stop needs n_chains >= 2")
         state, k_run = self._pt_prepare(theta_0, cov_est, spread)
-        if getattr(self, "_until_pool", None) is None:
-            self._until_pool = ChainPool(
-                step_factory=lambda axis: tempering.make_step(
-                    self.log_like_fn, self.cfg),
-                sharded_fields=(), mesh=None)
-        final_state, info = self._until_pool.run_until(
+        final_state, info = self._pt_pool().run_until(
             state, k_run, rhat_tol=rhat_tol, chunk=chunk,
             max_chunks=max_chunks, warmup_chunks=warmup_chunks,
             position_fn=_pt_cold_position, t0=self._steps_run)
@@ -431,7 +433,8 @@ class ParallelTempering(McmcSampler):
         schedule attempts pair k only on swap rounds whose parity matches
         k, so attempts are counted per pair."""
         self._require_run()
-        ps = np.asarray(self._history["pair_swap"])   # [T, K, M]
+        # [T, M, K] (chains at dim 1 for pool history sharding)
+        ps = np.asarray(self._history["pair_swap"])
         interval = self.cfg.swap_interval
         # GLOBAL step index of every kept history row: with thin > 1 the
         # kept rows are t0 + k·thin + (thin−1), NOT the last T integers —
@@ -445,8 +448,8 @@ class ParallelTempering(McmcSampler):
         rates = np.zeros(self.n_temps - 1)
         for k in range(self.n_temps - 1):
             attempted = is_round & (parity == k % 2)
-            n_att = attempted.sum() * ps.shape[2]
-            rates[k] = (ps[attempted, k, :].sum() / n_att if n_att else
+            n_att = attempted.sum() * ps.shape[1]
+            rates[k] = (ps[attempted, :, k].sum() / n_att if n_att else
                         np.nan)
         return rates
 

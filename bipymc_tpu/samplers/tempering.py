@@ -79,8 +79,20 @@ def tune_ladder(betas, swap_rates):
     return tuple(float(b) for b in new)
 
 
-def make_step(log_like: Callable, cfg: PtConfig) -> Callable:
-    """Build ``step(state, key, t)`` over a :class:`PtState`."""
+def make_step(log_like: Callable, cfg: PtConfig,
+              axis_name=None) -> Callable:
+    """Build ``step(state, key, t)`` over a :class:`PtState`.
+
+    axis_name: chain-mesh axis for a CHAIN-sharded ladder (round 3).
+    Replicas (temperatures) stay intact on every shard — swaps are
+    per-chain exchanges across the temp axis, so the only collective in
+    the whole step is the scalar round-trip psum. Keys fold by GLOBAL
+    (temp, chain) index and the swap uniforms fold per global chain, so
+    mesh and vmap paths produce identical trajectories
+    (tests/test_sharding.py::test_pt_mesh_matches_vmap).
+    """
+    from bipymc_tpu.parallel.collectives import (axis_size, chain_offset,
+                                                 psum_chains)
     # NumPy, not jnp: closed-over device constants force trace-time
     # device->host fetches (see models/targets.py note)
     betas = np.asarray(cfg.betas, np.float32)
@@ -90,13 +102,20 @@ def make_step(log_like: Callable, cfg: PtConfig) -> Callable:
         step = rw.make_step(lambda th: beta * log_like(th), cfg.kernel)
         return step(state, key, t)
 
-    # temps × chains double vmap; key folded by (temp, chain) global index
+    def _gids(n_local):
+        """Global chain ids of this shard ([n_local] int32)."""
+        return chain_offset(n_local, axis_name) + jnp.arange(
+            n_local, dtype=jnp.int32)
+
+    # temps × chains double vmap; key folded by (temp, chain) GLOBAL index
     def advance(state, key, t):
-        n_chains = state.theta.shape[1]
+        n_local = state.theta.shape[1]
+        n_global = n_local * axis_size(axis_name)
+        gids = _gids(n_local)
 
         def per_temp(state_k, k_idx, beta):
-            keys = jax.vmap(lambda i: jax.random.fold_in(
-                key, k_idx * n_chains + i))(jnp.arange(n_chains))
+            keys = jax.vmap(lambda g: jax.random.fold_in(
+                key, k_idx * n_global + g))(gids)
             return jax.vmap(tempered_kernel,
                             in_axes=(0, 0, None, None))(
                 state_k, keys, t, beta)
@@ -123,7 +142,13 @@ def make_step(log_like: Callable, cfg: PtConfig) -> Callable:
         d_beta = b[:, None] - b[partner][:, None]             # [K, 1]
         d_ell = ell[partner] - ell                            # [K, M]
         log_alpha = jnp.minimum(0.0, d_beta * d_ell)
-        u = jax.random.uniform(key, logp.shape)
+        # swap uniforms fold per GLOBAL chain so chain-sharded ladders
+        # draw the same stream as the vmap path (each chain's K-vector
+        # is one draw; shards never share uniforms)
+        u = jnp.transpose(jax.vmap(
+            lambda g: jax.random.uniform(
+                jax.random.fold_in(key, g), (n_temps,)))(
+            _gids(logp.shape[1])))                            # [K, M]
         # decision made on the lower index of each pair, mirrored to both
         acc_lo = jnp.log(u) < log_alpha                       # [K, M]
         acc = jnp.where(is_lo[:, None], acc_lo, acc_lo[partner])
@@ -142,7 +167,8 @@ def make_step(log_like: Callable, cfg: PtConfig) -> Callable:
             at_cold = jnp.zeros_like(direction, bool).at[0].set(True)
             at_hot = jnp.zeros_like(direction, bool).at[-1].set(True)
             completed = at_cold & (direction == -1)
-            trips = state.trips + jnp.sum(completed.astype(jnp.int32))
+            trips = state.trips + psum_chains(
+                jnp.sum(completed.astype(jnp.int32)), axis_name)
             direction = jnp.where(at_cold, 1, direction)
             direction = jnp.where(at_hot, -1, direction).astype(jnp.int8)
         else:

@@ -45,6 +45,39 @@ def gelman_rubin(chains, split=True):
     return jnp.sqrt(v_hat / w)
 
 
+def rank_normalized_rhat(chains):
+    """Rank-normalised split-R̂ (Vehtari, Gelman, Simpson, Carpenter &
+    Bürkner 2021) — beyond-reference diagnostics upgrade.
+
+    Classical R̂ assumes roughly Gaussian marginals and is blind to
+    heavy tails and variance differences between chains. This variant
+    returns max(R̂ of rank-normalised draws, R̂ of rank-normalised
+    FOLDED draws |x − median|): the bulk term catches location
+    disagreement, the folded term scale/tail disagreement.
+
+    chains: [M, N, d] → [d]. Jittable (rank via double argsort; normal
+    quantiles via the inverse-erf transform of the fractional ranks).
+    """
+    chains = _promote(chains)
+
+    def _ranks_to_z(x):
+        m, n, d = x.shape
+        flat = x.reshape(m * n, d)
+        order = jnp.argsort(flat, axis=0)
+        ranks = jnp.zeros_like(order).at[
+            order, jnp.arange(d)[None, :]].set(
+            jnp.arange(m * n)[:, None].astype(order.dtype) + 1)
+        # Blom-style fractional ranks → standard normal quantiles
+        frac = (ranks.astype(x.dtype) - 0.375) / (m * n + 0.25)
+        z = jnp.sqrt(2.0) * jax.scipy.special.erfinv(2.0 * frac - 1.0)
+        return z.reshape(m, n, d)
+
+    bulk = gelman_rubin(_ranks_to_z(chains), split=True)
+    folded = jnp.abs(chains - jnp.median(chains, axis=(0, 1)))
+    tail = gelman_rubin(_ranks_to_z(folded), split=True)
+    return jnp.maximum(bulk, tail)
+
+
 def autocorr_fn(chains, max_lag=None):
     """Normalised autocorrelation ρ_t via FFT, averaged over chains and dims.
 

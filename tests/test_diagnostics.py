@@ -136,3 +136,38 @@ def test_stratified_mode_init_balances_modes():
     # per-mode spread ≈ std 2
     r = np.asarray(x0[0::4]) - means[0]
     assert 1.5 < r.std() < 2.5
+
+
+def test_rank_normalized_rhat():
+    """Bulk term ≈ classical R̂ behaviour on Gaussian chains; the folded
+    term catches a chain with inflated variance that classical split-R̂
+    under-reports (Vehtari et al. 2021 motivation)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from bipymc_tpu.utils.diagnostics import (rank_normalized_rhat,
+                                              gelman_rubin)
+
+    rng = np.random.default_rng(0)
+    good = rng.normal(size=(8, 600, 2)).astype(np.float32)
+    r = np.asarray(rank_normalized_rhat(jnp.asarray(good)))
+    assert r.shape == (2,)
+    assert np.all(r < 1.05), r
+
+    # location disagreement: flagged by both
+    shifted = good.copy()
+    shifted[0] += 2.0
+    r2 = np.asarray(rank_normalized_rhat(jnp.asarray(shifted)))
+    assert np.all(r2 > 1.1), r2
+
+    # scale disagreement (same means): rank-R̂ flags it harder than the
+    # classical statistic relative to its own well-mixed baseline
+    scale = good.copy()
+    scale[0] *= 6.0
+    r3 = np.asarray(rank_normalized_rhat(jnp.asarray(scale)))
+    c3 = np.asarray(gelman_rubin(jnp.asarray(scale)))
+    assert np.all(r3 > 1.1), (r3, c3)
+
+    # jittable
+    import jax
+    r4 = np.asarray(jax.jit(rank_normalized_rhat)(jnp.asarray(good)))
+    np.testing.assert_allclose(r4, r, rtol=1e-5)

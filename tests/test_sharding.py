@@ -61,3 +61,23 @@ def test_chain_count_invariance():
     m8 = Metropolis(lp, seed=3, n_chains=8).run_mcmc(100, x0[:8])
     m4 = Metropolis(lp, seed=3, n_chains=4).run_mcmc(100, x0[:4])
     np.testing.assert_array_equal(m8.super_chain[:4], m4.super_chain)
+
+
+def test_pt_mesh_matches_vmap():
+    """ParallelTempering with a chain mesh (round 3): the ladder is
+    replicated per shard, chains shard (kernel@1), and trajectories must
+    be bit-identical to the single-device vmap run — including the
+    round-trip counter (a cross-shard psum) and swap-rate accounting."""
+    from bipymc_tpu import ParallelTempering
+    from bipymc_tpu.models.targets import gaussian_mixture
+
+    lp = gaussian_mixture([[-3.0, 0.0], [3.0, 0.0]], sigma=1.0)
+    kw = dict(n_temps=4, n_chains=16, beta_min=0.1, swap_interval=5,
+              kind="dram", seed=3)
+    a = ParallelTempering(lp, mesh=chain_mesh(), **kw)
+    a.run_mcmc(400, jnp.zeros(2), cov_est=jnp.eye(2) * 0.5)
+    b = ParallelTempering(lp, **kw)
+    b.run_mcmc(400, jnp.zeros(2), cov_est=jnp.eye(2) * 0.5)
+    np.testing.assert_array_equal(a.super_chain, b.super_chain)
+    np.testing.assert_array_equal(a.swap_rates, b.swap_rates)
+    assert a.round_trips == b.round_trips
