@@ -67,6 +67,16 @@ class DreamConfig(NamedTuple):
                                  # SLOWER than XLA's fusions at 256–4096
                                  # chains (docs/ROUND3.md §5 A/B table),
                                  # shipped off-default like pallas_chol
+    jump_full_cr: bool = False   # force CR=1 (full-dimension crossover)
+                                 # at γ=1 jump generations: a partial-dim
+                                 # γ=1 move lands BETWEEN well-separated
+                                 # modes and always rejects, so this
+                                 # multiplies the inter-mode hop rate by
+                                 # ~1/P(CR=1) on multimodal targets
+                                 # (docs/ROUND3.md §2/§6). Off by default:
+                                 # γ:=1 with the subspace still in effect
+                                 # is the literature's letter and the
+                                 # fidelity contract with the reference.
     shard_archive: bool = False  # shard Z block-wise over the chain mesh
                                  # axis and ring-pass (ppermute) blocks for
                                  # sampling — for archives too large to
@@ -183,6 +193,10 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
         diff = jnp.sum(pair_mask * (z1 - z2), axis=0)
 
         cr = (cr_idx + 1).astype(dtype) / cfg.n_cr
+        if cfg.jump_full_cr:
+            # full-dimension crossover on γ=1 jump generations (mode-
+            # transplant enhancement; see DreamConfig.jump_full_cr)
+            cr = jnp.where(gamma_jump, jnp.asarray(1.0, dtype), cr)
         u = u_mask
         mask = u < cr
         # guarantee at least one crossed-over dimension
@@ -236,6 +250,8 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
             (cfg.snooker_hi - cfg.snooker_lo) * u_scal[:, 2]
         is_snk = (cfg.p_snooker > 0.0) & (u_scal[:, 0] < cfg.p_snooker)
         gj = jnp.broadcast_to(gamma_jump.astype(dtype), delta.shape)
+        if cfg.jump_full_cr:
+            cr = jnp.where(gj > 0, jnp.asarray(1.0, dtype), cr)
         scal = jnp.stack(
             [delta, cr, gamma_s, is_snk.astype(dtype), gj], axis=1)
         x_star, log_jac = dream_propose_pallas(
