@@ -225,16 +225,17 @@ def config3(quick):
 def config4(quick):
     """GP hyperparameter inference: Cholesky in the MCMC hot loop.
 
-    16 chains (round 3; was 4): the chain-scaling profile
-    (benchmarks/config4_scaling.json) shows XLA's batched Cholesky
-    saturates by 16 vmapped chains (~6.6k chol/s at n=512) — the batch
-    axis stops paying because the factorisation's sequential panel loop,
-    not FLOPs, is the bound. docs/ROUND3.md §4 has the table and the
-    Pallas batched-Cholesky response (ops/pallas_bchol.py).
+    64 chains (round 3; was 4): XLA's batched Cholesky saturates by 16
+    vmapped chains (~6.6k chol/s at n=512; sequential panel loop is the
+    bound — benchmarks/config4_scaling.json), but the Pallas batched
+    Cholesky (ops/pallas_bchol.py, routed automatically via
+    GpRegressor's custom_vmap dispatch) keeps scaling: measured 2.0x
+    end-to-end at 64 chains (12.6k vs 6.4k chol evals/s). docs/ROUND3.md
+    §4 has the tables.
     """
     rng = np.random.default_rng(7)
     n_train = 512 if not quick else 128
-    n_chains = 16
+    n_chains = 64
     x = rng.uniform(-4, 4, (n_train, 2)).astype(np.float32)
     f = np.sin(2 * x[:, 0]) * np.cos(x[:, 1])
     y = (f + rng.normal(0, 0.2, n_train)).astype(np.float32)

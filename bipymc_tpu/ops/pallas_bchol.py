@@ -143,7 +143,12 @@ def _make_kernel(n_pad, bg):
 def _bchol_fwd_impl(a, interpret):
     b, n = a.shape[0], a.shape[-1]
     n_pad = round_up(n, _B)
-    bg = min(_BG, b)
+    # VMEM budget: the pipelined in+out blocks cost ~4·BG·n²·4B (double
+    # buffering on each side) plus scratch; v5e has 128MB VMEM but the
+    # default scoped limit is 16MB, so we raise vmem_limit_bytes and
+    # shrink BG as n grows (BG=8 → n ≤ 724 under a ~100MB budget)
+    budget = 100 * 2 ** 20
+    bg = min(_BG, b, max(1, budget // (16 * n_pad * n_pad)))
     b_pad = round_up(b, bg)
     if n_pad != n or b_pad != b:
         # pad matrices with identity (keeps padded pivots at 1) and the
@@ -161,6 +166,8 @@ def _bchol_fwd_impl(a, interpret):
         out_shape=jax.ShapeDtypeStruct((b_pad, n_pad, n_pad), a.dtype),
         scratch_shapes=[pltpu.VMEM((bg, _B, _B), jnp.float32),
                         pltpu.VMEM((bg, _B, _B), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1.2 * budget)),
         interpret=interpret,
     )(a)
     return out[:b, :n, :n]
