@@ -38,12 +38,19 @@ V5E_F32_PEAK_GFLOPS = 49_000.0   # ~49 TFLOP/s f32 nominal bound (2x bf16)
 
 def make_log_post(n_train, seed=7):
     """The config-4 posterior: GP log-ML at fixed data + weak prior
-    (same construction as run_all.config4, parameterised by n_train)."""
+    (same construction as run_all.config4, parameterised by n_train).
+
+    batched_chol is PINNED OFF: this script documents the XLA-baseline
+    scaling plateau that motivated ops/pallas_bchol.py — with the
+    (now-default) dispatch on, the >=8-chain rows would silently measure
+    the Pallas kernel and the artifact's central claim would become
+    unreproducible. The Pallas side is measured by profile_bchol.py.
+    """
     rng = np.random.default_rng(seed)
     x = rng.uniform(-4, 4, (n_train, 2)).astype(np.float32)
     f = np.sin(2 * x[:, 0]) * np.cos(x[:, 1])
     y = (f + rng.normal(0, 0.2, n_train)).astype(np.float32)
-    gp = GpRegressor()
+    gp = GpRegressor(batched_chol=False)
     xj, yj = jnp.asarray(x), jnp.asarray(y)
 
     def log_post(theta):

@@ -13,6 +13,7 @@ Usage: python benchmarks/run_all.py [--configs 1,2,3,4,5] [--quick]
 import argparse
 import json
 import os
+import signal
 import sys
 import time
 
@@ -142,7 +143,6 @@ def config3(quick):
     import jax
     from bipymc_tpu.models.targets import (
         baseline_config3_means, stratified_mode_init)
-    from bipymc_tpu.utils.diagnostics import gelman_rubin
     from bipymc_tpu.utils.init import var_ball
     means = baseline_config3_means(100)
     log_prob = gaussian_mixture(means, sigma=1.0)
@@ -164,10 +164,15 @@ def config3(quick):
     idx = sq.argmin(-1)
     occ = np.bincount(idx[:, -1], minlength=means.shape[0])
     hop_rate = float((idx[:, 1:] != idx[:, :-1]).mean())
-    # the documented metric finding: split-R̂ across mode-stratified
-    # chains plateaus far above 1.1 (between-mode variance never decays)
-    rhat_across = float(np.max(np.asarray(
-        gelman_rubin(jnp.asarray(kept), split=False))))
+    # the documented metric finding: R̂ across mode-stratified chains
+    # plateaus far above 1.1 (between-mode variance never decays).
+    # Host NumPy for the same reason as above (kept is already on host).
+    ch_mean = kept.mean(axis=1)                          # [M, d]
+    ch_var = kept.var(axis=1, ddof=1)
+    w = ch_var.mean(axis=0)
+    b_over_n = ch_mean.var(axis=0, ddof=1)
+    nn = kept.shape[1]
+    rhat_across = float(np.sqrt(((nn - 1) / nn * w + b_over_n) / w).max())
 
     from reference_numpy import NumpyDreamZs, mixture_log_prob_numpy
     from bipymc_tpu.utils.diagnostics import ESS_WINDOW_GENS
@@ -285,7 +290,7 @@ def config4(quick):
     # 4 vmapped chains vs 1 serial chain: compare per-chain-step rates
     # times chains (throughput), same per-step statistical efficiency
     return {
-        "name": f"4: GP log-ML target, n={n_train} (DRAM, {n} chains)".format(n_train=n_train, n=n_chains),
+        "name": f"4: GP log-ML target, n={n_train} (DRAM, {n_chains} chains)",
         "steps_per_sec": n / elapsed,
         "cholesky_evals_per_sec": chols_per_sec,
         "ess_per_sec": eps,
@@ -319,14 +324,22 @@ def config5(quick):
 
     n_chains = 1024 if not quick else 128
     s = bp.DreamZs(log_post, n_chains=n_chains, seed=0)
+    until_kw = dict(rhat_tol=1.1, chunk=100, max_chunks=100, spread=1.0)
+    # warm the identical call, reset(), re-time: execution only (the
+    # round-2 23.4s figure included a hidden recompile — pool.py runner
+    # cache bug, fixed + regression-tested this round)
     t0 = time.time()
-    info = s.run_mcmc_until(jnp.zeros(2), rhat_tol=1.1, chunk=100,
-                            max_chunks=100, spread=1.0)
+    s.run_mcmc_until(jnp.zeros(2), **until_kw)
+    warm = time.time() - t0
+    s.reset()
+    t0 = time.time()
+    info = s.run_mcmc_until(jnp.zeros(2), **until_kw)
     elapsed = time.time() - t0
     err = float(np.abs(info["mean"].mean(0) - true_theta).max())
     return {
         "name": f"5: GP-surrogate inverse ({n_chains} chains, R-hat stop)",
         "wall_clock_to_rhat_1p1_s": elapsed,
+        "compile_plus_first_run_s": warm,
         "generations": int(info["steps"]),
         "final_rhat": float(info["rhat"].max()),
         "posterior_mean_abs_err": err,
@@ -344,6 +357,19 @@ def main():
     which = [int(c) for c in args.configs.split(",")]
 
     print("backend:", jax.default_backend(), jax.devices(), file=sys.stderr)
+
+    # The device tunnel FLAPS (multi-hour outages, sometimes mid-run): a
+    # hung collective would stall this harness forever. Watchdog per
+    # phase, bench.py-style — completed configs are already on disk
+    # because results are written incrementally below.
+    def _watchdog(signum, frame):
+        print("run_all watchdog: phase exceeded its budget — device "
+              "tunnel likely down; aborting (completed configs are "
+              "saved)", file=sys.stderr, flush=True)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(120)
     np.asarray(jnp.ones(()))                     # device-tunnel warmup
 
     # merge into any prior results so partial --configs runs don't clobber
@@ -361,20 +387,23 @@ def main():
                 "quick setting; a partial run would overwrite it. Run all "
                 "configs, delete results.json, or match the prior setting.")
 
-    for c in which:
-        t0 = time.time()
-        r = CONFIGS[c](args.quick)
-        r["harness_time_s"] = round(time.time() - t0, 1)
-        results[str(c)] = r
-        print(json.dumps(r), file=sys.stderr, flush=True)
-
     results["_meta"] = {
         "backend": jax.default_backend(),
         "devices": [str(d) for d in jax.devices()],
         "quick": args.quick,
     }
-    with open(results_path, "w") as f:
-        json.dump(results, f, indent=1)
+    for c in which:
+        signal.alarm(480)                 # fresh budget per config
+        t0 = time.time()
+        r = CONFIGS[c](args.quick)
+        r["harness_time_s"] = round(time.time() - t0, 1)
+        results[str(c)] = r
+        print(json.dumps(r), file=sys.stderr, flush=True)
+        # write-through after EVERY config: a later hang or watchdog
+        # abort must not discard finished measurements
+        with open(results_path, "w") as f:
+            json.dump(results, f, indent=1)
+    signal.alarm(0)
 
     lines = ["# Benchmark results — BASELINE configs 1-5",
              "",

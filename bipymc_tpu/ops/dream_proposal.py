@@ -6,9 +6,10 @@ batch sizes; this module fuses it into ONE Pallas VPU kernel — inputs
 arrive once from HBM, everything happens in VMEM, one output write.
 Measured on v5e: the fused kernel earns ~16µs/generation at 256×100
 (current full-step ablation in docs/ROUND2.md; companion fused kernel:
-ops/distinct_idx.py for the row draws. A fused accept/update kernel was
-also built and measured 2.8µs/gen SLOWER than XLA at 256×100, so it was
-removed — commit 9b0e528 records the A/B).
+ops/distinct_idx.py for the row draws. The fused accept/update kernel
+ships OFF-default as ops/accept_select.py behind
+``DreamConfig(pallas_accept=True)``: XLA wins its A/B at every measured
+chain count, 256–4096 — docs/design.md §10c).
 
 Randomness and archive row gathers stay in XLA (identical RNG streams to
 the unfused path); the kernel is a pure deterministic function of them, so

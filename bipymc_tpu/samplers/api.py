@@ -357,7 +357,6 @@ class ParallelTempering(McmcSampler):
             betas=tuple(float(b) for b in betas),
             swap_interval=int(swap_interval),
             kernel=self._KINDS[kind](**kernel_kw))
-        self._runners = {}
 
     def _pt_prepare(self, theta_0, cov_est, spread):
         """Resolve start state (fresh ladder init or continuation)."""

@@ -380,7 +380,15 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
                 s2 = psum_chains(jnp.sum(state.x ** 2, axis=0), axis_name)
                 var = jnp.maximum(s2 / n_total - (s1 / n_total) ** 2, 1e-30)
                 jump2 = jnp.sum((x_new - state.x) ** 2 / var, axis=1)
-                onehot = jax.nn.one_hot(cr_idx, cfg.n_cr, dtype=dtype)
+                # attribute each jump to the CR the move ACTUALLY used:
+                # with jump_full_cr the γ=1 generations run CR=1
+                # regardless of the drawn cr_idx, so credit the top bin
+                # or low-CR bins get trained on full-dimension jump
+                # distances they never produce
+                cr_used = cr_idx
+                if cfg.jump_full_cr:
+                    cr_used = jnp.where(gamma_jump, cfg.n_cr - 1, cr_idx)
+                onehot = jax.nn.one_hot(cr_used, cfg.n_cr, dtype=dtype)
                 d_jump = psum_chains(onehot.T @ jump2, axis_name)
                 d_count = psum_chains(jnp.sum(onehot, axis=0), axis_name)
                 cr_jump = state.cr_jump + d_jump
