@@ -34,7 +34,8 @@ from bipymc_tpu.utils.init import var_ball
 from bipymc_tpu.utils.diagnostics import (gelman_rubin,
                                           effective_sample_size,
                                           rank_normalized_rhat,
-                                          mode_occupancy, mode_hops)
+                                          mode_occupancy, mode_hops,
+                                          summary)
 from bipymc_tpu.utils.external import external_log_like
 from bipymc_tpu.models.targets import stratified_mode_init
 
@@ -55,6 +56,7 @@ __all__ = [
     "gelman_rubin",
     "effective_sample_size",
     "rank_normalized_rhat",
+    "summary",
     "mode_occupancy",
     "mode_hops",
     "stratified_mode_init",

@@ -118,6 +118,23 @@ class McmcSampler:
         acc = np.swapaxes(self._history["accepted"], 0, 1)
         return np.asarray(acceptance_fraction(acc))
 
+    def summary(self, discard=0, as_text=False):
+        """Per-dimension posterior summary of the kept history:
+        mean/sd/5-50-95% quantiles/rank-normalised R̂/per-dim ESS
+        (utils.diagnostics.summary). ``as_text=True`` returns a printable
+        table instead of the dict of host arrays."""
+        from bipymc_tpu.utils.diagnostics import summary as _summary
+        s = {k: np.asarray(v) for k, v in
+             _summary(jnp.asarray(self.get_chain(discard=discard))).items()}
+        if not as_text:
+            return s
+        cols = ["mean", "sd", "q05", "q50", "q95", "rhat", "ess"]
+        lines = ["dim  " + "".join(f"{c:>10}" for c in cols)]
+        for i in range(s["mean"].shape[0]):
+            lines.append(f"{i:<5}" + "".join(
+                f"{float(s[c][i]):>10.3f}" for c in cols))
+        return "\n".join(lines)
+
     def get_autocorr_time(self, discard=0, c=5.0):
         """Integrated autocorrelation time τ of the kept history (emcee-
         style auto-windowed estimate, SURVEY.md §4.8)."""

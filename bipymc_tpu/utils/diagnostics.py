@@ -149,6 +149,30 @@ def acceptance_fraction(accepted):
     return jnp.mean(jnp.asarray(accepted, jnp.float32), axis=-1)
 
 
+def summary(chains, c=5.0):
+    """Per-dimension posterior summary over a chain history.
+
+    chains: [M, N, d]. Returns a dict of [d] arrays: ``mean``, ``sd``,
+    ``q05``/``q50``/``q95``, rank-normalised ``rhat`` (Vehtari et al.
+    2021) and per-dimension ``ess`` (emcee-style auto-windowed τ). The
+    one-call analogue of the reference's post-run inspection loop
+    (SURVEY.md §5.5); ``McmcSampler.summary()`` wraps it on the kept
+    history.
+    """
+    chains = _promote(chains)
+    m, n, d = chains.shape
+    flat = chains.reshape(m * n, d)
+    tau = integrated_autocorr_time(chains, c=c, per_dim=True)
+    q = jnp.percentile(flat, jnp.asarray([5.0, 50.0, 95.0]), axis=0)
+    return {
+        "mean": jnp.mean(flat, axis=0),
+        "sd": jnp.std(flat, axis=0, ddof=1),
+        "q05": q[0], "q50": q[1], "q95": q[2],
+        "rhat": rank_normalized_rhat(chains),
+        "ess": m * n / tau,
+    }
+
+
 def nearest_mode(positions, means):
     """Index of the nearest mode centre for each position.
 

@@ -171,3 +171,31 @@ def test_rank_normalized_rhat():
     import jax
     r4 = np.asarray(jax.jit(rank_normalized_rhat)(jnp.asarray(good)))
     np.testing.assert_allclose(r4, r, rtol=1e-5)
+
+
+def test_summary_api():
+    """summary() returns sane per-dim statistics and a printable table."""
+    import jax.numpy as jnp
+    import numpy as np
+    import bipymc_tpu as bp
+    from bipymc_tpu.models.targets import correlated_gaussian
+    from bipymc_tpu.utils.diagnostics import summary
+
+    mean = jnp.array([1.0, -1.0])
+    cov = jnp.array([[1.0, 0.3], [0.3, 0.8]])
+    s = bp.DreamZs(correlated_gaussian(mean, cov), n_chains=16, seed=0)
+    s.run_mcmc(1500, mean, spread=2.0)
+    out = s.summary(discard=500)
+    assert set(out) == {"mean", "sd", "q05", "q50", "q95", "rhat", "ess"}
+    np.testing.assert_allclose(out["mean"], np.asarray(mean), atol=0.3)
+    np.testing.assert_allclose(out["sd"], np.sqrt(np.diag(cov)), atol=0.3)
+    assert np.all(out["q05"] < out["q50"]) and np.all(out["q50"] < out["q95"])
+    assert np.all(out["rhat"] < 1.2)
+    assert np.all(out["ess"] > 100)
+    txt = s.summary(discard=500, as_text=True)
+    assert "rhat" in txt and txt.count("\n") == 2
+
+    # raw-function path on a plain array
+    arr = np.random.default_rng(0).normal(size=(4, 400, 3)).astype(np.float32)
+    out2 = summary(jnp.asarray(arr))
+    assert out2["mean"].shape == (3,)
