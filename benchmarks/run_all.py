@@ -369,7 +369,7 @@ def main():
         os._exit(3)
 
     signal.signal(signal.SIGALRM, _watchdog)
-    signal.alarm(120)
+    signal.alarm(240)    # degraded-tunnel warmups measured ~50s
     np.asarray(jnp.ones(()))                     # device-tunnel warmup
 
     # merge into any prior results so partial --configs runs don't clobber

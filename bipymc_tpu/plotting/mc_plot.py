@@ -136,3 +136,33 @@ def plot_acceptance(accept_fractions, path=None):
     if path:
         fig.savefig(path, dpi=120)
     return fig
+
+
+def plot_mode_occupancy(history, means, path=None):
+    """Chains-per-mode over time for a mixture run (round-3 honesty
+    diagnostics, docs/ROUND3.md §2): a stacked occupancy trace makes a
+    population silently collapsing into one basin visible at a glance.
+
+    history: [M, T, d] kept positions; means: [k, d] mode centres.
+    """
+    plt = _mpl()
+    from bipymc_tpu.utils.diagnostics import nearest_mode
+    import jax.numpy as jnp
+    hist = np.asarray(history)
+    means = np.asarray(means)
+    idx = np.asarray(nearest_mode(jnp.asarray(hist), jnp.asarray(means)))
+    k = means.shape[0]
+    # [T, k] occupancy counts over time
+    occ = np.stack([(idx == j).sum(axis=0) for j in range(k)], axis=1)
+    fig, ax = plt.subplots(figsize=(6, 3.5))
+    ax.stackplot(np.arange(occ.shape[0]), occ.T,
+                 labels=[f"mode {j}" for j in range(k)], alpha=0.8)
+    ax.axhline(hist.shape[0] / k, color="k", lw=0.8, ls="--",
+               label="equal share")
+    ax.set_xlabel("kept generation")
+    ax.set_ylabel("chains in mode")
+    ax.legend(loc="upper right", fontsize=8)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=120)
+    return fig

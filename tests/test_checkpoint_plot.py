@@ -164,3 +164,15 @@ def test_checkpoint_schema_tag(tmp_path):
     np.savez(dpath, **arrays)
     with pytest.raises((TypeError, ValueError)):
         load_state(dpath)
+
+
+def test_plot_mode_occupancy(tmp_path):
+    import jax
+    from bipymc_tpu.plotting import plot_mode_occupancy
+    means = np.asarray([[0.0, 0.0], [10.0, 0.0]], np.float32)
+    hist = np.random.default_rng(0).normal(
+        size=(8, 50, 2)).astype(np.float32)
+    hist[4:] += means[1]
+    fig = plot_mode_occupancy(hist, means, path=tmp_path / "occ.png")
+    assert fig is not None
+    assert (tmp_path / "occ.png").stat().st_size > 1000
