@@ -24,11 +24,26 @@ import time
 
 import numpy as np
 
-# Fail fast if the device tunnel is down (it has outage windows): better a
-# clean non-zero exit than an indefinite hang of the calling harness.
+# The device tunnel FLAPS (multi-hour outages, sometimes seconds after a
+# successful probe — observed repeatedly in round 3). A hung device call
+# can't be recovered in-process (the backend is wedged), so the watchdog
+# RE-EXECS this script in a fresh process (fresh backend, new tunnel
+# connection) up to _MAX_ATTEMPTS times before failing for real — one
+# driver invocation survives flaps that land inside a run.
+_MAX_ATTEMPTS = 3
+_ATTEMPT = int(os.environ.get("BENCH_ATTEMPT", "1"))
+
+
 def _watchdog(signum, frame):
-    print("bench.py watchdog: no completion within 540s — device tunnel "
-          "likely down; aborting", file=sys.stderr, flush=True)
+    if _ATTEMPT < _MAX_ATTEMPTS:
+        print(f"bench.py watchdog: phase hung (attempt {_ATTEMPT}/"
+              f"{_MAX_ATTEMPTS}) — device tunnel flapped; re-executing "
+              "in a fresh process", file=sys.stderr, flush=True)
+        os.environ["BENCH_ATTEMPT"] = str(_ATTEMPT + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+    print("bench.py watchdog: no completion within budget after "
+          f"{_MAX_ATTEMPTS} attempts — device tunnel likely down; "
+          "aborting", file=sys.stderr, flush=True)
     os._exit(3)
 
 
