@@ -358,14 +358,28 @@ def main():
 
     print("backend:", jax.default_backend(), jax.devices(), file=sys.stderr)
 
-    # The device tunnel FLAPS (multi-hour outages, sometimes mid-run): a
-    # hung collective would stall this harness forever. Watchdog per
-    # phase, bench.py-style — completed configs are already on disk
-    # because results are written incrementally below.
+    # The device tunnel FLAPS (multi-hour outages, sometimes seconds
+    # after a successful probe): a hung collective would stall this
+    # harness forever, and a wedged backend can't recover in-process.
+    # Watchdog per phase, bench.py-style: re-exec into a FRESH process
+    # (new backend/tunnel connection), skipping configs already measured
+    # this invocation chain (results.json is written through after every
+    # config). After 3 attempts, abort with completed configs saved.
+    attempt = int(os.environ.get("RUN_ALL_ATTEMPT", "1"))
+    done_env = [c for c in os.environ.get("RUN_ALL_DONE", "").split(",")
+                if c]
+
     def _watchdog(signum, frame):
-        print("run_all watchdog: phase exceeded its budget — device "
-              "tunnel likely down; aborting (completed configs are "
-              "saved)", file=sys.stderr, flush=True)
+        if attempt < 3:
+            os.environ["RUN_ALL_ATTEMPT"] = str(attempt + 1)
+            os.environ["RUN_ALL_DONE"] = ",".join(done_env)
+            print(f"run_all watchdog: phase hung (attempt {attempt}/3) — "
+                  "re-executing in a fresh process; done so far: "
+                  f"{done_env}", file=sys.stderr, flush=True)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        print("run_all watchdog: phase exceeded its budget after 3 "
+              "attempts — device tunnel likely down; aborting (completed "
+              "configs are saved)", file=sys.stderr, flush=True)
         os._exit(3)
 
     signal.signal(signal.SIGALRM, _watchdog)
@@ -393,11 +407,16 @@ def main():
         "quick": args.quick,
     }
     for c in which:
+        if str(c) in done_env:
+            print(f"config {c}: already measured in a previous attempt — "
+                  "skipping", file=sys.stderr, flush=True)
+            continue
         signal.alarm(480)                 # fresh budget per config
         t0 = time.time()
         r = CONFIGS[c](args.quick)
         r["harness_time_s"] = round(time.time() - t0, 1)
         results[str(c)] = r
+        done_env.append(str(c))
         print(json.dumps(r), file=sys.stderr, flush=True)
         # write-through after EVERY config: a later hang or watchdog
         # abort must not discard finished measurements
