@@ -86,24 +86,43 @@ def measure(n_train, n_chains, n_steps):
     }
 
 
+DEFAULT_ROWS = "512:4:2000,512:16:2000,512:64:2000,512:256:600," \
+               "2048:4:300,2048:16:300,2048:64:150"
+
+
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", default=DEFAULT_ROWS,
+                    help="comma list of n_train:n_chains:n_steps specs; "
+                         "measured rows MERGE into config4_scaling.json "
+                         "(keyed by n_train+n_chains), so a tunnel flap "
+                         "loses at most one row")
+    specs = [tuple(int(v) for v in s.split(":"))
+             for s in ap.parse_args().rows.split(",") if s]
+
     print("backend:", jax.default_backend(), jax.devices(), file=sys.stderr)
     np.asarray(jnp.ones(()))                 # device-tunnel warmup
 
-    rows = []
-    for n_chains, n_steps in [(4, 2000), (16, 2000), (64, 2000),
-                              (256, 1000)]:
-        r = measure(512, n_chains, n_steps)
-        rows.append(r)
-        print(json.dumps(r), file=sys.stderr, flush=True)
-    for n_chains, n_steps in [(4, 400), (16, 400), (64, 200)]:
-        r = measure(2048, n_chains, n_steps)
-        rows.append(r)
-        print(json.dumps(r), file=sys.stderr, flush=True)
+    path = os.path.join(HERE, "config4_scaling.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        doc = {}
 
-    with open(os.path.join(HERE, "config4_scaling.json"), "w") as f:
-        json.dump(rows, f, indent=1)
+    for n_train, n_chains, n_steps in specs:
+        r = measure(n_train, n_chains, n_steps)
+        print(json.dumps(r), file=sys.stderr, flush=True)
+        sec = doc.setdefault(f"sampler_n{n_train}", [])
+        sec[:] = [q for q in sec if q.get("n_chains") != n_chains]
+        sec.append(r)
+        sec.sort(key=lambda q: q["n_chains"])
+        with open(path, "w") as f:          # write-through per row
+            json.dump(doc, f, indent=1)
 
+    rows = [r for k, sec in sorted(doc.items()) if k.startswith("sampler_n")
+            for r in sec]
     print("| n | chains | chol/s | GFLOP/s | % f32 peak |")
     print("|---|---|---|---|---|")
     for r in rows:
