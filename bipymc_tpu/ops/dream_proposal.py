@@ -41,61 +41,78 @@ _S_DELTA, _S_CR, _S_GS, _S_SNK, _S_GJUMP = 0, 1, 2, 3, 4
 
 
 
+def propose_block(x, rows, u, ue, eps, delta, cr, gamma_s, is_snk,
+                  gamma_jump, n_pairs, d_true, b, b_star):
+    """Value-level DREAM-zs proposal math on one chain block.
+
+    x [BC, L] (L = lane-padded dims, pads zero); rows [BC, k, L];
+    u [BC, L] crossover uniforms (pads hold 2.0 so they never enter the
+    mask or win the argmin); ue/eps [BC, L]; per-chain scalars [BC, 1].
+    Returns (x_star [BC, L], log_jac [BC, 1], snk [BC, 1] bool).
+
+    Shared by the per-generation kernel below and the multi-generation
+    fused engine (ops/fused_chunk.py) so both consume identical math.
+    Mosaic-safe ops only (no scatter, first-min via iota instead of
+    argmin).
+    """
+    # ---- parallel-direction move ------------------------------------
+    diff = jnp.zeros_like(x)
+    for j in range(n_pairs):
+        w = (jnp.float32(j) < delta).astype(x.dtype)
+        diff = diff + w * (rows[:, j, :] - rows[:, n_pairs + j, :])
+
+    mask = (u < cr).astype(x.dtype)
+    # guarantee ≥1 crossed dim: mark the lane holding the min uniform.
+    # FIRST minimum only — (u == umin) alone would set every tied lane,
+    # diverging from the reference paths' argmin on bit-equal draws
+    umin = jnp.min(u, axis=1, keepdims=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+    first_min = jnp.min(
+        jnp.where(u == umin, lane, u.shape[1]), axis=1, keepdims=True)
+    mask = jnp.maximum(mask, (lane == first_min).astype(x.dtype))
+    d_eff = jnp.sum(mask, axis=1, keepdims=True)
+
+    gamma = 2.38 * jax.lax.rsqrt(2.0 * delta * d_eff)
+    gamma = jnp.where(gamma_jump > 0.5, 1.0, gamma)
+    e = b * (2.0 * ue - 1.0)
+    x_par = x + mask * ((1.0 + e) * gamma * diff + b_star * eps)
+
+    # ---- snooker move ------------------------------------------------
+    z = rows[:, 0, :]
+    zr1 = rows[:, 1, :]
+    zr2 = rows[:, 2, :]
+    u_dir = x - z
+    denom = jnp.maximum(
+        jnp.sum(u_dir * u_dir, axis=1, keepdims=True), 1e-30)
+    dots = jnp.sum((zr1 - zr2) * u_dir, axis=1, keepdims=True)
+    x_snk = x + gamma_s * (dots / denom) * u_dir
+    num = jnp.maximum(
+        jnp.sum((x_snk - z) ** 2, axis=1, keepdims=True), 1e-30)
+    log_jac_snk = (d_true - 1) * 0.5 * (jnp.log(num) - jnp.log(denom))
+
+    snk = is_snk > 0.5
+    x_star = jnp.where(snk, x_snk, x_par)
+    log_jac = jnp.where(snk, log_jac_snk, 0.0)
+    return x_star, log_jac, snk
+
+
 def _make_kernel(n_pairs, d_true, b, b_star):
     def kernel(x_ref, rows_ref, umask_ref, ue_ref, eps_ref, scal_ref,
                xstar_ref, aux_ref):
         x = x_ref[:]                         # [BC, L]
-        u = umask_ref[:]                     # padded lanes hold 2.0
         scal = scal_ref[:]                   # [BC, L], lanes 0..4
-        delta = scal[:, _S_DELTA:_S_DELTA + 1]        # [BC, 1]
-        cr = scal[:, _S_CR:_S_CR + 1]
-        gamma_s = scal[:, _S_GS:_S_GS + 1]
-        is_snk = scal[:, _S_SNK:_S_SNK + 1]
-        gamma_jump = scal[:, _S_GJUMP:_S_GJUMP + 1]
-
-        # ---- parallel-direction move ------------------------------------
-        diff = jnp.zeros_like(x)
-        for j in range(n_pairs):
-            w = (jnp.float32(j) < delta).astype(x.dtype)
-            diff = diff + w * (rows_ref[:, j, :]
-                               - rows_ref[:, n_pairs + j, :])
-
-        mask = (u < cr).astype(x.dtype)
-        # guarantee ≥1 crossed dim: mark the lane holding the min uniform.
-        # FIRST minimum only — (u == umin) alone would set every tied lane,
-        # diverging from the reference paths' argmin on bit-equal draws
-        umin = jnp.min(u, axis=1, keepdims=True)
-        lane = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
-        first_min = jnp.min(
-            jnp.where(u == umin, lane, u.shape[1]), axis=1, keepdims=True)
-        mask = jnp.maximum(mask, (lane == first_min).astype(x.dtype))
-        d_eff = jnp.sum(mask, axis=1, keepdims=True)
-
-        gamma = 2.38 * jax.lax.rsqrt(2.0 * delta * d_eff)
-        gamma = jnp.where(gamma_jump > 0.5, 1.0, gamma)
-        e = b * (2.0 * ue_ref[:] - 1.0)
-        x_par = x + mask * ((1.0 + e) * gamma * diff
-                            + b_star * eps_ref[:])
-
-        # ---- snooker move ------------------------------------------------
-        z = rows_ref[:, 0, :]
-        zr1 = rows_ref[:, 1, :]
-        zr2 = rows_ref[:, 2, :]
-        u_dir = x - z
-        denom = jnp.maximum(
-            jnp.sum(u_dir * u_dir, axis=1, keepdims=True), 1e-30)
-        dots = jnp.sum((zr1 - zr2) * u_dir, axis=1, keepdims=True)
-        x_snk = x + gamma_s * (dots / denom) * u_dir
-        num = jnp.maximum(
-            jnp.sum((x_snk - z) ** 2, axis=1, keepdims=True), 1e-30)
-        log_jac_snk = (d_true - 1) * 0.5 * (jnp.log(num) - jnp.log(denom))
-
-        snk = is_snk > 0.5
-        xstar_ref[:] = jnp.where(snk, x_snk, x_par)
+        x_star, log_jac, _ = propose_block(
+            x, rows_ref[:], umask_ref[:], ue_ref[:], eps_ref[:],
+            scal[:, _S_DELTA:_S_DELTA + 1],
+            scal[:, _S_CR:_S_CR + 1],
+            scal[:, _S_GS:_S_GS + 1],
+            scal[:, _S_SNK:_S_SNK + 1],
+            scal[:, _S_GJUMP:_S_GJUMP + 1],
+            n_pairs, d_true, b, b_star)
+        xstar_ref[:] = x_star
         # log_jac broadcast into lane 0 (scatter is unsupported in Mosaic)
         lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        aux_ref[:] = jnp.where(
-            lane == 0, jnp.where(snk, log_jac_snk, 0.0), 0.0)
+        aux_ref[:] = jnp.where(lane == 0, log_jac, 0.0)
 
     return kernel
 

@@ -1,0 +1,196 @@
+"""Chunked fused-execution driver for steady-state DREAM-zs.
+
+Drives ops/fused_chunk.py: a ``lax.scan`` over ``archive_thin``-generation
+chunks where each chunk is (a) a handful of XLA ops that pregenerate the
+chunk's randomness — the SAME threefry streams as the per-generation
+engine (samplers/dream.py) — compute distinct archive row indices,
+gather rows, and pack per-chain scalars, then (b) ONE Pallas kernel that
+advances all G generations with x/logp in VMEM scratch, then (c) the
+archive ring append. See ops/fused_chunk.py's module docstring for why
+chunk = ``archive_thin`` gives exactly the per-generation semantics.
+
+Scope (checked at build time): post-burn-in only (CR adaptation and
+outlier resets are burn-in-gated in the per-generation engine, so the
+frozen steady state is time-homogeneous), replicated archive,
+single-device population. The API layer (samplers/api.py) routes
+burn-in and unaligned segments through the per-generation engine and
+only the aligned steady-state remainder through here.
+
+Key discipline: ``step_key(base_key, t)`` + per-chain ``fold_in`` on the
+global chain id, identical to ChainPool.run — for the same base key the
+fused and per-generation engines consume identical random streams, and
+their trajectories agree up to float re-association (exactly, when the
+per-generation engine runs its Pallas proposal path —
+tests/test_fused_chunk.py).
+"""
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from bipymc_tpu.core.rng import bits_to_uniform, uniform_to_normal, step_key
+from bipymc_tpu.ensemble.archive import archive_append
+from bipymc_tpu.ensemble.indices import distinct_from_bits
+from bipymc_tpu.ops.fused_chunk import (
+    fused_chunk_pallas, block_logp_from_scalar)
+from bipymc_tpu.samplers.dream import DreamConfig, DreamState
+
+
+def validate_fused_segment(cfg: DreamConfig, t0: int):
+    """Check a concrete segment start is archive-aligned and post-burn-in."""
+    G = cfg.archive_thin
+    if t0 % G != 0:
+        raise ValueError(f"t0={t0} not archive-aligned (thin={G})")
+    if t0 < cfg.burnin_gens:
+        raise ValueError(
+            f"fused engine is post-burn-in only (t0={t0} < "
+            f"burnin_gens={cfg.burnin_gens}); run the per-generation "
+            "engine through burn-in first")
+
+
+def check_fusable(cfg: DreamConfig, mesh=None):
+    """Raise if the fused engine cannot reproduce this configuration."""
+    if not cfg.use_archive:
+        raise ValueError("fused engine requires use_archive=True "
+                         "(population-DREAM gathers the live population)")
+    if cfg.shard_archive:
+        raise ValueError("fused engine requires a replicated archive")
+    if mesh is not None:
+        raise ValueError("fused engine is single-device (chain-sharded "
+                         "populations use the per-generation engine)")
+
+
+def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
+                      log_prob_block: Callable | None = None,
+                      interpret: bool | None = None) -> Callable:
+    """Build ``run(state, base_key, n_gens, t0) -> (state, history)``.
+
+    n_gens must be a multiple of ``cfg.archive_thin``; ``t0`` (a Python
+    int == the state's generation counter) must be archive-aligned
+    (``t0 % archive_thin == 0``) and ``>= cfg.burnin_gens``. history is
+    ``{"x": [n_gens, n, d], "logp": [n_gens, n], "accepted": ...}`` —
+    the same leaves as the default ChainPool collection.
+
+    log_prob_block: optional ``[BC, Dp]-padded -> [BC, 1]`` kernel-side
+    target (see ops/fused_chunk.block_logp_from_scalar); default wraps
+    ``log_prob``.
+    """
+    check_fusable(cfg)
+    G = cfg.archive_thin
+    n_pairs = cfg.delta_max
+    n_rows = max(2 * n_pairs, 3)
+    # built-once per dim so fused_chunk_pallas's static log_prob_block
+    # argument has a stable identity — a per-call closure would defeat
+    # the jit cache (the round-2 run_until recompile bug class)
+    _lp_blocks: dict = {}
+
+    def _lp_block_for(dim):
+        if log_prob_block is not None:
+            return log_prob_block
+        if dim not in _lp_blocks:
+            _lp_blocks[dim] = block_logp_from_scalar(log_prob, dim)
+        return _lp_blocks[dim]
+
+    def runner(state: DreamState, base_key, n_gens: int, t0):
+        """n_gens: static; t0: Python int or traced int32 scalar (traced
+        skips the alignment validation — do it at the call site via
+        :func:`validate_fused_segment`)."""
+        if n_gens % G != 0:
+            raise ValueError(f"n_gens={n_gens} not a multiple of "
+                             f"archive_thin={G}")
+        if isinstance(t0, int):
+            validate_fused_segment(cfg, t0)
+        n, dim = state.x.shape
+        dtype = state.x.dtype
+        lp_block = _lp_block_for(dim)
+        nw = 5 + n_rows + 3 * dim
+        interp = (jax.default_backend() != "tpu" if interpret is None
+                  else interpret)
+        gid = jnp.arange(n, dtype=jnp.int32)
+
+        def chunk(st: DreamState, k):
+            ts = t0 + k * G + jnp.arange(G, dtype=jnp.int32)
+            # identical stream construction to samplers/dream.py step:
+            # per-gen step key, per-chain fold on the global chain id,
+            # ONE bits block per (gen, chain)
+            keys = jax.vmap(lambda t: step_key(base_key, t))(ts)
+            ckeys = jax.vmap(
+                lambda kk: jax.vmap(
+                    lambda i: jax.random.fold_in(kk, i))(gid))(keys)
+            blk = jax.vmap(jax.vmap(
+                lambda kk: jax.random.bits(kk, (nw,), jnp.uint32)))(ckeys)
+            u_all = bits_to_uniform(blk, dtype)            # [G, n, nw]
+            u_scal = u_all[..., 0:3]
+            u_cr = u_all[..., 3]
+            u_acc = u_all[..., 4]
+            row_bits = blk[..., 5:5 + n_rows]
+            off = 5 + n_rows
+            u_mask = u_all[..., off:off + dim]
+            u_e = u_all[..., off + dim:off + 2 * dim]
+            eps_n = uniform_to_normal(u_all[..., off + 2 * dim:])
+
+            # distinct archive rows — same construction as the
+            # per-generation engine (identical bits → identical rows)
+            if interp:
+                row_idx = jax.vmap(jax.vmap(
+                    lambda bb: distinct_from_bits(
+                        bb, n_rows, st.archive.fill)))(row_bits)
+            else:
+                from bipymc_tpu.ops.distinct_idx import distinct_idx_pallas
+                row_idx = distinct_idx_pallas(
+                    row_bits.reshape(G * n, n_rows), n_rows,
+                    st.archive.fill).reshape(G, n, n_rows)
+            rows = st.archive.buf[row_idx]                 # [G, n, k, d]
+
+            # per-chain scalars, mirroring the pallas branch of
+            # samplers/dream.py propose_all
+            cr_idx = jnp.minimum(
+                jnp.sum(u_cr[..., None] >= st.cr_cum[None, None, :],
+                        axis=-1),
+                cfg.n_cr - 1).astype(jnp.int32)
+            delta = 1 + jnp.floor(u_scal[..., 1] * n_pairs)
+            delta = jnp.minimum(delta, float(n_pairs)).astype(dtype)
+            cr = (cr_idx + 1).astype(dtype) / cfg.n_cr
+            gamma_s = cfg.snooker_lo + \
+                (cfg.snooker_hi - cfg.snooker_lo) * u_scal[..., 2]
+            is_snk = ((cfg.p_snooker > 0.0)
+                      & (u_scal[..., 0] < cfg.p_snooker)).astype(dtype)
+            gj = ((ts % cfg.jump_interval) == (cfg.jump_interval - 1))
+            gj = jnp.broadcast_to(
+                gj[:, None], (G, n)).astype(dtype)
+            if cfg.jump_full_cr:
+                cr = jnp.where(gj > 0, jnp.asarray(1.0, dtype), cr)
+            scal = jnp.stack(
+                [delta, cr, gamma_s, is_snk, gj, jnp.log(u_acc)], axis=-1)
+
+            xh, lph, acc = fused_chunk_pallas(
+                st.x, st.logp, rows, u_mask, u_e, eps_n, scal,
+                lp_block, n_pairs=n_pairs, d_true=dim,
+                b=cfg.b, b_star=cfg.b_star, interpret=interp)
+
+            x_new = xh[-1]
+            logp_new = lph[-1]
+            # archive append at the chunk's last generation — the same
+            # schedule gen % thin == thin-1 as the per-generation engine
+            new_st = DreamState(
+                x=x_new, logp=logp_new,
+                archive=archive_append(st.archive, x_new),
+                cr_p=st.cr_p, cr_cum=st.cr_cum,
+                cr_jump=st.cr_jump, cr_count=st.cr_count,
+                logp_sum=st.logp_sum + jnp.sum(lph, axis=0),
+                gen=st.gen + G)
+            return new_st, (xh, lph, acc)
+
+        n_chunks = n_gens // G
+        state, (xh, lph, acc) = lax.scan(
+            chunk, state, jnp.arange(n_chunks, dtype=jnp.int32))
+        hist = {
+            "x": xh.reshape(n_gens, n, dim),
+            "logp": lph.reshape(n_gens, n),
+            "accepted": acc.reshape(n_gens, n),
+        }
+        return state, hist
+
+    return runner

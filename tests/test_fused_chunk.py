@@ -1,0 +1,140 @@
+"""Fused multi-generation DREAM-zs engine (ops/fused_chunk.py +
+samplers/dream_fused.py) vs the per-generation engine.
+
+The fused engine consumes the identical threefry streams (ChainPool key
+discipline: step_key on the global t, per-chain fold on the global chain
+id) and runs the identical proposal math (ops/dream_proposal.propose_block
+— shared code), so against the per-generation engine's Pallas-proposal
+path its trajectories should agree to float re-association; on the CPU
+interpret path the op sequences coincide and equality is exact in
+practice. We assert exact stream/selection agreement (accept flags, row
+choices via the trajectory itself) and tight numerical agreement on
+positions/log-densities, plus archive-ring equality.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bipymc_tpu.core.scan import run_scan_thinned
+from bipymc_tpu.models.targets import gaussian_mixture
+from bipymc_tpu.samplers import dream
+from bipymc_tpu.samplers.dream_fused import (
+    make_chunk_runner, check_fusable, validate_fused_segment)
+from bipymc_tpu.utils.init import var_ball
+
+
+def _setup(d=6, n=8, thin=5, burnin=10, **cfg_kw):
+    means = np.zeros((2, d), dtype=np.float32)
+    means[1, 0] = 4.0
+    log_prob = gaussian_mixture(means, sigma=1.0)
+    cfg = dream.DreamConfig(n_chains=n, archive_thin=thin,
+                            burnin_gens=burnin, **cfg_kw)
+    key = jax.random.key(7)
+    k_x, k_z, k_run = jax.random.split(key, 3)
+    x0 = var_ball(k_x, np.full(d, 4.0), n)
+    z0 = var_ball(k_z, np.full(d, 4.0), n)
+    state = dream.init(x0, log_prob, cfg, archive_capacity=64, z0=z0)
+    return log_prob, cfg, state, k_run
+
+
+def _collect(state, info):
+    return {"x": state.x, "logp": info.logp, "accepted": info.accepted}
+
+
+def test_fused_matches_per_generation_engine():
+    log_prob, cfg, state, k_run = _setup()
+    # per-generation engine with the Pallas proposal math (interpret on
+    # CPU) — the same propose_block the fused kernel runs
+    step = dream.make_step(log_prob, cfg._replace(pallas_proposal=True),
+                           axis_name=None)
+    # burn-in + alignment: 20 gens ≡ 0 (mod thin=5), ≥ burnin_gens=10
+    state20, _ = run_scan_thinned(step, state, k_run, n_steps=20, thin=1,
+                                  collect_fn=_collect, t0=0)
+    ref_state, ref_hist = run_scan_thinned(
+        step, state20, k_run, n_steps=20, thin=1, collect_fn=_collect,
+        t0=20)
+
+    runner = make_chunk_runner(
+        log_prob, cfg._replace(pallas_proposal=True))
+    fus_state, fus_hist = runner(state20, k_run, 20, 20)
+
+    # identical accept/reject decisions → identical randomness + math
+    np.testing.assert_array_equal(np.asarray(ref_hist["accepted"]),
+                                  np.asarray(fus_hist["accepted"]))
+    np.testing.assert_allclose(np.asarray(ref_hist["x"]),
+                               np.asarray(fus_hist["x"]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref_hist["logp"]),
+                               np.asarray(fus_hist["logp"]),
+                               rtol=1e-6, atol=1e-6)
+    # final state: positions, archive ring, counters
+    np.testing.assert_allclose(np.asarray(ref_state.x),
+                               np.asarray(fus_state.x),
+                               rtol=1e-6, atol=1e-6)
+    assert int(ref_state.archive.fill) == int(fus_state.archive.fill)
+    assert int(ref_state.archive.head) == int(fus_state.archive.head)
+    np.testing.assert_allclose(np.asarray(ref_state.archive.buf),
+                               np.asarray(fus_state.archive.buf),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref_state.logp_sum),
+                               np.asarray(fus_state.logp_sum),
+                               rtol=1e-5, atol=1e-5)
+    assert int(ref_state.gen) == int(fus_state.gen)
+
+
+def test_fused_matches_with_jump_full_cr():
+    log_prob, cfg, state, k_run = _setup(jump_full_cr=True,
+                                         jump_interval=3)
+    step = dream.make_step(log_prob, cfg._replace(pallas_proposal=True),
+                           axis_name=None)
+    state20, _ = run_scan_thinned(step, state, k_run, n_steps=20, thin=1,
+                                  collect_fn=_collect, t0=0)
+    _, ref_hist = run_scan_thinned(
+        step, state20, k_run, n_steps=10, thin=1, collect_fn=_collect,
+        t0=20)
+    runner = make_chunk_runner(
+        log_prob, cfg._replace(pallas_proposal=True))
+    _, fus_hist = runner(state20, k_run, 10, 20)
+    np.testing.assert_array_equal(np.asarray(ref_hist["accepted"]),
+                                  np.asarray(fus_hist["accepted"]))
+    np.testing.assert_allclose(np.asarray(ref_hist["x"]),
+                               np.asarray(fus_hist["x"]),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_statistics_on_gaussian():
+    """2k fused generations sample a 2-d Gaussian correctly."""
+    d, n = 2, 16
+    log_prob = gaussian_mixture(np.zeros((1, d), np.float32), sigma=1.0)
+    cfg = dream.DreamConfig(n_chains=n, archive_thin=10, burnin_gens=0,
+                            p_snooker=0.1)
+    key = jax.random.key(3)
+    k_x, k_z, k_run = jax.random.split(key, 3)
+    state = dream.init(var_ball(k_x, np.full(d, 4.0), n), log_prob, cfg,
+                       archive_capacity=256,
+                       z0=var_ball(k_z, np.full(d, 4.0), n))
+    runner = make_chunk_runner(log_prob, cfg)
+    state, hist = jax.jit(
+        lambda s, k: runner(s, k, 2000, 0))(state, k_run)
+    kept = np.asarray(hist["x"][500:]).reshape(-1, d)
+    assert np.all(np.abs(kept.mean(0)) < 0.15), kept.mean(0)
+    assert np.all(np.abs(kept.std(0) - 1.0) < 0.15), kept.std(0)
+    acc = np.asarray(hist["accepted"][500:]).mean()
+    assert 0.05 < acc < 0.9, acc
+
+
+def test_fused_validation_errors():
+    log_prob, cfg, state, k_run = _setup()
+    runner = make_chunk_runner(log_prob, cfg)
+    with pytest.raises(ValueError, match="multiple of"):
+        runner(state, k_run, 7, 20)
+    with pytest.raises(ValueError, match="archive-aligned"):
+        validate_fused_segment(cfg, 23)
+    with pytest.raises(ValueError, match="post-burn-in"):
+        validate_fused_segment(cfg, 5)
+    with pytest.raises(ValueError, match="use_archive"):
+        check_fusable(cfg._replace(use_archive=False))
+    with pytest.raises(ValueError, match="replicated"):
+        check_fusable(cfg._replace(shard_archive=True))
