@@ -82,10 +82,11 @@ def _make_kernel(closed_fn, const_shapes, n_pairs, d_true, b, b_star):
          scal_ref) = refs[:7]
         const_refs = refs[7:7 + nc]
         xh_ref, aux_ref, x_scr, lp_scr = refs[7 + nc:]
-        # target-closure constants arrive as (1, size)-shaped inputs
-        # (Pallas kernels cannot capture array constants); restore the
-        # original shapes for the converted target function
-        consts = [cref[:].reshape(shape)
+        # target-closure constants arrive as kernel inputs (Pallas
+        # kernels cannot capture array constants): rank ≥ 2 native,
+        # rank < 2 lifted to (1, k) (restored here — Mosaic handles the
+        # leading-singleton drop; arbitrary reshapes it does not)
+        consts = [cref[:] if len(shape) >= 2 else cref[:].reshape(shape)
                   for cref, shape in zip(const_refs, const_shapes)]
         g = pl.program_id(1)
 
@@ -182,9 +183,10 @@ def fused_chunk_pallas(x0, logp0, rows, u_mask, u_e, eps, scal,
         return out[0]
 
     const_shapes = tuple(tuple(c.shape) for c in consts)
-    consts_2d = [jnp.reshape(c, (1, -1)) for c in consts]
+    consts_2d = [c if c.ndim >= 2 else jnp.reshape(c, (1, -1))
+                 for c in consts]
     const_specs = [
-        pl.BlockSpec(c.shape, lambda nb_, g_: (0, 0),
+        pl.BlockSpec(c.shape, lambda *_, _nd=c.ndim: (0,) * _nd,
                      memory_space=pltpu.VMEM)
         for c in consts_2d]
 

@@ -64,7 +64,8 @@ def check_fusable(cfg: DreamConfig, mesh=None):
 
 def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
                       log_prob_block: Callable | None = None,
-                      interpret: bool | None = None) -> Callable:
+                      interpret: bool | None = None,
+                      collect: str = "all") -> Callable:
     """Build ``run(state, base_key, n_gens, t0) -> (state, history)``.
 
     n_gens must be a multiple of ``cfg.archive_thin``; ``t0`` (a Python
@@ -75,7 +76,10 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
 
     log_prob_block: optional ``[BC, Dp]-padded -> [BC, 1]`` kernel-side
     target (see ops/fused_chunk.block_logp_from_scalar); default wraps
-    ``log_prob``.
+    ``log_prob``. collect: ``"all"`` keeps per-generation positions in
+    history; ``"stats"`` keeps only logp/accepted (positions cost
+    n_gens·n·d floats — at 4096 chains × d=100 that is 1.6 GB per 1000
+    generations, the difference between fitting in HBM or not).
     """
     check_fusable(cfg)
     G = cfg.archive_thin
@@ -181,16 +185,21 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
                 cr_jump=st.cr_jump, cr_count=st.cr_count,
                 logp_sum=st.logp_sum + jnp.sum(lph, axis=0),
                 gen=st.gen + G)
-            return new_st, (xh, lph, acc)
+            ys = ((xh, lph, acc) if collect == "all" else (lph, acc))
+            return new_st, ys
 
         n_chunks = n_gens // G
-        state, (xh, lph, acc) = lax.scan(
+        state, ys = lax.scan(
             chunk, state, jnp.arange(n_chunks, dtype=jnp.int32))
-        hist = {
-            "x": xh.reshape(n_gens, n, dim),
-            "logp": lph.reshape(n_gens, n),
-            "accepted": acc.reshape(n_gens, n),
-        }
+        if collect == "all":
+            xh, lph, acc = ys
+            hist = {"x": xh.reshape(n_gens, n, dim),
+                    "logp": lph.reshape(n_gens, n),
+                    "accepted": acc.reshape(n_gens, n)}
+        else:
+            lph, acc = ys
+            hist = {"logp": lph.reshape(n_gens, n),
+                    "accepted": acc.reshape(n_gens, n)}
         return state, hist
 
     return runner
