@@ -24,6 +24,13 @@ import time
 
 import numpy as np
 
+if os.environ.get("JAX_PLATFORMS"):
+    # the axon sitecustomize forces the TPU platform programmatically;
+    # honour an explicit env override (CPU smoke runs) the same way
+    # run_all.py does
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 # The device tunnel FLAPS (multi-hour outages, sometimes seconds after a
 # successful probe — observed repeatedly in round 3). A hung device call
 # can't be recovered in-process (the backend is wedged), so the watchdog
@@ -60,6 +67,12 @@ TIMED_CHUNKS = 4          # the timed chunks dispatch asynchronously (no
                           # to ~one round-trip over all timed gens instead
                           # of inflating every chunk by ~12µs/gen
 SEED = 0
+
+# BENCH_SMOKE=1: tiny shapes for an execution-path check on CPU (the
+# fused interpret path is per-op slow); never writes cpu_baseline.json
+SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+if SMOKE:
+    D, N_CHAINS, BURNIN_GENS, CHUNK, TIMED_CHUNKS = 8, 32, 20, 50, 2
 
 
 def log(*a):
@@ -112,12 +125,27 @@ def run_tpu():
         runner(state, jax.random.fold_in(k_run, 0), jnp.int32(0)))
     log(f"compile + {CHUNK} burn-in gens: {time.time() - t0:.1f}s")
 
+    # timed phase runs the FUSED multi-generation engine (round 3:
+    # samplers/dream_fused.py — one Pallas kernel per archive_thin
+    # generations, measured 2.3× the per-generation engine at this
+    # config; identical random streams, post-burn-in semantics equal by
+    # construction and pinned in tests/test_fused_chunk.py)
+    from bipymc_tpu.samplers.dream_fused import (
+        make_chunk_runner, validate_fused_segment)
+    validate_fused_segment(cfg, CHUNK)
+    fused = make_chunk_runner(log_prob, cfg)
+    fused_run = jax.jit(lambda s, k, t: fused(s, k, CHUNK, t))
+    t0 = time.time()
+    state, _ = jax.block_until_ready(
+        fused_run(state, jax.random.fold_in(k_run, 99), jnp.int32(CHUNK)))
+    log(f"fused engine compile + {CHUNK} warm gens: {time.time() - t0:.1f}s")
+
     hists = []
     t0 = time.time()
     for c in range(TIMED_CHUNKS):
-        t = jnp.int32(CHUNK + c * CHUNK)
-        state, h = runner(state, jax.random.fold_in(k_run, 1 + c), t)
-        hists.append(h)
+        t = jnp.int32(2 * CHUNK + c * CHUNK)
+        state, h = fused_run(state, jax.random.fold_in(k_run, 1 + c), t)
+        hists.append(h["x"])
     jax.block_until_ready(hists)
     elapsed = time.time() - t0
     n_gens = TIMED_CHUNKS * CHUNK
@@ -154,6 +182,7 @@ def run_tpu():
         "gens_per_sec": gens_per_sec,
         "ess_per_sec": eps,
         "chain_steps_per_sec": n_gens * N_CHAINS / elapsed,
+        "engine": "fused",
         "mode_occupancy": occ.tolist(),
         "mode_hops_per_chain_gen": float(hops_rate),
     }
@@ -178,12 +207,13 @@ def run_wall_to_rhat():
 
     means = make_means()
     log_prob = gaussian_mixture(means, sigma=1.0)
-    burn = 1000
+    burn = 100 if SMOKE else 1000
     theta0 = var_ball(jax.random.key(SEED + 1),
                       jnp.full((D,), 4.0, jnp.float32), N_CHAINS,
                       center=jnp.asarray(means[2]), dtype=jnp.float32)
-    until_kw = dict(rhat_tol=1.1, chunk=200, max_chunks=150,
-                    warmup_chunks=burn // 200 + 1)
+    cs = 20 if SMOKE else 200
+    until_kw = dict(rhat_tol=1.1, chunk=cs, max_chunks=150,
+                    warmup_chunks=burn // cs + 1)
     s = bp.DreamZs(log_prob, n_chains=N_CHAINS, seed=SEED,
                    burnin_gens=burn)
     t0 = time.time()
@@ -261,7 +291,10 @@ def main():
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "benchmarks", "cpu_baseline.json")
-    if os.path.exists(baseline_path):
+    if SMOKE:
+        baseline = {"ess_per_sec": 1.0}     # never (over)write the real
+        log("SMOKE: skipping CPU baseline")  # baseline with tiny shapes
+    elif os.path.exists(baseline_path):
         with open(baseline_path) as f:
             baseline = json.load(f)
         log("loaded cached CPU baseline:", baseline["ess_per_sec"])
@@ -277,6 +310,7 @@ def main():
         "metric": "ess_per_sec_dreamzs_256chain_100d",
         "value": round(res["ess_per_sec"], 2),
         "unit": "effective samples/sec/chip",
+        "engine": res["engine"],
         "vs_baseline": round(res["ess_per_sec"] / baseline["ess_per_sec"], 2),
         # second north-star (BASELINE.json:2), compile-excluded; within one
         # basin — cross-mode R̂ is unreachable by construction (see

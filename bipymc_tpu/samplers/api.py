@@ -597,13 +597,31 @@ class DreamZs(McmcSampler):
 
     def __init__(self, log_like_fn, n_chains=8, seed=0, dtype=jnp.float32,
                  mesh=None, archive_capacity=None, n_archive_init=None,
-                 **config_kw):
+                 fused=False, log_prob_block=None, **config_kw):
+        """``fused=True`` routes post-burn-in, archive-aligned steady-state
+        generations through the fused multi-generation Pallas engine
+        (samplers/dream_fused.py — one kernel per ``archive_thin``
+        generations, measured 2.3× the per-generation engine at the
+        256×100 headline config). Burn-in, alignment remainders, and
+        ``thin != 1`` / ``progress_every`` runs stay on the per-generation
+        engine; trajectories consume the identical random streams either
+        way. Requires a single-device replicated-archive configuration
+        and a jnp-expressible (Mosaic-lowerable) target;
+        ``log_prob_block`` optionally supplies a hand-written
+        lane-padded-block target (ops/fused_chunk.py)."""
         super().__init__(log_like_fn, seed=seed, dtype=dtype)
         self.n_chains = int(n_chains)
         self.cfg = self._config_builder(self.n_chains, **config_kw)
         self.mesh = mesh
         self.archive_capacity = archive_capacity
         self.n_archive_init = n_archive_init
+        self.fused = bool(fused)
+        self._log_prob_block = log_prob_block
+        self._fused_runner = None
+        self._fused_jits = {}
+        if self.fused:
+            from bipymc_tpu.samplers.dream_fused import check_fusable
+            check_fusable(self.cfg, mesh)
 
     def _pool(self):
         if getattr(self, "_pool_obj", None) is None:
@@ -657,13 +675,56 @@ class DreamZs(McmcSampler):
                            archive_capacity=capacity, z0=z0)
         return state, k_run
 
+    def _fused_run(self, state, k_run, n_gens, t0):
+        """Jit-cached fused-engine segment (keyed on n_gens; t0 traced)."""
+        if self._fused_runner is None:
+            from bipymc_tpu.samplers.dream_fused import make_chunk_runner
+            self._fused_runner = make_chunk_runner(
+                self.log_like_fn, self.cfg,
+                log_prob_block=self._log_prob_block)
+        if n_gens not in self._fused_jits:
+            runner = self._fused_runner
+            self._fused_jits[n_gens] = jax.jit(
+                lambda s, k, t: runner(s, k, n_gens, t))
+        return self._fused_jits[n_gens](state, k_run,
+                                        jnp.asarray(t0, jnp.int32))
+
     def run_mcmc(self, n_gens, theta_0=None, thin=1, spread=1.0,
                  progress_every=None):
         state, k_run = self._ensure_state(theta_0, spread, n_gens)
-        final_state, history = self._pool().run(
-            state, k_run, n_gens, thin=thin,
-            t0=self._steps_run, progress_every=progress_every)
-        self._store(final_state, history, n_gens, thin=thin)
+        use_fused = (self.fused and thin == 1 and progress_every is None)
+        if not use_fused:
+            final_state, history = self._pool().run(
+                state, k_run, n_gens, thin=thin,
+                t0=self._steps_run, progress_every=progress_every)
+            self._store(final_state, history, n_gens, thin=thin)
+            return self
+
+        # split into [per-generation: burn-in + alignment] → [fused
+        # steady state] → [per-generation remainder]; each segment is
+        # stored as its own history chunk with matching leaves
+        G = self.cfg.archive_thin
+        t = self._steps_run
+        n1 = max(0, self.cfg.burnin_gens - t)
+        if (t + n1) % G:
+            n1 += G - (t + n1) % G
+        n1 = min(n1, n_gens)
+        n2 = ((n_gens - n1) // G) * G
+        n3 = n_gens - n1 - n2
+        if n1:
+            state, hist = self._pool().run(state, k_run, n1, thin=1, t0=t)
+            self._store(state, hist, n1, thin=1)
+            state, t = self._final_state, self._steps_run
+        if n2:
+            from bipymc_tpu.samplers.dream_fused import \
+                validate_fused_segment
+            validate_fused_segment(self.cfg, t)
+            state, hist = self._fused_run(state, k_run, n2, t)
+            self._store(state, hist, n2, thin=1)
+            state, t = self._final_state, self._steps_run
+        if n3:
+            state, hist = self._pool().run(state, k_run, n3, thin=1, t0=t)
+            self._store(state, hist, n3, thin=1)
         return self
 
     def run_mcmc_until(self, theta_0=None, rhat_tol=1.05, chunk=100,

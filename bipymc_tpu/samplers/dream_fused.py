@@ -185,21 +185,25 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
                 cr_jump=st.cr_jump, cr_count=st.cr_count,
                 logp_sum=st.logp_sum + jnp.sum(lph, axis=0),
                 gen=st.gen + G)
-            ys = ((xh, lph, acc) if collect == "all" else (lph, acc))
+            snk = is_snk > 0.5
+            ys = ((xh, lph, acc, snk) if collect == "all"
+                  else (lph, acc, snk))
             return new_st, ys
 
         n_chunks = n_gens // G
         state, ys = lax.scan(
             chunk, state, jnp.arange(n_chunks, dtype=jnp.int32))
         if collect == "all":
-            xh, lph, acc = ys
+            xh, lph, acc, snk = ys
             hist = {"x": xh.reshape(n_gens, n, dim),
                     "logp": lph.reshape(n_gens, n),
-                    "accepted": acc.reshape(n_gens, n)}
+                    "accepted": acc.reshape(n_gens, n),
+                    "snooker": snk.reshape(n_gens, n)}
         else:
-            lph, acc = ys
+            lph, acc, snk = ys
             hist = {"logp": lph.reshape(n_gens, n),
-                    "accepted": acc.reshape(n_gens, n)}
+                    "accepted": acc.reshape(n_gens, n),
+                    "snooker": snk.reshape(n_gens, n)}
         return state, hist
 
     return runner

@@ -138,3 +138,47 @@ def test_fused_validation_errors():
         check_fusable(cfg._replace(use_archive=False))
     with pytest.raises(ValueError, match="replicated"):
         check_fusable(cfg._replace(shard_archive=True))
+
+
+def test_api_fused_matches_default_engine():
+    """DreamZs(fused=True) = burn-in segment on the per-generation engine
+    + aligned fused steady state, same random streams as fused=False."""
+    import bipymc_tpu as bp
+    d, n = 6, 8
+    means = np.zeros((2, d), dtype=np.float32)
+    means[1, 0] = 4.0
+    lp = gaussian_mixture(means, sigma=1.0)
+    kw = dict(n_chains=n, seed=5, archive_thin=5, burnin_gens=10,
+              archive_capacity=64, pallas_proposal=True)
+    x0 = np.asarray(var_ball(jax.random.key(1), np.full(d, 4.0), n))
+
+    ref = bp.DreamZs(lp, **kw)
+    ref.run_mcmc(30, jnp.asarray(x0))
+    fus = bp.DreamZs(lp, fused=True, **kw)
+    fus.run_mcmc(30, jnp.asarray(x0))
+
+    rh, fh = ref._history, fus._history
+    assert set(rh) == set(fh)
+    np.testing.assert_array_equal(rh["accepted"], fh["accepted"])
+    np.testing.assert_array_equal(rh["snooker"], fh["snooker"])
+    np.testing.assert_allclose(rh["x"], fh["x"], rtol=1e-6, atol=1e-6)
+
+    # continuation stays aligned and reuses the jitted fused segment
+    ref.run_mcmc(20)
+    fus.run_mcmc(20)
+    assert len(fus._fused_jits) == 1
+    np.testing.assert_allclose(ref._history["x"], fus._history["x"],
+                               rtol=1e-6, atol=1e-6)
+    assert ref._history["x"].shape[0] == 50
+
+
+def test_api_fused_rejects_unsupported_config():
+    import bipymc_tpu as bp
+    lp = gaussian_mixture(np.zeros((1, 2), np.float32))
+    with pytest.raises(ValueError, match="use_archive"):
+        bp.Dream(lp, n_chains=12, fused=True)
+    # thin != 1 falls back to the per-generation engine, still correct
+    s = bp.DreamZs(lp, n_chains=8, seed=0, burnin_gens=0, fused=True,
+                   archive_capacity=64)
+    s.run_mcmc(40, thin=4, theta_0=jnp.zeros((8, 2)), spread=2.0)
+    assert s.get_chain().shape[1] == 10
