@@ -65,7 +65,8 @@ def check_fusable(cfg: DreamConfig, mesh=None):
 def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
                       log_prob_block: Callable | None = None,
                       interpret: bool | None = None,
-                      collect: str = "all") -> Callable:
+                      collect: str = "all",
+                      prep_chunks: int = 8) -> Callable:
     """Build ``run(state, base_key, n_gens, t0) -> (state, history)``.
 
     n_gens must be a multiple of ``cfg.archive_thin``; ``t0`` (a Python
@@ -80,6 +81,15 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
     history; ``"stats"`` keeps only logp/accepted (positions cost
     n_gens·n·d floats — at 4096 chains × d=100 that is 1.6 GB per 1000
     generations, the difference between fitting in HBM or not).
+
+    prep_chunks: batch the randomness/scalar pregeneration over this
+    many chunks per outer scan step (docs/design.md §10e's "batch the
+    prep" lever). Legal because everything pregenerated is independent
+    of the archive *content*: threefry streams key on the absolute
+    generation index, and the CR table is frozen post-burn-in. Only the
+    fill-dependent distinct-row draw, the Z gather, the kernel, and the
+    append remain per-chunk. Trajectories are bit-identical for every
+    value; the knob only moves launch overhead.
     """
     check_fusable(cfg)
     G = cfg.archive_thin
@@ -113,19 +123,24 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
         interp = (jax.default_backend() != "tpu" if interpret is None
                   else interpret)
         gid = jnp.arange(n, dtype=jnp.int32)
+        cr_cum = state.cr_cum  # frozen post-burn-in (check_fusable scope)
 
-        def chunk(st: DreamState, k):
-            ts = t0 + k * G + jnp.arange(G, dtype=jnp.int32)
-            # identical stream construction to samplers/dream.py step:
-            # per-gen step key, per-chain fold on the global chain id,
-            # ONE bits block per (gen, chain)
+        def prep(ts):
+            """Pregenerate everything archive-independent for the B
+            generations with absolute indices ``ts`` ([B] int32).
+            Identical stream construction to samplers/dream.py step:
+            per-gen step key, per-chain fold on the global chain id, ONE
+            bits block per (gen, chain) — keyed on the ABSOLUTE index,
+            so values do not depend on how gens are grouped into
+            superchunks."""
+            B = ts.shape[0]
             keys = jax.vmap(lambda t: step_key(base_key, t))(ts)
             ckeys = jax.vmap(
                 lambda kk: jax.vmap(
                     lambda i: jax.random.fold_in(kk, i))(gid))(keys)
             blk = jax.vmap(jax.vmap(
                 lambda kk: jax.random.bits(kk, (nw,), jnp.uint32)))(ckeys)
-            u_all = bits_to_uniform(blk, dtype)            # [G, n, nw]
+            u_all = bits_to_uniform(blk, dtype)            # [B, n, nw]
             u_scal = u_all[..., 0:3]
             u_cr = u_all[..., 3]
             u_acc = u_all[..., 4]
@@ -135,6 +150,34 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
             u_e = u_all[..., off + dim:off + 2 * dim]
             eps_n = uniform_to_normal(u_all[..., off + 2 * dim:])
 
+            # per-chain scalars, mirroring the pallas branch of
+            # samplers/dream.py propose_all; cr_cum is the frozen
+            # steady-state table so this too is chunk-independent
+            cr_idx = jnp.minimum(
+                jnp.sum(u_cr[..., None] >= cr_cum[None, None, :],
+                        axis=-1),
+                cfg.n_cr - 1).astype(jnp.int32)
+            delta = 1 + jnp.floor(u_scal[..., 1] * n_pairs)
+            delta = jnp.minimum(delta, float(n_pairs)).astype(dtype)
+            cr = (cr_idx + 1).astype(dtype) / cfg.n_cr
+            gamma_s = cfg.snooker_lo + \
+                (cfg.snooker_hi - cfg.snooker_lo) * u_scal[..., 2]
+            is_snk = ((cfg.p_snooker > 0.0)
+                      & (u_scal[..., 0] < cfg.p_snooker)).astype(dtype)
+            gj = ((ts % cfg.jump_interval) == (cfg.jump_interval - 1))
+            gj = jnp.broadcast_to(
+                gj[:, None], (B, n)).astype(dtype)
+            if cfg.jump_full_cr:
+                cr = jnp.where(gj > 0, jnp.asarray(1.0, dtype), cr)
+            scal = jnp.stack(
+                [delta, cr, gamma_s, is_snk, gj, jnp.log(u_acc)], axis=-1)
+            return row_bits, u_mask, u_e, eps_n, scal
+
+        def chunk_core(st: DreamState, xs):
+            """One G-generation chunk from pregenerated inputs: the
+            fill-dependent distinct-row draw, the Z gather, the fused
+            kernel, and the ring append."""
+            row_bits, u_mask, u_e, eps_n, scal = xs      # [G, n, ...]
             # distinct archive rows — same construction as the
             # per-generation engine (identical bits → identical rows)
             if interp:
@@ -147,27 +190,6 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
                     row_bits.reshape(G * n, n_rows), n_rows,
                     st.archive.fill).reshape(G, n, n_rows)
             rows = st.archive.buf[row_idx]                 # [G, n, k, d]
-
-            # per-chain scalars, mirroring the pallas branch of
-            # samplers/dream.py propose_all
-            cr_idx = jnp.minimum(
-                jnp.sum(u_cr[..., None] >= st.cr_cum[None, None, :],
-                        axis=-1),
-                cfg.n_cr - 1).astype(jnp.int32)
-            delta = 1 + jnp.floor(u_scal[..., 1] * n_pairs)
-            delta = jnp.minimum(delta, float(n_pairs)).astype(dtype)
-            cr = (cr_idx + 1).astype(dtype) / cfg.n_cr
-            gamma_s = cfg.snooker_lo + \
-                (cfg.snooker_hi - cfg.snooker_lo) * u_scal[..., 2]
-            is_snk = ((cfg.p_snooker > 0.0)
-                      & (u_scal[..., 0] < cfg.p_snooker)).astype(dtype)
-            gj = ((ts % cfg.jump_interval) == (cfg.jump_interval - 1))
-            gj = jnp.broadcast_to(
-                gj[:, None], (G, n)).astype(dtype)
-            if cfg.jump_full_cr:
-                cr = jnp.where(gj > 0, jnp.asarray(1.0, dtype), cr)
-            scal = jnp.stack(
-                [delta, cr, gamma_s, is_snk, gj, jnp.log(u_acc)], axis=-1)
 
             xh, lph, acc = fused_chunk_pallas(
                 st.x, st.logp, rows, u_mask, u_e, eps_n, scal,
@@ -185,25 +207,47 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
                 cr_jump=st.cr_jump, cr_count=st.cr_count,
                 logp_sum=st.logp_sum + jnp.sum(lph, axis=0),
                 gen=st.gen + G)
-            snk = is_snk > 0.5
+            snk = scal[..., 3] > 0.5
             ys = ((xh, lph, acc, snk) if collect == "all"
                   else (lph, acc, snk))
             return new_st, ys
 
         n_chunks = n_gens // G
+        M = max(1, min(int(prep_chunks), n_chunks))
+        q, r = divmod(n_chunks, M)
+
+        def superchunk(st: DreamState, s):
+            ts = t0 + s * (M * G) + jnp.arange(M * G, dtype=jnp.int32)
+            pre = prep(ts)                                # [M*G, n, ...]
+            pre = jax.tree_util.tree_map(
+                lambda a: a.reshape(M, G, *a.shape[1:]), pre)
+            return lax.scan(chunk_core, st, pre)
+
+        parts = []
         state, ys = lax.scan(
-            chunk, state, jnp.arange(n_chunks, dtype=jnp.int32))
+            superchunk, state, jnp.arange(q, dtype=jnp.int32))
+        # ys leaves are [q, M, G, ...] → flatten the chunk axes
+        parts.append(jax.tree_util.tree_map(
+            lambda a: a.reshape(q * M * G, *a.shape[3:]), ys))
+        if r:
+            def rem(st, k):
+                ts = (t0 + (q * M + k) * G
+                      + jnp.arange(G, dtype=jnp.int32))
+                return chunk_core(st, prep(ts))
+            state, ys_r = lax.scan(
+                rem, state, jnp.arange(r, dtype=jnp.int32))
+            parts.append(jax.tree_util.tree_map(
+                lambda a: a.reshape(r * G, *a.shape[2:]), ys_r))
+        ys = (parts[0] if len(parts) == 1 else
+              jax.tree_util.tree_map(
+                  lambda a, b: jnp.concatenate([a, b], axis=0), *parts))
         if collect == "all":
             xh, lph, acc, snk = ys
-            hist = {"x": xh.reshape(n_gens, n, dim),
-                    "logp": lph.reshape(n_gens, n),
-                    "accepted": acc.reshape(n_gens, n),
-                    "snooker": snk.reshape(n_gens, n)}
+            hist = {"x": xh, "logp": lph, "accepted": acc,
+                    "snooker": snk}
         else:
             lph, acc, snk = ys
-            hist = {"logp": lph.reshape(n_gens, n),
-                    "accepted": acc.reshape(n_gens, n),
-                    "snooker": snk.reshape(n_gens, n)}
+            hist = {"logp": lph, "accepted": acc, "snooker": snk}
         return state, hist
 
     return runner

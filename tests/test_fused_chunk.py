@@ -125,6 +125,34 @@ def test_fused_statistics_on_gaussian():
     assert 0.05 < acc < 0.9, acc
 
 
+def test_prep_chunks_invariance():
+    """Trajectories are bit-identical for every prep_chunks value: the
+    batched prep only regroups launches; streams key on absolute gen
+    indices. prep_chunks=3 on 4 chunks exercises the remainder scan
+    (q=1 superchunk of 3 + r=1 leftover chunk)."""
+    log_prob, cfg, state, k_run = _setup()
+    step = dream.make_step(log_prob, cfg._replace(pallas_proposal=True),
+                           axis_name=None)
+    state20, _ = run_scan_thinned(step, state, k_run, n_steps=20, thin=1,
+                                  collect_fn=_collect, t0=0)
+    outs = []
+    for m in (1, 3, 8):
+        runner = make_chunk_runner(
+            log_prob, cfg._replace(pallas_proposal=True), prep_chunks=m)
+        st, hist = runner(state20, k_run, 20, 20)
+        outs.append((st, hist))
+    st0, h0 = outs[0]
+    for st, h in outs[1:]:
+        np.testing.assert_array_equal(np.asarray(h0["accepted"]),
+                                      np.asarray(h["accepted"]))
+        np.testing.assert_array_equal(np.asarray(h0["x"]),
+                                      np.asarray(h["x"]))
+        np.testing.assert_array_equal(np.asarray(st0.x), np.asarray(st.x))
+        np.testing.assert_array_equal(np.asarray(st0.archive.buf),
+                                      np.asarray(st.archive.buf))
+        assert int(st0.gen) == int(st.gen)
+
+
 def test_fused_validation_errors():
     log_prob, cfg, state, k_run = _setup()
     runner = make_chunk_runner(log_prob, cfg)
