@@ -122,7 +122,7 @@ def main():
             json.dump(doc, f, indent=1)
 
     rows = [r for k, sec in sorted(doc.items()) if k.startswith("sampler_n")
-            for r in sec]
+            for r in sec if "n_train" in r]   # skip e2e-A/B sections
     print("| n | chains | chol/s | GFLOP/s | % f32 peak |")
     print("|---|---|---|---|---|")
     for r in rows:
