@@ -681,7 +681,7 @@ class DreamZs(McmcSampler):
             from bipymc_tpu.samplers.dream_fused import make_chunk_runner
             self._fused_runner = make_chunk_runner(
                 self.log_like_fn, self.cfg,
-                log_prob_block=self._log_prob_block)
+                log_prob_block=self._log_prob_block, mesh=self.mesh)
         if n_gens not in self._fused_jits:
             runner = self._fused_runner
             self._fused_jits[n_gens] = jax.jit(

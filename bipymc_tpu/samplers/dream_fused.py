@@ -11,10 +11,13 @@ chunk = ``archive_thin`` gives exactly the per-generation semantics.
 
 Scope (checked at build time): post-burn-in only (CR adaptation and
 outlier resets are burn-in-gated in the per-generation engine, so the
-frozen steady state is time-homogeneous), replicated archive,
-single-device population. The API layer (samplers/api.py) routes
-burn-in and unaligned segments through the per-generation engine and
-only the aligned steady-state remainder through here.
+frozen steady state is time-homogeneous) and replicated archive.
+Populations may be chain-sharded over a 1-D mesh (``mesh=``): each
+device runs the fused kernel on its shard and the only cross-device
+traffic is one [n, d] all_gather per chunk for the ring append. The
+API layer (samplers/api.py) routes burn-in and unaligned segments
+through the per-generation engine and only the aligned steady-state
+remainder through here.
 
 Key discipline: ``step_key(base_key, t)`` + per-chain ``fold_in`` on the
 global chain id, identical to ChainPool.run — for the same base key the
@@ -35,6 +38,8 @@ from bipymc_tpu.ensemble.archive import archive_append
 from bipymc_tpu.ensemble.indices import distinct_from_bits
 from bipymc_tpu.ops.fused_chunk import (
     fused_chunk_pallas, block_logp_from_scalar)
+from bipymc_tpu.parallel.collectives import all_gather_chains, chain_offset
+from bipymc_tpu.parallel.mesh import CHAIN_AXIS
 from bipymc_tpu.samplers.dream import DreamConfig, DreamState
 
 
@@ -56,17 +61,23 @@ def check_fusable(cfg: DreamConfig, mesh=None):
         raise ValueError("fused engine requires use_archive=True "
                          "(population-DREAM gathers the live population)")
     if cfg.shard_archive:
-        raise ValueError("fused engine requires a replicated archive")
+        raise ValueError("fused engine requires a replicated archive "
+                         "(shard_archive=True uses the per-generation "
+                         "engine's ppermute ring path)")
     if mesh is not None:
-        raise ValueError("fused engine is single-device (chain-sharded "
-                         "populations use the per-generation engine)")
+        n_dev = int(mesh.devices.size)
+        if cfg.n_chains % n_dev:
+            raise ValueError(
+                f"n_chains={cfg.n_chains} must be divisible by the "
+                f"mesh's {n_dev} devices")
 
 
 def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
                       log_prob_block: Callable | None = None,
                       interpret: bool | None = None,
                       collect: str = "all",
-                      prep_chunks: int = 8) -> Callable:
+                      prep_chunks: int = 8,
+                      mesh=None) -> Callable:
     """Build ``run(state, base_key, n_gens, t0) -> (state, history)``.
 
     n_gens must be a multiple of ``cfg.archive_thin``; ``t0`` (a Python
@@ -90,8 +101,19 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
     fill-dependent distinct-row draw, the Z gather, the kernel, and the
     append remain per-chunk. Trajectories are bit-identical for every
     value; the knob only moves launch overhead.
+
+    mesh: optional 1-D chain mesh. The runner then executes as ONE SPMD
+    program under ``jax.shard_map`` — each device runs the fused kernel
+    on its chain shard against the replicated archive, and the only
+    cross-device traffic is ONE [n, d] ``all_gather`` per chunk for the
+    ring append (the identical collective placement as the
+    per-generation engine's sharded path, samplers/dream.py). Streams
+    fold on GLOBAL chain ids, so trajectories are bit-identical to the
+    single-device runner for the same base key
+    (tests/test_fused_chunk.py::test_fused_mesh_matches_single_device).
     """
-    check_fusable(cfg)
+    check_fusable(cfg, mesh)
+    axis = CHAIN_AXIS if mesh is not None else None
     G = cfg.archive_thin
     n_pairs = cfg.delta_max
     n_rows = max(2 * n_pairs, 3)
@@ -107,10 +129,11 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
             _lp_blocks[dim] = block_logp_from_scalar(log_prob, dim)
         return _lp_blocks[dim]
 
-    def runner(state: DreamState, base_key, n_gens: int, t0):
+    def runner_local(state: DreamState, base_key, n_gens: int, t0):
         """n_gens: static; t0: Python int or traced int32 scalar (traced
         skips the alignment validation — do it at the call site via
-        :func:`validate_fused_segment`)."""
+        :func:`validate_fused_segment`). On the mesh path this body runs
+        per shard (n = local chains) with collectives on ``axis``."""
         if n_gens % G != 0:
             raise ValueError(f"n_gens={n_gens} not a multiple of "
                              f"archive_thin={G}")
@@ -122,7 +145,7 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
         nw = 5 + n_rows + 3 * dim
         interp = (jax.default_backend() != "tpu" if interpret is None
                   else interpret)
-        gid = jnp.arange(n, dtype=jnp.int32)
+        gid = chain_offset(n, axis) + jnp.arange(n, dtype=jnp.int32)
         cr_cum = state.cr_cum  # frozen post-burn-in (check_fusable scope)
 
         def prep(ts):
@@ -202,7 +225,8 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
             # schedule gen % thin == thin-1 as the per-generation engine
             new_st = DreamState(
                 x=x_new, logp=logp_new,
-                archive=archive_append(st.archive, x_new),
+                archive=archive_append(
+                    st.archive, all_gather_chains(x_new, axis)),
                 cr_p=st.cr_p, cr_cum=st.cr_cum,
                 cr_jump=st.cr_jump, cr_count=st.cr_count,
                 logp_sum=st.logp_sum + jnp.sum(lph, axis=0),
@@ -249,5 +273,27 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
             lph, acc, snk = ys
             hist = {"logp": lph, "accepted": acc, "snooker": snk}
         return state, hist
+
+    if mesh is None:
+        return runner_local
+
+    from jax.sharding import PartitionSpec as P
+    from bipymc_tpu.parallel.pool import _history_spec, _state_specs
+
+    def runner(state: DreamState, base_key, n_gens: int, t0):
+        if isinstance(t0, int):
+            validate_fused_segment(cfg, t0)
+        state_specs = _state_specs(
+            state, ("x", "logp", "logp_sum"), axis)
+        hist_ndim = {"logp": 2, "accepted": 2, "snooker": 2}
+        if collect == "all":
+            hist_ndim["x"] = 3
+        hist_specs = {k: _history_spec(nd, axis)
+                      for k, nd in hist_ndim.items()}
+        fn = jax.shard_map(
+            lambda s, k, t: runner_local(s, k, n_gens, t),
+            mesh=mesh, in_specs=(state_specs, P(), P()),
+            out_specs=(state_specs, hist_specs), check_vma=False)
+        return fn(state, base_key, jnp.asarray(t0, jnp.int32))
 
     return runner

@@ -153,6 +153,62 @@ def test_prep_chunks_invariance():
         assert int(st0.gen) == int(st.gen)
 
 
+def test_fused_mesh_matches_single_device():
+    """Chain-sharded fused runner (shard_map over 4 fake devices, one
+    all_gather per chunk for the append) is bit-identical to the
+    single-device runner: streams fold on GLOBAL chain ids and the
+    kernel math is per-chain."""
+    from bipymc_tpu.parallel.mesh import chain_mesh
+    log_prob, cfg, state, k_run = _setup()
+    step = dream.make_step(log_prob, cfg._replace(pallas_proposal=True),
+                           axis_name=None)
+    state20, _ = run_scan_thinned(step, state, k_run, n_steps=20, thin=1,
+                                  collect_fn=_collect, t0=0)
+    single = make_chunk_runner(
+        log_prob, cfg._replace(pallas_proposal=True))
+    st1, h1 = single(state20, k_run, 20, 20)
+
+    mesh = chain_mesh(4)
+    sharded = make_chunk_runner(
+        log_prob, cfg._replace(pallas_proposal=True), mesh=mesh)
+    st2, h2 = sharded(state20, k_run, 20, 20)
+
+    np.testing.assert_array_equal(np.asarray(h1["accepted"]),
+                                  np.asarray(h2["accepted"]))
+    np.testing.assert_array_equal(np.asarray(h1["x"]), np.asarray(h2["x"]))
+    np.testing.assert_array_equal(np.asarray(st1.x), np.asarray(st2.x))
+    np.testing.assert_array_equal(np.asarray(st1.archive.buf),
+                                  np.asarray(st2.archive.buf))
+    assert int(st1.archive.fill) == int(st2.archive.fill)
+    # the history really is chain-sharded on the mesh
+    assert len(h2["x"].sharding.device_set) == 4
+
+
+def test_api_fused_mesh_matches_vmap():
+    """DreamZs(fused=True, mesh=...) = DreamZs(fused=True): the full
+    API path (per-generation burn-in + fused steady state) crosses
+    engines AND sharding modes with one stream discipline."""
+    import bipymc_tpu as bp
+    from bipymc_tpu.parallel.mesh import chain_mesh
+    d, n = 6, 8
+    means = np.zeros((2, d), dtype=np.float32)
+    means[1, 0] = 4.0
+    lp = gaussian_mixture(means, sigma=1.0)
+    kw = dict(n_chains=n, seed=5, archive_thin=5, burnin_gens=10,
+              archive_capacity=64, pallas_proposal=True, fused=True)
+    x0 = np.asarray(var_ball(jax.random.key(1), np.full(d, 4.0), n))
+
+    ref = bp.DreamZs(lp, **kw)
+    ref.run_mcmc(30, jnp.asarray(x0))
+    shr = bp.DreamZs(lp, mesh=chain_mesh(4), **kw)
+    shr.run_mcmc(30, jnp.asarray(x0))
+
+    np.testing.assert_array_equal(ref._history["accepted"],
+                                  shr._history["accepted"])
+    np.testing.assert_allclose(ref._history["x"], shr._history["x"],
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_fused_validation_errors():
     log_prob, cfg, state, k_run = _setup()
     runner = make_chunk_runner(log_prob, cfg)
