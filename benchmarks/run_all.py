@@ -150,8 +150,17 @@ def config3(quick):
     burn = n // 3
 
     x0 = stratified_mode_init(jax.random.key(100), means, 256, var=4.0)
-    s2 = bp.DreamZs(log_prob, n_chains=256, seed=1, burnin_gens=burn)
+    # fused=True: the steady-state continuation below runs entirely on
+    # the fused multi-generation engine (the public API flag; bit-
+    # identical trajectories to fused=False — tests/test_fused_chunk.py)
+    s2 = bp.DreamZs(log_prob, n_chains=256, seed=1, burnin_gens=burn,
+                    fused=True)
     s2.run_mcmc(n, x0)                                    # compile + burn-in
+    # warm the CONTINUATION shape too: the first call's fused segment is
+    # n - burn-in-alignment gens, the continuation's is n — different
+    # static scan lengths, different executables (same recompile class
+    # the round-2 verdict flagged for run_until)
+    s2.run_mcmc(n)
     t0 = time.time()
     s2.run_mcmc(n)                                        # continuation
     elapsed = time.time() - t0
