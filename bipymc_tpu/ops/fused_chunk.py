@@ -52,6 +52,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from bipymc_tpu.core.rng import uniform_to_normal
 from bipymc_tpu.ops.dream_proposal import propose_block
 from bipymc_tpu.ops.tiling import round_up
 
@@ -59,6 +60,38 @@ _LANE = 128
 
 # scal lane assignments ([G, n, LANE] per-chain packed scalars)
 S_DELTA, S_CR, S_GS, S_SNK, S_GJUMP, S_LOGU = 0, 1, 2, 3, 4, 5
+
+
+def _bits_to_uniform_block(bits):
+    """uint32 bits → U[0,1) f32, the same top-23-bit mantissa trick as
+    core.rng.bits_to_uniform, in Mosaic-safe ops (pltpu.bitcast)."""
+    b = pltpu.bitcast(bits, jnp.uint32)
+    return pltpu.bitcast((b >> jnp.uint32(9)) | jnp.uint32(0x3F800000),
+                         jnp.float32) - 1.0
+
+
+def _draw_kernel_randomness(shape, d_true, bits_refs=None):
+    """Generate (u_mask, u_e, eps) in-kernel.
+
+    With ``bits_refs=None`` draws from the seeded hardware PRNG
+    (``pltpu.prng_random_bits``); otherwise consumes three streamed
+    uint32 blocks (the CPU-testable path — the interpret-mode PRNG
+    stub returns zeros, so tests stream recorded bits through the SAME
+    conversion code instead). u_mask pad lanes hold 2.0 so they never
+    enter the crossover mask or win its argmin; eps uses the identical
+    inverse-erf map as the host-side stream path (lax.erf_inv lowers on
+    Mosaic), so for equal bits the two paths agree bitwise."""
+    if bits_refs is None:
+        mbits = pltpu.prng_random_bits(shape)
+        ebits = pltpu.prng_random_bits(shape)
+        nbits = pltpu.prng_random_bits(shape)
+    else:
+        mbits, ebits, nbits = (r[0] for r in bits_refs)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    u_m = jnp.where(lane < d_true, _bits_to_uniform_block(mbits), 2.0)
+    u_e = _bits_to_uniform_block(ebits)
+    eps = uniform_to_normal(_bits_to_uniform_block(nbits))
+    return u_m, u_e, eps
 
 
 def block_logp_from_scalar(log_prob, d):
@@ -74,14 +107,24 @@ def block_logp_from_scalar(log_prob, d):
     return f
 
 
-def _make_kernel(closed_fn, const_shapes, n_pairs, d_true, b, b_star):
+def _make_kernel(closed_fn, const_shapes, n_pairs, d_true, b, b_star,
+                 rng="stream", test_bits=False):
     nc = len(const_shapes)
 
     def kernel(*refs):
-        (x0_ref, lp0_ref, rows_ref, um_ref, ue_ref, eps_ref,
-         scal_ref) = refs[:7]
-        const_refs = refs[7:7 + nc]
-        xh_ref, aux_ref, x_scr, lp_scr = refs[7 + nc:]
+        if rng == "stream":
+            (x0_ref, lp0_ref, rows_ref, um_ref, ue_ref, eps_ref,
+             scal_ref) = refs[:7]
+            n_in = 7
+        else:
+            x0_ref, lp0_ref, rows_ref, scal_ref, seed_ref = refs[:5]
+            n_in = 5
+            bits_refs = None
+            if test_bits:
+                bits_refs = refs[5:8]
+                n_in = 8
+        const_refs = refs[n_in:n_in + nc]
+        xh_ref, aux_ref, x_scr, lp_scr = refs[n_in + nc:]
         # target-closure constants arrive as kernel inputs (Pallas
         # kernels cannot capture array constants): rank ≥ 2 native,
         # rank < 2 lifted to (1, k) (restored here — Mosaic handles the
@@ -99,8 +142,20 @@ def _make_kernel(closed_fn, const_shapes, n_pairs, d_true, b, b_star):
         lp = lp_scr[:, 0:1]                       # [BC, 1]
         scal = scal_ref[0]                        # [BC, LANE]
 
+        if rng == "stream":
+            um, ue, eps = um_ref[0], ue_ref[0], eps_ref[0]
+        else:
+            if not test_bits:
+                # distinct stream per (generation, chain-block) cell:
+                # the per-gen seed word comes from the host threefry
+                # hierarchy, the block id folds in here
+                pltpu.prng_seed(seed_ref[g, 0], pl.program_id(0))
+            um, ue, eps = _draw_kernel_randomness(
+                x.shape, d_true,
+                bits_refs=bits_refs if test_bits else None)
+
         x_star, log_jac, _ = propose_block(
-            x, rows_ref[0], um_ref[0], ue_ref[0], eps_ref[0],
+            x, rows_ref[0], um, ue, eps,
             scal[:, S_DELTA:S_DELTA + 1],
             scal[:, S_CR:S_CR + 1],
             scal[:, S_GS:S_GS + 1],
@@ -131,10 +186,11 @@ def _make_kernel(closed_fn, const_shapes, n_pairs, d_true, b, b_star):
 @functools.partial(
     jax.jit,
     static_argnames=("log_prob_block", "n_pairs", "d_true", "b", "b_star",
-                     "block_chains", "interpret"))
+                     "block_chains", "interpret", "rng"))
 def fused_chunk_pallas(x0, logp0, rows, u_mask, u_e, eps, scal,
                        log_prob_block, n_pairs, d_true, b, b_star,
-                       block_chains=256, interpret=False):
+                       block_chains=256, interpret=False,
+                       rng="stream", seeds=None, test_bits=None):
     """Advance G generations in one kernel launch.
 
     x0 [n, d]; logp0 [n]; rows [G, n, k, d] pregathered archive rows;
@@ -143,9 +199,23 @@ def fused_chunk_pallas(x0, logp0, rows, u_mask, u_e, eps, scal,
     log_prob_block: hashable callable, ``[BC, Dp] -> [BC, 1]`` on
     zero-padded lanes. Returns (x_hist [G, n, d], logp_hist [G, n],
     accepted [G, n] bool).
+
+    rng="kernel": generate u_mask/u_e/eps INSIDE the kernel from the
+    TPU hardware PRNG instead of streaming them — pass ``u_mask=u_e=
+    eps=None`` and ``seeds`` [G] int32 (one word per generation; the
+    chain-block id folds in in-kernel). Removes the dominant XLA-side
+    prep work and 3 of 6 streamed operands; the price is streams that
+    are NOT bit-identical to the per-generation engine (distributions
+    unchanged — same uniform bit-trick + inverse-erf conversions,
+    different bit source). ``test_bits`` (three uint32 [G, n, d]
+    blocks) substitutes recorded bits for the PRNG so interpret-mode
+    tests cover the identical conversion code (the interpret PRNG stub
+    returns zeros).
     """
     G, n, k, d = rows.shape
     dtype = x0.dtype
+    if rng == "kernel" and dtype != jnp.float32:
+        raise ValueError("rng='kernel' is float32-only")
     bc = min(block_chains, round_up(n, 8))
     n_p = round_up(n, bc)
     d_p = round_up(d, _LANE)
@@ -158,9 +228,6 @@ def fused_chunk_pallas(x0, logp0, rows, u_mask, u_e, eps, scal,
     lp0_p = jnp.pad(
         jnp.broadcast_to(logp0[:, None], (n, _LANE)), ((0, n_p - n), (0, 0)))
     rows_p = jnp.pad(rows, ((0, 0), (0, n_p - n), (0, 0), (0, d_p - d)))
-    um_p = pad_gnd(u_mask, fill=2.0)   # pads never enter mask/argmin
-    ue_p = pad_gnd(u_e)
-    eps_p = pad_gnd(eps)
     scal_p = jnp.pad(scal, ((0, 0), (0, n_p - n),
                             (0, _LANE - scal.shape[2])))
 
@@ -190,24 +257,43 @@ def fused_chunk_pallas(x0, logp0, rows, u_mask, u_e, eps, scal,
                      memory_space=pltpu.VMEM)
         for c in consts_2d]
 
+    scal_spec = pl.BlockSpec((1, bc, _LANE), lambda nb_, g_: (g_, nb_, 0),
+                             memory_space=pltpu.VMEM)
+    base_specs = [
+        pl.BlockSpec((bc, d_p), lambda nb_, g_: (nb_, 0),
+                     memory_space=pltpu.VMEM),             # x0
+        pl.BlockSpec((bc, _LANE), lambda nb_, g_: (nb_, 0),
+                     memory_space=pltpu.VMEM),             # lp0
+        pl.BlockSpec((1, bc, k, d_p), lambda nb_, g_: (g_, nb_, 0, 0),
+                     memory_space=pltpu.VMEM),             # rows
+    ]
+    if rng == "stream":
+        in_specs = base_specs + [gnd, gnd, gnd, scal_spec]  # um/ue/eps
+        operands = [x0_p, lp0_p, rows_p, pad_gnd(u_mask, fill=2.0),
+                    pad_gnd(u_e), pad_gnd(eps), scal_p]
+    else:
+        # whole [G, 1] table to every cell (SMEM blocks must cover the
+        # array); the kernel picks its generation's word by program_id
+        seed_spec = pl.BlockSpec((G, 1), lambda nb_, g_: (0, 0),
+                                 memory_space=pltpu.SMEM)
+        seeds_i = (seeds if seeds.dtype == jnp.int32
+                   else jax.lax.bitcast_convert_type(seeds, jnp.int32))
+        in_specs = base_specs + [scal_spec, seed_spec]
+        operands = [x0_p, lp0_p, rows_p, scal_p,
+                    jnp.reshape(seeds_i, (G, 1))]
+        if test_bits is not None:
+            bit_spec = pl.BlockSpec(
+                (1, bc, d_p), lambda nb_, g_: (g_, nb_, 0),
+                memory_space=pltpu.VMEM)
+            in_specs += [bit_spec] * 3
+            operands += [pad_gnd(tb, fill=0) for tb in test_bits]
+
     xh, aux = pl.pallas_call(
         _make_kernel(closed_fn, const_shapes, n_pairs, d_true, float(b),
-                     float(b_star)),
+                     float(b_star), rng=rng,
+                     test_bits=test_bits is not None),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bc, d_p), lambda nb_, g_: (nb_, 0),
-                         memory_space=pltpu.VMEM),             # x0
-            pl.BlockSpec((bc, _LANE), lambda nb_, g_: (nb_, 0),
-                         memory_space=pltpu.VMEM),             # lp0
-            pl.BlockSpec((1, bc, k, d_p), lambda nb_, g_: (g_, nb_, 0, 0),
-                         memory_space=pltpu.VMEM),             # rows
-            gnd,                                               # u_mask
-            gnd,                                               # u_e
-            gnd,                                               # eps
-            pl.BlockSpec((1, bc, _LANE), lambda nb_, g_: (g_, nb_, 0),
-                         memory_space=pltpu.VMEM),             # scal
-            *const_specs,                                      # target consts
-        ],
+        in_specs=in_specs + list(const_specs),
         out_specs=[
             gnd,                                               # x hist
             pl.BlockSpec((1, bc, _LANE), lambda nb_, g_: (g_, nb_, 0),
@@ -224,7 +310,7 @@ def fused_chunk_pallas(x0, logp0, rows, u_mask, u_e, eps, scal,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(x0_p, lp0_p, rows_p, um_p, ue_p, eps_p, scal_p, *consts_2d)
+    )(*operands, *consts_2d)
 
     return (xh[:, :n, :d], aux[:, :n, 0],
             aux[:, :n, 1] > 0.5)

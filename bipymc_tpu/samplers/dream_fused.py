@@ -77,7 +77,9 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
                       interpret: bool | None = None,
                       collect: str = "all",
                       prep_chunks: int = 8,
-                      mesh=None) -> Callable:
+                      mesh=None,
+                      rng: str = "stream",
+                      _test_stream_bits: bool = False) -> Callable:
     """Build ``run(state, base_key, n_gens, t0) -> (state, history)``.
 
     n_gens must be a multiple of ``cfg.archive_thin``; ``t0`` (a Python
@@ -111,7 +113,24 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
     fold on GLOBAL chain ids, so trajectories are bit-identical to the
     single-device runner for the same base key
     (tests/test_fused_chunk.py::test_fused_mesh_matches_single_device).
+
+    rng: ``"stream"`` (default) pregenerates u_mask/u_e/eps XLA-side —
+    the bit-identical-to-the-per-generation-engine contract. ``
+    "kernel"`` draws them from the TPU hardware PRNG *inside* the fused
+    kernel (seeded per generation from the same threefry hierarchy, so
+    runs are reproducible given the base key): the per-chain word block
+    shrinks 5+k+3d → 5+k and three of six streamed kernel operands
+    disappear — measured the dominant cost at ≥1024 chains. Same
+    proposal/accept math and same conversion maps, different bit
+    source: NOT bit-identical to ``"stream"``, distributionally
+    equivalent. TPU-only (the interpret PRNG is a zero stub).
+    _test_stream_bits: testing hook — stream the exact bits the
+    "stream" path would consume through the in-kernel conversion code
+    instead of the PRNG, making rng="kernel" reproduce rng="stream"
+    bitwise on CPU (tests/test_fused_chunk.py).
     """
+    if rng not in ("stream", "kernel"):
+        raise ValueError(f"rng={rng!r}: expected 'stream' or 'kernel'")
     check_fusable(cfg, mesh)
     axis = CHAIN_AXIS if mesh is not None else None
     G = cfg.archive_thin
@@ -142,9 +161,17 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
         n, dim = state.x.shape
         dtype = state.x.dtype
         lp_block = _lp_block_for(dim)
-        nw = 5 + n_rows + 3 * dim
+        kernel_rng = rng == "kernel"
+        # kernel-RNG shrinks the per-chain threefry block to the scalar
+        # + row words (the 3d mask/e/eps words move into the kernel)
+        nw = 5 + n_rows + (0 if kernel_rng and not _test_stream_bits
+                           else 3 * dim)
         interp = (jax.default_backend() != "tpu" if interpret is None
                   else interpret)
+        if kernel_rng and interp and not _test_stream_bits:
+            raise ValueError(
+                "rng='kernel' needs the TPU hardware PRNG (the interpret "
+                "stub returns zeros); use rng='stream' off-TPU")
         gid = chain_offset(n, axis) + jnp.arange(n, dtype=jnp.int32)
         cr_cum = state.cr_cum  # frozen post-burn-in (check_fusable scope)
 
@@ -169,9 +196,17 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
             u_acc = u_all[..., 4]
             row_bits = blk[..., 5:5 + n_rows]
             off = 5 + n_rows
-            u_mask = u_all[..., off:off + dim]
-            u_e = u_all[..., off + dim:off + 2 * dim]
-            eps_n = uniform_to_normal(u_all[..., off + 2 * dim:])
+            if not kernel_rng:
+                u_mask = u_all[..., off:off + dim]
+                u_e = u_all[..., off + dim:off + 2 * dim]
+                eps_n = uniform_to_normal(u_all[..., off + 2 * dim:])
+            else:
+                # one PRNG seed word per generation, drawn from a folded
+                # branch of the same threefry hierarchy (reproducible
+                # given base_key; disjoint from the main stream)
+                seeds = jax.vmap(lambda kk: jax.random.bits(
+                    jax.random.fold_in(kk, 0x6B524E47), (),
+                    jnp.uint32))(keys)
 
             # per-chain scalars, mirroring the pallas branch of
             # samplers/dream.py propose_all; cr_cum is the frozen
@@ -194,13 +229,19 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
                 cr = jnp.where(gj > 0, jnp.asarray(1.0, dtype), cr)
             scal = jnp.stack(
                 [delta, cr, gamma_s, is_snk, gj, jnp.log(u_acc)], axis=-1)
-            return row_bits, u_mask, u_e, eps_n, scal
+            if not kernel_rng:
+                return row_bits, scal, (u_mask, u_e, eps_n)
+            if _test_stream_bits:
+                tb = tuple(blk[..., off + j * dim:off + (j + 1) * dim]
+                           for j in range(3))
+                return row_bits, scal, (seeds, tb)
+            return row_bits, scal, (seeds,)
 
         def chunk_core(st: DreamState, xs):
             """One G-generation chunk from pregenerated inputs: the
             fill-dependent distinct-row draw, the Z gather, the fused
             kernel, and the ring append."""
-            row_bits, u_mask, u_e, eps_n, scal = xs      # [G, n, ...]
+            row_bits, scal, rng_in = xs                  # [G, n, ...]
             # distinct archive rows — same construction as the
             # per-generation engine (identical bits → identical rows)
             if interp:
@@ -214,10 +255,20 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
                     st.archive.fill).reshape(G, n, n_rows)
             rows = st.archive.buf[row_idx]                 # [G, n, k, d]
 
-            xh, lph, acc = fused_chunk_pallas(
-                st.x, st.logp, rows, u_mask, u_e, eps_n, scal,
-                lp_block, n_pairs=n_pairs, d_true=dim,
-                b=cfg.b, b_star=cfg.b_star, interpret=interp)
+            if not kernel_rng:
+                u_mask, u_e, eps_n = rng_in
+                xh, lph, acc = fused_chunk_pallas(
+                    st.x, st.logp, rows, u_mask, u_e, eps_n, scal,
+                    lp_block, n_pairs=n_pairs, d_true=dim,
+                    b=cfg.b, b_star=cfg.b_star, interpret=interp)
+            else:
+                seeds = rng_in[0]
+                tb = rng_in[1] if _test_stream_bits else None
+                xh, lph, acc = fused_chunk_pallas(
+                    st.x, st.logp, rows, None, None, None, scal,
+                    lp_block, n_pairs=n_pairs, d_true=dim,
+                    b=cfg.b, b_star=cfg.b_star, interpret=interp,
+                    rng="kernel", seeds=seeds, test_bits=tb)
 
             x_new = xh[-1]
             logp_new = lph[-1]

@@ -209,6 +209,45 @@ def test_api_fused_mesh_matches_vmap():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_kernel_rng_conversion_matches_stream():
+    """rng='kernel' moves the u_mask/u_e/eps conversions INSIDE the
+    kernel. Fed the exact bits the stream path consumes
+    (_test_stream_bits hook — the interpret PRNG is a zero stub), the
+    in-kernel conversion code must reproduce the stream path: same
+    uniform bit-trick, same inverse-erf map. Accept decisions are
+    exact; positions agree to float re-association (the inline eps
+    conversion fuses into the proposal arithmetic differently than a
+    streamed operand — measured 1-ULP differences, nothing more)."""
+    log_prob, cfg, state, k_run = _setup()
+    step = dream.make_step(log_prob, cfg._replace(pallas_proposal=True),
+                           axis_name=None)
+    state20, _ = run_scan_thinned(step, state, k_run, n_steps=20, thin=1,
+                                  collect_fn=_collect, t0=0)
+    stream = make_chunk_runner(
+        log_prob, cfg._replace(pallas_proposal=True))
+    st1, h1 = stream(state20, k_run, 20, 20)
+    kern = make_chunk_runner(
+        log_prob, cfg._replace(pallas_proposal=True), rng="kernel",
+        _test_stream_bits=True)
+    st2, h2 = kern(state20, k_run, 20, 20)
+    np.testing.assert_array_equal(np.asarray(h1["accepted"]),
+                                  np.asarray(h2["accepted"]))
+    np.testing.assert_allclose(np.asarray(h1["x"]), np.asarray(h2["x"]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st1.archive.buf),
+                               np.asarray(st2.archive.buf),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_kernel_rng_rejected_off_tpu():
+    log_prob, cfg, state, k_run = _setup()
+    runner = make_chunk_runner(log_prob, cfg, rng="kernel")
+    with pytest.raises(ValueError, match="hardware PRNG"):
+        runner(state, k_run, 20, 20)
+    with pytest.raises(ValueError, match="expected 'stream'"):
+        make_chunk_runner(log_prob, cfg, rng="prng")
+
+
 def test_fused_validation_errors():
     log_prob, cfg, state, k_run = _setup()
     runner = make_chunk_runner(log_prob, cfg)
