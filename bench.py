@@ -127,13 +127,16 @@ def run_tpu():
 
     # timed phase runs the FUSED multi-generation engine (round 3:
     # samplers/dream_fused.py — one Pallas kernel per archive_thin
-    # generations, measured 2.3× the per-generation engine at this
-    # config; identical random streams, post-burn-in semantics equal by
-    # construction and pinned in tests/test_fused_chunk.py)
+    # generations; semantics pinned in tests/test_fused_chunk.py) with
+    # rng="kernel": proposal randomness from the in-kernel hardware
+    # PRNG (measured 1.36× the stream-mode fused engine here —
+    # docs/design.md §10f; deterministic given the seed, same proposal
+    # distributions, streams not bit-identical to the per-generation
+    # engine — the label below records the mode)
     from bipymc_tpu.samplers.dream_fused import (
         make_chunk_runner, validate_fused_segment)
     validate_fused_segment(cfg, CHUNK)
-    fused = make_chunk_runner(log_prob, cfg)
+    fused = make_chunk_runner(log_prob, cfg, rng="kernel")
     fused_run = jax.jit(lambda s, k, t: fused(s, k, CHUNK, t))
     t0 = time.time()
     state, _ = jax.block_until_ready(
@@ -182,7 +185,7 @@ def run_tpu():
         "gens_per_sec": gens_per_sec,
         "ess_per_sec": eps,
         "chain_steps_per_sec": n_gens * N_CHAINS / elapsed,
-        "engine": "fused",
+        "engine": "fused/kernel-rng",
         "mode_occupancy": occ.tolist(),
         "mode_hops_per_chain_gen": float(hops_rate),
     }

@@ -597,18 +597,28 @@ class DreamZs(McmcSampler):
 
     def __init__(self, log_like_fn, n_chains=8, seed=0, dtype=jnp.float32,
                  mesh=None, archive_capacity=None, n_archive_init=None,
-                 fused=False, log_prob_block=None, **config_kw):
+                 fused=False, fused_rng="stream", log_prob_block=None,
+                 **config_kw):
         """``fused=True`` routes post-burn-in, archive-aligned steady-state
         generations through the fused multi-generation Pallas engine
         (samplers/dream_fused.py — one kernel per ``archive_thin``
         generations, measured 2.3× the per-generation engine at the
-        256×100 headline config). Burn-in, alignment remainders, and
+        256×100 headline config; works with ``mesh=`` too, one
+        all_gather per chunk). Burn-in, alignment remainders, and
         ``thin != 1`` / ``progress_every`` runs stay on the per-generation
         engine; trajectories consume the identical random streams either
-        way. Requires a single-device replicated-archive configuration
-        and a jnp-expressible (Mosaic-lowerable) target;
-        ``log_prob_block`` optionally supplies a hand-written
-        lane-padded-block target (ops/fused_chunk.py)."""
+        way. Requires a replicated-archive configuration and a
+        jnp-expressible (Mosaic-lowerable) target; ``log_prob_block``
+        optionally supplies a hand-written lane-padded-block target
+        (ops/fused_chunk.py).
+
+        ``fused_rng="kernel"`` (TPU-only) additionally generates the
+        proposal randomness inside the kernel from the hardware PRNG —
+        measured 1.4–2.0× the default fused engine (docs/design.md
+        §10f). Runs remain deterministic given ``seed``, but the
+        streams are no longer bit-identical to ``fused=False`` (the
+        distributions are unchanged — injected-stream fidelity tests
+        don't apply to this mode, distributional ones do)."""
         super().__init__(log_like_fn, seed=seed, dtype=dtype)
         self.n_chains = int(n_chains)
         self.cfg = self._config_builder(self.n_chains, **config_kw)
@@ -616,6 +626,10 @@ class DreamZs(McmcSampler):
         self.archive_capacity = archive_capacity
         self.n_archive_init = n_archive_init
         self.fused = bool(fused)
+        self.fused_rng = fused_rng
+        if fused_rng not in ("stream", "kernel"):
+            raise ValueError(
+                f"fused_rng={fused_rng!r}: expected 'stream' or 'kernel'")
         self._log_prob_block = log_prob_block
         self._fused_runner = None
         self._fused_jits = {}
@@ -681,7 +695,8 @@ class DreamZs(McmcSampler):
             from bipymc_tpu.samplers.dream_fused import make_chunk_runner
             self._fused_runner = make_chunk_runner(
                 self.log_like_fn, self.cfg,
-                log_prob_block=self._log_prob_block, mesh=self.mesh)
+                log_prob_block=self._log_prob_block, mesh=self.mesh,
+                rng=self.fused_rng)
         if n_gens not in self._fused_jits:
             runner = self._fused_runner
             self._fused_jits[n_gens] = jax.jit(

@@ -248,6 +248,17 @@ def test_kernel_rng_rejected_off_tpu():
         make_chunk_runner(log_prob, cfg, rng="prng")
 
 
+def test_api_fused_rng_flag():
+    import bipymc_tpu as bp
+    lp = gaussian_mixture(np.zeros((1, 2), np.float32))
+    with pytest.raises(ValueError, match="fused_rng"):
+        bp.DreamZs(lp, n_chains=8, fused=True, fused_rng="bogus")
+    s = bp.DreamZs(lp, n_chains=8, seed=0, burnin_gens=0, fused=True,
+                   fused_rng="kernel", archive_capacity=64)
+    with pytest.raises(ValueError, match="hardware PRNG"):   # CPU here
+        s.run_mcmc(20, jnp.zeros((8, 2)))
+
+
 def test_fused_validation_errors():
     log_prob, cfg, state, k_run = _setup()
     runner = make_chunk_runner(log_prob, cfg)
