@@ -136,7 +136,10 @@ def run_tpu():
     from bipymc_tpu.samplers.dream_fused import (
         make_chunk_runner, validate_fused_segment)
     validate_fused_segment(cfg, CHUNK)
-    fused = make_chunk_runner(log_prob, cfg, rng="kernel")
+    # kernel-rng needs the hardware PRNG; the CPU smoke path (and any
+    # non-TPU run) falls back to the bit-identical stream engine
+    rng_mode = "kernel" if jax.default_backend() == "tpu" else "stream"
+    fused = make_chunk_runner(log_prob, cfg, rng=rng_mode)
     fused_run = jax.jit(lambda s, k, t: fused(s, k, CHUNK, t))
     t0 = time.time()
     state, _ = jax.block_until_ready(
@@ -185,7 +188,7 @@ def run_tpu():
         "gens_per_sec": gens_per_sec,
         "ess_per_sec": eps,
         "chain_steps_per_sec": n_gens * N_CHAINS / elapsed,
-        "engine": "fused/kernel-rng",
+        "engine": f"fused/{rng_mode}-rng",
         "mode_occupancy": occ.tolist(),
         "mode_hops_per_chain_gen": float(hops_rate),
     }

@@ -118,14 +118,29 @@ class McmcSampler:
         acc = np.swapaxes(self._history["accepted"], 0, 1)
         return np.asarray(acceptance_fraction(acc))
 
+    @staticmethod
+    def _host_compute():
+        """Context placing post-run diagnostics on the host CPU backend:
+        the history is already host NumPy, and shipping ~GB of it back
+        through the (possibly remote, ~30ms/call) device link to compute
+        a summary is the round-trip the rest of the harness avoids."""
+        try:
+            return jax.default_device(jax.local_devices(backend="cpu")[0])
+        except RuntimeError:
+            import contextlib
+            return contextlib.nullcontext()
+
     def summary(self, discard=0, as_text=False):
         """Per-dimension posterior summary of the kept history:
         mean/sd/5-50-95% quantiles/rank-normalised R̂/per-dim ESS
-        (utils.diagnostics.summary). ``as_text=True`` returns a printable
-        table instead of the dict of host arrays."""
+        (utils.diagnostics.summary, computed on the host CPU backend).
+        ``as_text=True`` returns a printable table instead of the dict
+        of host arrays."""
         from bipymc_tpu.utils.diagnostics import summary as _summary
-        s = {k: np.asarray(v) for k, v in
-             _summary(jnp.asarray(self.get_chain(discard=discard))).items()}
+        with self._host_compute():
+            s = {k: np.asarray(v) for k, v in
+                 _summary(
+                     jnp.asarray(self.get_chain(discard=discard))).items()}
         if not as_text:
             return s
         cols = ["mean", "sd", "q05", "q50", "q95", "rhat", "ess"]
@@ -139,8 +154,9 @@ class McmcSampler:
         """Integrated autocorrelation time τ of the kept history (emcee-
         style auto-windowed estimate, SURVEY.md §4.8)."""
         from bipymc_tpu.utils.diagnostics import integrated_autocorr_time
-        return float(integrated_autocorr_time(
-            self.get_chain(discard=discard), c=c))
+        with self._host_compute():
+            return float(integrated_autocorr_time(
+                self.get_chain(discard=discard), c=c))
 
     @property
     def final_state(self):
@@ -630,6 +646,14 @@ class DreamZs(McmcSampler):
         if fused_rng not in ("stream", "kernel"):
             raise ValueError(
                 f"fused_rng={fused_rng!r}: expected 'stream' or 'kernel'")
+        if (fused_rng == "kernel" and fused
+                and jax.default_backend() != "tpu"):
+            # fail at construction: raising mid-run would leave the
+            # sampler half-advanced (burn-in stored, fused segment dead)
+            raise ValueError(
+                "fused_rng='kernel' needs the TPU hardware PRNG "
+                f"(backend is {jax.default_backend()!r}); use the "
+                "default fused_rng='stream' off-TPU")
         self._log_prob_block = log_prob_block
         self._fused_runner = None
         self._fused_jits = {}

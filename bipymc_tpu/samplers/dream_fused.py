@@ -55,6 +55,23 @@ def validate_fused_segment(cfg: DreamConfig, t0: int):
             "engine through burn-in first")
 
 
+def _kernel_rng_seeds(keys, offset):
+    """Per-generation in-kernel-PRNG seed words for the chain shard
+    whose first global chain index is ``offset``.
+
+    Folding ``offset`` decorrelates mesh shards (each device's kernel
+    draws from a distinct stream); the in-kernel ``prng_seed`` then
+    folds the local chain-block id. Deterministic given the base key
+    and mesh layout, but — unlike rng="stream" — kernel-RNG
+    trajectories are NOT bit-identical across different device counts
+    (the (offset, block) decomposition of a chain differs).
+    """
+    return jax.vmap(lambda kk: jax.random.bits(
+        jax.random.fold_in(
+            jax.random.fold_in(kk, 0x6B524E47), offset), (),
+        jnp.uint32))(keys)
+
+
 def check_fusable(cfg: DreamConfig, mesh=None):
     """Raise if the fused engine cannot reproduce this configuration."""
     if not cfg.use_archive:
@@ -109,10 +126,14 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
     on its chain shard against the replicated archive, and the only
     cross-device traffic is ONE [n, d] ``all_gather`` per chunk for the
     ring append (the identical collective placement as the
-    per-generation engine's sharded path, samplers/dream.py). Streams
-    fold on GLOBAL chain ids, so trajectories are bit-identical to the
-    single-device runner for the same base key
-    (tests/test_fused_chunk.py::test_fused_mesh_matches_single_device).
+    per-generation engine's sharded path, samplers/dream.py). With
+    rng="stream", streams fold on GLOBAL chain ids, so trajectories are
+    bit-identical to the single-device runner for the same base key
+    (tests/test_fused_chunk.py::test_fused_mesh_matches_single_device);
+    with rng="kernel" each shard seeds a distinct PRNG stream (global
+    offset folded — :func:`_kernel_rng_seeds`), so mesh runs are
+    deterministic and shard-decorrelated but not bit-identical across
+    device counts.
 
     rng: ``"stream"`` (default) pregenerates u_mask/u_e/eps XLA-side —
     the bit-identical-to-the-per-generation-engine contract. ``
@@ -203,10 +224,14 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
             else:
                 # one PRNG seed word per generation, drawn from a folded
                 # branch of the same threefry hierarchy (reproducible
-                # given base_key; disjoint from the main stream)
-                seeds = jax.vmap(lambda kk: jax.random.bits(
-                    jax.random.fold_in(kk, 0x6B524E47), (),
-                    jnp.uint32))(keys)
+                # given base_key; disjoint from the main stream). The
+                # GLOBAL chain offset folds in too: without it every
+                # mesh shard would seed the in-kernel PRNG identically
+                # and chains would draw the same randomness on every
+                # device (cross-shard correlation, review finding). On
+                # the vmap path the offset is 0 — a plain fold.
+                seeds = _kernel_rng_seeds(
+                    keys, chain_offset(n, axis))
 
             # per-chain scalars, mirroring the pallas branch of
             # samplers/dream.py propose_all; cr_cum is the frozen

@@ -248,15 +248,44 @@ def test_kernel_rng_rejected_off_tpu():
         make_chunk_runner(log_prob, cfg, rng="prng")
 
 
+def test_kernel_rng_seed_decorrelation():
+    """Kernel-RNG seed words fold the global chain offset: distinct per
+    mesh shard (otherwise every device would seed the in-kernel PRNG
+    identically and chains would repeat across shards)."""
+    from bipymc_tpu.core.rng import step_key
+    from bipymc_tpu.parallel.collectives import chain_offset
+    from bipymc_tpu.parallel.mesh import chain_mesh, CHAIN_AXIS
+    from bipymc_tpu.samplers.dream_fused import _kernel_rng_seeds
+    from jax.sharding import PartitionSpec as P
+
+    keys = jax.vmap(lambda t: step_key(jax.random.key(0), t))(
+        jnp.arange(5, dtype=jnp.int32))
+    s0 = _kernel_rng_seeds(keys, jnp.int32(0))
+    s1 = _kernel_rng_seeds(keys, jnp.int32(2))
+    assert not np.array_equal(np.asarray(s0), np.asarray(s1))
+
+    mesh = chain_mesh(4)
+
+    def body():
+        return _kernel_rng_seeds(keys, chain_offset(2, CHAIN_AXIS))[None]
+
+    out = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(),
+                                out_specs=P(CHAIN_AXIS),
+                                check_vma=False))()
+    rows = {tuple(r) for r in np.asarray(out)}
+    assert len(rows) == 4          # one distinct stream per shard
+
+
 def test_api_fused_rng_flag():
     import bipymc_tpu as bp
     lp = gaussian_mixture(np.zeros((1, 2), np.float32))
     with pytest.raises(ValueError, match="fused_rng"):
         bp.DreamZs(lp, n_chains=8, fused=True, fused_rng="bogus")
-    s = bp.DreamZs(lp, n_chains=8, seed=0, burnin_gens=0, fused=True,
-                   fused_rng="kernel", archive_capacity=64)
+    # kernel mode is rejected at CONSTRUCTION off-TPU (raising mid-run
+    # would leave the sampler half-advanced — review finding)
     with pytest.raises(ValueError, match="hardware PRNG"):   # CPU here
-        s.run_mcmc(20, jnp.zeros((8, 2)))
+        bp.DreamZs(lp, n_chains=8, seed=0, burnin_gens=0, fused=True,
+                   fused_rng="kernel", archive_capacity=64)
 
 
 def test_fused_validation_errors():
