@@ -220,8 +220,12 @@ def run_wall_to_rhat():
     cs = 20 if SMOKE else 200
     until_kw = dict(rhat_tol=1.1, chunk=cs, max_chunks=150,
                     warmup_chunks=burn // cs + 1)
+    # post-burn-in chunks inside the while_loop run on the fused engine
+    # (kernel-rng on TPU) — same streams/stopping as fused=False for
+    # rng='stream'; labelled via the engine field either way
+    rng_mode = "kernel" if jax.default_backend() == "tpu" else "stream"
     s = bp.DreamZs(log_prob, n_chains=N_CHAINS, seed=SEED,
-                   burnin_gens=burn)
+                   burnin_gens=burn, fused=True, fused_rng=rng_mode)
     t0 = time.time()
     s.run_mcmc_until(theta0, **until_kw)               # compile + warm
     log(f"rhat-stop compile+warm: {time.time() - t0:.1f}s")

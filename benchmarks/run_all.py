@@ -209,7 +209,10 @@ def config3(quick):
                       center=jnp.asarray(means[2]), dtype=jnp.float32)
     until_kw = dict(rhat_tol=1.1, chunk=200, max_chunks=150,
                     warmup_chunks=burn // 200 + 1)
-    s3 = bp.DreamZs(log_prob, n_chains=256, seed=3, burnin_gens=burn)
+    # post-burn-in chunks on the fused engine (same streams/stopping as
+    # fused=False — tests/test_fused_chunk.py pins it)
+    s3 = bp.DreamZs(log_prob, n_chains=256, seed=3, burnin_gens=burn,
+                    fused=True)
     s3.run_mcmc_until(theta0, **until_kw)             # compile + warm
     s3.reset()
     t0 = time.time()

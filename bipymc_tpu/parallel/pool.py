@@ -30,7 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from bipymc_tpu.core.rng import step_key
 from bipymc_tpu.core.scan import run_scan_thinned
 from bipymc_tpu.parallel.mesh import CHAIN_AXIS
-from bipymc_tpu.utils.streaming import rhat_init, rhat_update, rhat_compute
+from bipymc_tpu.utils.streaming import (
+    rhat_init, rhat_update, rhat_update_block, rhat_compute)
 
 
 def _parse_field(entry):
@@ -213,7 +214,7 @@ class ChainPool:
 
     def run_until(self, state, base_key, rhat_tol=1.05, chunk=100,
                   max_chunks=200, warmup_chunks=2, position_fn=None,
-                  t0: int = 0):
+                  t0: int = 0, chunk_runner=None, fused_after=0):
         """Run until streaming R̂ < rhat_tol (BASELINE config 5 stopping).
 
         Structure: ``while_loop`` over compiled ``chunk``-step scans so
@@ -229,8 +230,24 @@ class ChainPool:
         like AM see the true step count). Pass the sampler's running step
         total, exactly as ``run`` does.
 
+        chunk_runner: optional fused multi-generation runner
+        ``(state, key, n_gens, t0) -> (state, hist)`` (samplers/
+        dream_fused.make_chunk_runner) used for chunks starting at
+        generation ≥ ``fused_after`` (the per-generation step covers
+        burn-in before that). The caller must pick ``chunk`` and
+        ``fused_after`` so every fused chunk start is archive-aligned
+        (``% archive_thin == 0``) and post-burn-in; streams are
+        identical by key discipline, so trajectories match the
+        per-generation path (bit-identical with rng="stream").
+        Single-process only (pass no mesh); moments fold blockwise via
+        :func:`rhat_update_block` (same Welford result up to float
+        re-association).
+
         Returns (final_state, info dict with steps/rhat/mean/var).
         """
+        if chunk_runner is not None and self.mesh is not None:
+            raise ValueError("run_until(chunk_runner=...) supports the "
+                             "single-process path only")
         if position_fn is None:
             position_fn = _default_position
         pos0 = position_fn(state)
@@ -241,7 +258,8 @@ class ChainPool:
         t0 = jnp.asarray(t0, jnp.int32)
 
         cache_key = ("until", rhat_tol, chunk, max_chunks, warmup_chunks,
-                     position_fn, n_total, d, dtype)
+                     position_fn, n_total, d, dtype, chunk_runner,
+                     fused_after)
         if cache_key in self._runners:
             runner = self._runners[cache_key]
             if self.mesh is None:
@@ -260,14 +278,30 @@ class ChainPool:
                 rc = rhat_update(rc, position_fn(s))
                 return (s, rc), None
 
+            def pergen_chunk(args):
+                s, rc, t_start = args
+                ts = t_start + jnp.arange(chunk, dtype=jnp.int32)
+                (s, rc), _ = lax.scan(one_step, (s, rc), ts)
+                return s, rc
+
+            def fused_chunk(args):
+                s, rc, t_start = args
+                s, hist = chunk_runner(s, key, chunk, t_start)
+                return s, rhat_update_block(rc, hist["x"])
+
             def body(loop):
                 s, rc, ci, _ = loop
                 # reset the monitored window when warmup ends
                 rc = jax.tree_util.tree_map(
                     lambda z: jnp.where(ci == warmup_chunks,
                                         jnp.zeros_like(z), z), rc)
-                ts = t0 + ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
-                (s, rc), _ = lax.scan(one_step, (s, rc), ts)
+                t_start = t0 + ci * chunk
+                if chunk_runner is None:
+                    s, rc = pergen_chunk((s, rc, t_start))
+                else:
+                    s, rc = lax.cond(
+                        t_start >= fused_after, fused_chunk,
+                        pergen_chunk, (s, rc, t_start))
                 rhat = jnp.where(
                     ci >= warmup_chunks,
                     rhat_compute(rc, n_total, axis),

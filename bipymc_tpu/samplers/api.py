@@ -773,13 +773,37 @@ class DreamZs(McmcSampler):
         Keeps no history; returns an info dict with ``steps`` taken,
         final ``rhat`` [d], and streamed posterior ``mean``/``var``
         ([n_chains, d], host NumPy).
+
+        With ``fused=True`` (single-device), post-burn-in chunks run on
+        the fused multi-generation engine inside the same compiled
+        while_loop (``chunk`` is rounded UP to a multiple of
+        ``archive_thin`` to keep chunk starts archive-aligned; an
+        unaligned continuation offset falls back to the per-generation
+        engine). Streams are identical by key discipline, so the
+        trajectory matches the fused=False run.
         """
+        chunk_runner, fused_after = None, 0
+        if self.fused and self.mesh is None:
+            G = self.cfg.archive_thin
+            if chunk % G:
+                chunk += G - chunk % G
+            if self._steps_run % G == 0:
+                if self._fused_runner is None:
+                    from bipymc_tpu.samplers.dream_fused import \
+                        make_chunk_runner
+                    self._fused_runner = make_chunk_runner(
+                        self.log_like_fn, self.cfg,
+                        log_prob_block=self._log_prob_block,
+                        mesh=self.mesh, rng=self.fused_rng)
+                chunk_runner = self._fused_runner
+                fused_after = self.cfg.burnin_gens
         state, k_run = self._ensure_state(theta_0, spread,
                                           chunk * max_chunks)
         final_state, info = self._pool().run_until(
             state, k_run, rhat_tol=rhat_tol, chunk=chunk,
             max_chunks=max_chunks, warmup_chunks=warmup_chunks,
-            t0=self._steps_run)
+            t0=self._steps_run, chunk_runner=chunk_runner,
+            fused_after=fused_after)
         self._final_state = jax.block_until_ready(final_state)
         self._steps_run += int(info["steps"])
         return {k: np.asarray(v) for k, v in info.items()}

@@ -42,6 +42,23 @@ def rhat_update(carry: RhatCarry, x) -> RhatCarry:
     return RhatCarry(n=n, mean=mean, m2=m2)
 
 
+def rhat_update_block(carry: RhatCarry, xs) -> RhatCarry:
+    """Fold a whole block xs [T, n_local, d] into the moments at once
+    (Chan et al. pairwise merge — exact up to float re-association with
+    T sequential :func:`rhat_update` calls). Used by the fused-engine
+    ``run_until`` path, where a chunk's positions arrive as one history
+    block instead of one snapshot per step."""
+    t = jnp.asarray(xs.shape[0], carry.mean.dtype)
+    bmean = jnp.mean(xs, axis=0)
+    bm2 = jnp.sum((xs - bmean[None]) ** 2, axis=0)
+    n = carry.n + t
+    delta = bmean - carry.mean
+    # carry.n == 0 (fresh/reset window) must reduce to the block moments
+    mean = carry.mean + delta * (t / n)
+    m2 = carry.m2 + bm2 + delta ** 2 * (carry.n * t / n)
+    return RhatCarry(n=n, mean=mean, m2=m2)
+
+
 def rhat_compute(carry: RhatCarry, n_chains, axis_name=None):
     """R̂ per dimension [d] from the streamed moments (psum across shards)."""
     n = jnp.maximum(carry.n, 2.0)

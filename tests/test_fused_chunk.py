@@ -248,6 +248,37 @@ def test_kernel_rng_rejected_off_tpu():
         make_chunk_runner(log_prob, cfg, rng="prng")
 
 
+def test_fused_run_until_matches_default():
+    """run_mcmc_until with fused=True runs post-burn-in chunks on the
+    fused engine inside the while_loop (blockwise moment folding):
+    identical streams → same stopping point and matching states as the
+    per-generation path."""
+    import bipymc_tpu as bp
+    d, n = 4, 16
+    lp = gaussian_mixture(np.zeros((1, d), np.float32), sigma=1.0)
+    kw = dict(n_chains=n, seed=9, archive_thin=5, burnin_gens=20,
+              archive_capacity=256, pallas_proposal=True)
+    x0 = np.asarray(var_ball(jax.random.key(2), np.full(d, 4.0), n))
+    until_kw = dict(rhat_tol=1.2, chunk=20, max_chunks=40,
+                    warmup_chunks=2)
+
+    ref = bp.DreamZs(lp, **kw)
+    r1 = ref.run_mcmc_until(jnp.asarray(x0), **until_kw)
+    fus = bp.DreamZs(lp, fused=True, **kw)
+    r2 = fus.run_mcmc_until(jnp.asarray(x0), **until_kw)
+
+    assert int(r1["steps"]) == int(r2["steps"])
+    np.testing.assert_allclose(r1["rhat"], r2["rhat"], rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ref.final_state.x), np.asarray(fus.final_state.x),
+        rtol=1e-6, atol=1e-6)
+    # unaligned chunk is rounded up to a multiple of archive_thin
+    fus2 = bp.DreamZs(lp, fused=True, **kw)
+    r3 = fus2.run_mcmc_until(jnp.asarray(x0), rhat_tol=1.2, chunk=18,
+                             max_chunks=40, warmup_chunks=2)
+    assert int(r3["steps"]) % 20 == 0
+
+
 def test_kernel_rng_seed_decorrelation():
     """Kernel-RNG seed words fold the global chain offset: distinct per
     mesh shard (otherwise every device would seed the in-kernel PRNG
