@@ -85,7 +85,10 @@ def config2(quick):
     """Banana, 8-chain DE-MC-z with snooker (+ NumPy reference)."""
     n = 30000 if not quick else 5000
     log_prob = banana()
-    s2 = bp.DeMcZ(log_prob, n_chains=8, seed=1)
+    # fused=True: burnin_gens=0, so BOTH calls run one 30000-gen fused
+    # segment — same executable, no continuation-shape recompile (unlike
+    # config 3, which needs an extra warm call for its burn-in split)
+    s2 = bp.DeMcZ(log_prob, n_chains=8, seed=1, fused=True)
     s2.run_mcmc(n, jnp.zeros(2), spread=3.0)              # compile + warm
     t0 = time.time()
     s2.run_mcmc(n)                                        # continuation
