@@ -72,6 +72,21 @@ def _kernel_rng_seeds(keys, offset):
         jnp.uint32))(keys)
 
 
+# Archive row-gather strategy for the fused chunk ("block" | "pergen").
+# "block" issues ONE [G, n, k]-index gather per chunk; "pergen" scans G
+# per-generation [n, k] gathers (lax.map), matching the per-generation
+# engine's op shape. Values are identical; only the XLA lowering differs.
+# Module-level so a hardware A/B can flip it in-process.
+_GATHER_MODE = "block"
+
+
+def _gather_rows(buf, row_idx):
+    """buf[row_idx] with a switchable lowering (see _GATHER_MODE)."""
+    if _GATHER_MODE == "pergen":
+        return jax.lax.map(lambda ri: buf[ri], row_idx)
+    return buf[row_idx]
+
+
 def check_fusable(cfg: DreamConfig, mesh=None):
     """Raise if the fused engine cannot reproduce this configuration."""
     if not cfg.use_archive:
@@ -278,7 +293,7 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
                 row_idx = distinct_idx_pallas(
                     row_bits.reshape(G * n, n_rows), n_rows,
                     st.archive.fill).reshape(G, n, n_rows)
-            rows = st.archive.buf[row_idx]                 # [G, n, k, d]
+            rows = _gather_rows(st.archive.buf, row_idx)   # [G, n, k, d]
 
             if not kernel_rng:
                 u_mask, u_e, eps_n = rng_in
