@@ -238,16 +238,15 @@ class ChainPool:
         ``fused_after`` so every fused chunk start is archive-aligned
         (``% archive_thin == 0``) and post-burn-in; streams are
         identical by key discipline, so trajectories match the
-        per-generation path (bit-identical with rng="stream").
-        Single-process only (pass no mesh); moments fold blockwise via
-        :func:`rhat_update_block` (same Welford result up to float
-        re-association).
+        per-generation path (bit-identical with rng="stream"). Moments
+        fold blockwise via :func:`rhat_update_block` (same Welford
+        result up to float re-association). On the mesh path pass the
+        LOCAL per-shard runner (``make_chunk_runner(..., wrap=False)``)
+        — it runs inside this pool's shard_map, with its chain-axis
+        collectives riding the same program.
 
         Returns (final_state, info dict with steps/rhat/mean/var).
         """
-        if chunk_runner is not None and self.mesh is not None:
-            raise ValueError("run_until(chunk_runner=...) supports the "
-                             "single-process path only")
         if position_fn is None:
             position_fn = _default_position
         pos0 = position_fn(state)

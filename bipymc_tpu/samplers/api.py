@@ -656,6 +656,7 @@ class DreamZs(McmcSampler):
                 "default fused_rng='stream' off-TPU")
         self._log_prob_block = log_prob_block
         self._fused_runner = None
+        self._fused_runner_local = None
         self._fused_jits = {}
         if self.fused:
             from bipymc_tpu.samplers.dream_fused import check_fusable
@@ -774,28 +775,31 @@ class DreamZs(McmcSampler):
         final ``rhat`` [d], and streamed posterior ``mean``/``var``
         ([n_chains, d], host NumPy).
 
-        With ``fused=True`` (single-device), post-burn-in chunks run on
-        the fused multi-generation engine inside the same compiled
-        while_loop (``chunk`` is rounded UP to a multiple of
-        ``archive_thin`` to keep chunk starts archive-aligned; an
-        unaligned continuation offset falls back to the per-generation
-        engine). Streams are identical by key discipline, so the
-        trajectory matches the fused=False run.
+        With ``fused=True``, post-burn-in chunks run on the fused
+        multi-generation engine inside the same compiled while_loop
+        (``chunk`` is rounded UP to a multiple of ``archive_thin`` to
+        keep chunk starts archive-aligned; an unaligned continuation
+        offset falls back to the per-generation engine). Streams are
+        identical by key discipline, so the trajectory matches the
+        fused=False run. On the mesh path the fused chunks execute
+        per-shard inside the pool's shard_map program (the LOCAL
+        runner, ``make_chunk_runner(wrap=False)``) — with
+        rng="stream" still bit-identical to the single-device run.
         """
         chunk_runner, fused_after = None, 0
-        if self.fused and self.mesh is None:
+        if self.fused:
             G = self.cfg.archive_thin
             if chunk % G:
                 chunk += G - chunk % G
             if self._steps_run % G == 0:
-                if self._fused_runner is None:
+                if self._fused_runner_local is None:
                     from bipymc_tpu.samplers.dream_fused import \
                         make_chunk_runner
-                    self._fused_runner = make_chunk_runner(
+                    self._fused_runner_local = make_chunk_runner(
                         self.log_like_fn, self.cfg,
                         log_prob_block=self._log_prob_block,
-                        mesh=self.mesh, rng=self.fused_rng)
-                chunk_runner = self._fused_runner
+                        mesh=self.mesh, rng=self.fused_rng, wrap=False)
+                chunk_runner = self._fused_runner_local
                 fused_after = self.cfg.burnin_gens
         state, k_run = self._ensure_state(theta_0, spread,
                                           chunk * max_chunks)

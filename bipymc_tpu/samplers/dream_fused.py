@@ -111,6 +111,7 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
                       prep_chunks: int = 8,
                       mesh=None,
                       rng: str = "stream",
+                      wrap: bool = True,
                       _test_stream_bits: bool = False) -> Callable:
     """Build ``run(state, base_key, n_gens, t0) -> (state, history)``.
 
@@ -160,6 +161,10 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
     proposal/accept math and same conversion maps, different bit
     source: NOT bit-identical to ``"stream"``, distributionally
     equivalent. TPU-only (the interpret PRNG is a zero stub).
+    wrap: with a mesh, ``wrap=False`` returns the per-shard body
+    (collectives on the chain axis) instead of the shard_map-wrapped
+    program — for embedding inside a caller's own shard_map, e.g.
+    ``ChainPool.run_until``'s fused chunks.
     _test_stream_bits: testing hook — stream the exact bits the
     "stream" path would consume through the in-kernel conversion code
     instead of the PRNG, making rng="kernel" reproduce rng="stream"
@@ -365,7 +370,10 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
             hist = {"logp": lph, "accepted": acc, "snooker": snk}
         return state, hist
 
-    if mesh is None:
+    if mesh is None or not wrap:
+        # wrap=False with a mesh: the LOCAL per-shard body (collectives
+        # on the chain axis, no shard_map of its own) for embedding in a
+        # caller's shard_map program — ChainPool.run_until's fused path.
         return runner_local
 
     from jax.sharding import PartitionSpec as P

@@ -279,6 +279,36 @@ def test_fused_run_until_matches_default():
     assert int(r3["steps"]) % 20 == 0
 
 
+def test_fused_run_until_mesh_matches_single_device():
+    """Fused run_mcmc_until on a chain mesh: the LOCAL fused runner
+    (make_chunk_runner wrap=False) executes per shard inside the pool's
+    shard_map while_loop. Streams fold on GLOBAL chain ids, so stopping
+    point, R-hat, and final states are bit-identical to the
+    single-device fused run."""
+    import bipymc_tpu as bp
+    from bipymc_tpu.parallel.mesh import chain_mesh
+    d, n = 4, 16
+    lp = gaussian_mixture(np.zeros((1, d), np.float32), sigma=1.0)
+    kw = dict(n_chains=n, seed=9, archive_thin=5, burnin_gens=20,
+              archive_capacity=256, pallas_proposal=True)
+    x0 = np.asarray(var_ball(jax.random.key(2), np.full(d, 4.0), n))
+    until_kw = dict(rhat_tol=1.2, chunk=20, max_chunks=40,
+                    warmup_chunks=2)
+
+    single = bp.DreamZs(lp, fused=True, **kw)
+    r1 = single.run_mcmc_until(jnp.asarray(x0), **until_kw)
+    meshed = bp.DreamZs(lp, fused=True, mesh=chain_mesh(4), **kw)
+    r2 = meshed.run_mcmc_until(jnp.asarray(x0), **until_kw)
+
+    assert int(r1["steps"]) == int(r2["steps"])
+    np.testing.assert_array_equal(r1["rhat"], r2["rhat"])
+    np.testing.assert_array_equal(np.asarray(single.final_state.x),
+                                  np.asarray(meshed.final_state.x))
+    np.testing.assert_array_equal(
+        np.asarray(single.final_state.archive.buf),
+        np.asarray(meshed.final_state.archive.buf))
+
+
 def test_kernel_rng_seed_decorrelation():
     """Kernel-RNG seed words fold the global chain offset: distinct per
     mesh shard (otherwise every device would seed the in-kernel PRNG
