@@ -37,6 +37,7 @@ from bipymc_tpu.utils.diagnostics import (gelman_rubin,
                                           mode_occupancy, mode_hops,
                                           summary)
 from bipymc_tpu.utils.external import external_log_like
+from bipymc_tpu.utils.laplace import map_estimate, laplace_cov, map_laplace
 from bipymc_tpu.models.targets import stratified_mode_init
 
 __version__ = "0.3.0"
@@ -61,4 +62,7 @@ __all__ = [
     "mode_hops",
     "stratified_mode_init",
     "external_log_like",
+    "map_estimate",
+    "laplace_cov",
+    "map_laplace",
 ]

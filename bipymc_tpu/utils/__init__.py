@@ -6,4 +6,5 @@ from bipymc_tpu.utils.diagnostics import (
     acceptance_fraction,
 )
 from bipymc_tpu.utils.debug import validate_log_prob
+from bipymc_tpu.utils.laplace import map_estimate, laplace_cov, map_laplace
 from bipymc_tpu.utils.profiling import time_fn
