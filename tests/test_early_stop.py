@@ -143,3 +143,25 @@ def test_final_state_available_after_until_only():
     assert s.cr_probabilities.shape == (3,)
     with pytest.raises(RuntimeError):
         s.super_chain  # history-backed access still requires run_mcmc
+
+
+def test_rhat_update_block_matches_sequential():
+    """Chan blockwise moment merge == T sequential Welford updates (to
+    float re-association), including merging INTO a non-empty carry and
+    the fresh-carry (n==0) reduction to plain block moments."""
+    from bipymc_tpu.utils.streaming import rhat_update_block
+    rng = np.random.default_rng(3)
+    xs = jnp.asarray(rng.standard_normal((13, 6, 3)).astype(np.float32))
+    seq = rhat_init(6, 3)
+    for t in range(13):
+        seq = rhat_update(seq, xs[t])
+    blk = rhat_update_block(rhat_init(6, 3), xs[:5])     # fresh carry
+    blk = rhat_update_block(blk, xs[5:])                 # non-empty merge
+    assert float(blk.n) == float(seq.n) == 13.0
+    np.testing.assert_allclose(np.asarray(blk.mean), np.asarray(seq.mean),
+                               rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(blk.m2), np.asarray(seq.m2),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(rhat_compute(blk, 6)), np.asarray(rhat_compute(seq, 6)),
+        rtol=1e-5)
