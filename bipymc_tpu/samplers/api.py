@@ -249,12 +249,49 @@ class _RwSampler(McmcSampler):
     _make_config = staticmethod(rw.metropolis_config)
 
     def __init__(self, log_like_fn, seed=0, n_chains=1, dtype=jnp.float32,
-                 **config_kw):
+                 fused=False, log_prob_block=None, **config_kw):
+        """``fused=True`` routes aligned steady segments through the fused
+        multi-step engine (samplers/rw_fused.py: K steps per Pallas
+        kernel, K = ``adapt_interval`` for the adaptive family, AM
+        adaptation replayed bit-exactly outside the kernel). Same bits
+        stream and accept decisions as the per-step engine; positions
+        match to float re-association (docs/design.md §10g). Requires a
+        Mosaic-expressible target (see ops/fused_chunk.
+        block_logp_from_scalar); float32 only."""
         super().__init__(log_like_fn, seed=seed, dtype=dtype)
         self.n_chains = int(n_chains)
         self.cfg = self._make_config(**config_kw)
         self._batched_step = None
         self._runners = {}     # (n_samples, thin, progress_every) -> jit fn
+        self.fused = bool(fused)
+        self._log_prob_block = log_prob_block
+        self._rw_fused_runner = None
+        self._rw_fused_jits = {}
+        if self.fused:
+            from bipymc_tpu.samplers.rw_fused import check_rw_fusable
+            check_rw_fusable(self.cfg)
+            if dtype != jnp.float32:
+                raise ValueError("fused=True is float32-only (the fused "
+                                 "kernel carries VMEM f32 scratch)")
+
+    @property
+    def _fused_K(self):
+        return int(self.cfg.adapt_interval) if self.cfg.adapt else 100
+
+    def _rw_fused(self, state, k_run, n_steps, t0):
+        """Jit-cached fused-engine segment (keyed on n_steps; t0 traced)."""
+        if self._rw_fused_runner is None:
+            from bipymc_tpu.samplers.rw_fused import make_rw_chunk_runner
+            self._rw_fused_runner = make_rw_chunk_runner(
+                self.log_like_fn, self.cfg, self.n_chains,
+                log_prob_block=self._log_prob_block,
+                chunk_steps=self._fused_K)
+        if n_steps not in self._rw_fused_jits:
+            runner = self._rw_fused_runner
+            self._rw_fused_jits[n_steps] = jax.jit(
+                lambda s, k, t: runner(s, k, n_steps, t))
+        return self._rw_fused_jits[n_steps](state, k_run,
+                                            jnp.asarray(t0, jnp.int32))
 
     def _prepare(self, theta_0, cov_est, spread):
         """Resolve start state + batched step; returns (state, step, key)."""
@@ -298,6 +335,45 @@ class _RwSampler(McmcSampler):
             return {"x": state.theta, "logp": info.logp,
                     "accepted": info.accepted}
 
+        use_fused = (self.fused and thin == 1 and progress_every is None)
+        if use_fused:
+            # [per-step alignment] -> [fused K-step chunks] -> [per-step
+            # remainder]; mirrors DreamZs.run_mcmc's segment split. For
+            # the adaptive family chunk starts must sit on refresh
+            # boundaries (t % K == 0); MH/DR are homogeneous so only the
+            # chunk-length divisibility matters.
+            K = self._fused_K
+            t = self._steps_run
+            n1 = (K - t % K) % K if self.cfg.adapt else 0
+            n1 = min(n1, n_samples)
+            n2 = ((n_samples - n1) // K) * K
+            n3 = n_samples - n1 - n2
+            segs = []
+            if n1:
+                segs.append(("pergen", n1))
+            if n2:
+                segs.append(("fused", n2))
+            if n3:
+                segs.append(("pergen", n3))
+            for kind, n_seg in segs:
+                t = self._steps_run
+                if kind == "fused":
+                    final_state, history = self._rw_fused(
+                        state, k_run, n_seg, t)
+                else:
+                    cache_key = (n_seg, 1, None)
+                    if cache_key not in self._runners:
+                        self._runners[cache_key] = jax.jit(
+                            lambda state, key, t0, _n=n_seg:
+                            run_scan_thinned(
+                                batched_step, state, key, n_steps=_n,
+                                thin=1, collect_fn=collect, t0=t0))
+                    final_state, history = self._runners[cache_key](
+                        state, k_run, jnp.asarray(t, jnp.int32))
+                self._store(final_state, history, n_seg, thin=1)
+                state = self._final_state
+            return self
+
         cache_key = (n_samples, thin, progress_every)
         if cache_key not in self._runners:
             self._runners[cache_key] = jax.jit(
@@ -319,6 +395,24 @@ class _RwSampler(McmcSampler):
         if self.n_chains < 2:
             raise ValueError("R-hat early stop needs n_chains >= 2")
         state, batched_step, k_run = self._prepare(theta_0, cov_est, spread)
+        chunk_runner = None
+        if self.fused:
+            # round the chunk UP to a multiple of K so every chunk start
+            # sits on an AM refresh boundary; an unaligned continuation
+            # offset falls back to the per-step engine (same policy as
+            # DreamZs.run_mcmc_until)
+            K = self._fused_K
+            if chunk % K:
+                chunk += K - chunk % K
+            if self._steps_run % K == 0:
+                if self._rw_fused_runner is None:
+                    from bipymc_tpu.samplers.rw_fused import \
+                        make_rw_chunk_runner
+                    self._rw_fused_runner = make_rw_chunk_runner(
+                        self.log_like_fn, self.cfg, self.n_chains,
+                        log_prob_block=self._log_prob_block,
+                        chunk_steps=K)
+                chunk_runner = self._rw_fused_runner
         if getattr(self, "_until_pool", None) is None:
             self._until_pool = ChainPool(
                 step_factory=lambda axis: batched_step,
@@ -326,7 +420,8 @@ class _RwSampler(McmcSampler):
         final_state, info = self._until_pool.run_until(
             state, k_run, rhat_tol=rhat_tol, chunk=chunk,
             max_chunks=max_chunks, warmup_chunks=warmup_chunks,
-            position_fn=_rw_position, t0=self._steps_run)
+            position_fn=_rw_position, t0=self._steps_run,
+            chunk_runner=chunk_runner, fused_after=0)
         self._final_state = jax.block_until_ready(final_state)
         self._steps_run += int(info["steps"])
         return {k: np.asarray(v) for k, v in info.items()}
