@@ -61,7 +61,7 @@ def _log1mexp(log_a):
     )
 
 
-def _make_kernel(closed_fn, const_shapes, delayed):
+def _make_kernel(closed_fn, const_shapes, delayed, spc):
     nc = len(const_shapes)
 
     def kernel(*refs):
@@ -79,42 +79,51 @@ def _make_kernel(closed_fn, const_shapes, delayed):
 
         x = x_scr[:]                              # [BC, Dp]
         lp = lp_scr[:, 0:1]                       # [BC, 1]
-        scal = scal_ref[0]                        # [BC, LANE]
 
-        # ---- stage 1: y₁ = θ + L z₁ (displacement precomputed) ----------
-        y1 = x + dy1_ref[0]
-        l1 = closed_fn(y1, *consts)               # [BC, 1]
-        log_a1 = jnp.minimum(0.0, l1 - lp)
-        acc1 = scal[:, S_LU1:S_LU1 + 1] < log_a1
+        # spc steps per grid cell: one DMA latency amortised over spc
+        # steps (the per-step blocks are tiny — at n_chains=1 the cell's
+        # pipeline is latency-bound, not bandwidth-bound). Statically
+        # unrolled; identical math for every spc.
+        for s in range(spc):
+            scal = scal_ref[0, s]                 # [BC, LANE]
 
-        if delayed:
-            # ---- stage 2: Green–Mira in whitened coordinates ------------
-            y2 = x + dy2_ref[0]
-            l2 = closed_fn(y2, *consts)
-            log_a1_rev = jnp.minimum(0.0, l1 - l2)
-            lq_diff = -0.5 * (scal[:, S_SW:S_SW + 1]
-                              - scal[:, S_SZ1:S_SZ1 + 1])
-            log_num = l2 + _log1mexp(log_a1_rev)
-            log_den = lp + _log1mexp(log_a1)
-            log_a2 = jnp.minimum(0.0, log_num + lq_diff - log_den)
-            acc2 = jnp.logical_and(jnp.logical_not(acc1),
-                                   scal[:, S_LU2:S_LU2 + 1] < log_a2)
-        else:
-            y2, l2 = y1, l1
-            acc2 = jnp.zeros_like(acc1)
+            # ---- stage 1: y₁ = θ + L z₁ (displacement precomputed) ------
+            y1 = x + dy1_ref[0, s]
+            l1 = closed_fn(y1, *consts)           # [BC, 1]
+            log_a1 = jnp.minimum(0.0, l1 - lp)
+            acc1 = scal[:, S_LU1:S_LU1 + 1] < log_a1
 
-        x_new = jnp.where(acc1, y1, jnp.where(acc2, y2, x))
-        lp_new = jnp.where(acc1, l1, jnp.where(acc2, l2, lp))
-        stage = jnp.where(acc1, 1.0, jnp.where(acc2, 2.0, 0.0))
+            if delayed:
+                # ---- stage 2: Green–Mira in whitened coordinates --------
+                y2 = x + dy2_ref[0, s]
+                l2 = closed_fn(y2, *consts)
+                log_a1_rev = jnp.minimum(0.0, l1 - l2)
+                lq_diff = -0.5 * (scal[:, S_SW:S_SW + 1]
+                                  - scal[:, S_SZ1:S_SZ1 + 1])
+                log_num = l2 + _log1mexp(log_a1_rev)
+                log_den = lp + _log1mexp(log_a1)
+                log_a2 = jnp.minimum(0.0, log_num + lq_diff - log_den)
+                acc2 = jnp.logical_and(jnp.logical_not(acc1),
+                                       scal[:, S_LU2:S_LU2 + 1] < log_a2)
+            else:
+                y2, l2 = y1, l1
+                acc2 = jnp.zeros_like(acc1)
 
-        x_scr[:] = x_new
-        lp_scr[:] = jnp.broadcast_to(lp_new, lp_scr.shape)
-        xh_ref[0] = x_new
-        lane = jax.lax.broadcasted_iota(jnp.int32, lp_scr.shape, 1)
-        acc_f = jnp.logical_or(acc1, acc2).astype(x.dtype)
-        aux_ref[0] = jnp.where(
-            lane == 0, lp_new,
-            jnp.where(lane == 1, acc_f, jnp.where(lane == 2, stage, 0.0)))
+            x = jnp.where(acc1, y1, jnp.where(acc2, y2, x))
+            lp = jnp.where(acc1, l1, jnp.where(acc2, l2, lp))
+            stage = jnp.where(acc1, 1.0, jnp.where(acc2, 2.0, 0.0))
+
+            xh_ref[0, s] = x
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (x.shape[0], _LANE), 1)
+            acc_f = jnp.logical_or(acc1, acc2).astype(x.dtype)
+            aux_ref[0, s] = jnp.where(
+                lane == 0, lp,
+                jnp.where(lane == 1, acc_f,
+                          jnp.where(lane == 2, stage, 0.0)))
+
+        x_scr[:] = x
+        lp_scr[:] = jnp.broadcast_to(lp, lp_scr.shape)
 
     return kernel
 
@@ -122,9 +131,10 @@ def _make_kernel(closed_fn, const_shapes, delayed):
 @functools.partial(
     jax.jit,
     static_argnames=("log_prob_block", "delayed", "block_chains",
-                     "interpret"))
+                     "interpret", "steps_per_cell"))
 def fused_rw_chunk_pallas(x0, logp0, dy1, dy2, scal, log_prob_block,
-                          delayed, block_chains=256, interpret=False):
+                          delayed, block_chains=256, interpret=False,
+                          steps_per_cell=1):
     """Advance K random-walk steps in one kernel launch.
 
     x0 [n, d]; logp0 [n]; dy1/dy2 [K, n, d] precomputed stage-1/2
@@ -132,28 +142,36 @@ def fused_rw_chunk_pallas(x0, logp0, dy1, dy2, scal, log_prob_block,
     Cholesky); scal [K, n, 4] packed per-chain scalars
     (‖z₁‖², ‖z₁ − z₂/√κ‖², log u₁, log u₂).
     log_prob_block: hashable ``[BC, Dp] -> [BC, 1]`` on zero-padded lanes
-    (ops/fused_chunk.block_logp_from_scalar). Returns
+    (ops/fused_chunk.block_logp_from_scalar). steps_per_cell: steps
+    handled per grid cell (must divide K; identical results for every
+    value — it only moves DMA-latency amortisation). Returns
     (x_hist [K, n, d], logp_hist [K, n], accepted [K, n] bool,
     stage [K, n] int32).
     """
     K, n, d = dy1.shape
     dtype = x0.dtype
+    spc = int(steps_per_cell)
+    if K % spc != 0:
+        raise ValueError(f"steps_per_cell={spc} must divide K={K}")
     bc = min(block_chains, round_up(n, 8))
     n_p = round_up(n, bc)
     d_p = round_up(d, _LANE)
+    kc = K // spc
 
     def pad_knd(a):
-        return jnp.pad(a, ((0, 0), (0, n_p - n), (0, d_p - d)))
+        a = jnp.pad(a, ((0, 0), (0, n_p - n), (0, d_p - d)))
+        return a.reshape(kc, spc, n_p, d_p)
 
     x0_p = jnp.pad(x0, ((0, n_p - n), (0, d_p - d)))
     lp0_p = jnp.pad(
         jnp.broadcast_to(logp0[:, None], (n, _LANE)), ((0, n_p - n), (0, 0)))
     scal_p = jnp.pad(scal, ((0, 0), (0, n_p - n),
-                            (0, _LANE - scal.shape[2])))
+                            (0, _LANE - scal.shape[2]))).reshape(
+                                kc, spc, n_p, _LANE)
 
     nb = n_p // bc
-    grid = (nb, K)
-    knd = pl.BlockSpec((1, bc, d_p), lambda nb_, k_: (k_, nb_, 0),
+    grid = (nb, kc)
+    knd = pl.BlockSpec((1, spc, bc, d_p), lambda nb_, k_: (k_, 0, nb_, 0),
                        memory_space=pltpu.VMEM)
 
     # hoist target-closure constants into kernel inputs (same machinery
@@ -174,7 +192,8 @@ def fused_rw_chunk_pallas(x0, logp0, dy1, dy2, scal, log_prob_block,
                      memory_space=pltpu.VMEM)
         for c in consts_2d]
 
-    scal_spec = pl.BlockSpec((1, bc, _LANE), lambda nb_, k_: (k_, nb_, 0),
+    scal_spec = pl.BlockSpec((1, spc, bc, _LANE),
+                             lambda nb_, k_: (k_, 0, nb_, 0),
                              memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((bc, d_p), lambda nb_, k_: (nb_, 0),
@@ -185,17 +204,16 @@ def fused_rw_chunk_pallas(x0, logp0, dy1, dy2, scal, log_prob_block,
     ]
 
     xh, aux = pl.pallas_call(
-        _make_kernel(closed_fn, const_shapes, bool(delayed)),
+        _make_kernel(closed_fn, const_shapes, bool(delayed), spc),
         grid=grid,
         in_specs=in_specs + list(const_specs),
         out_specs=[
             knd,                                            # x hist
-            pl.BlockSpec((1, bc, _LANE), lambda nb_, k_: (k_, nb_, 0),
-                         memory_space=pltpu.VMEM),          # aux
+            scal_spec,                                      # aux
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((K, n_p, d_p), dtype),
-            jax.ShapeDtypeStruct((K, n_p, _LANE), dtype),
+            jax.ShapeDtypeStruct((kc, spc, n_p, d_p), dtype),
+            jax.ShapeDtypeStruct((kc, spc, n_p, _LANE), dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((bc, d_p), dtype),
@@ -206,5 +224,7 @@ def fused_rw_chunk_pallas(x0, logp0, dy1, dy2, scal, log_prob_block,
         interpret=interpret,
     )(x0_p, lp0_p, pad_knd(dy1), pad_knd(dy2), scal_p, *consts_2d)
 
+    xh = xh.reshape(K, n_p, d_p)
+    aux = aux.reshape(K, n_p, _LANE)
     return (xh[:, :n, :d], aux[:, :n, 0],
             aux[:, :n, 1] > 0.5, aux[:, :n, 2].astype(jnp.int32))

@@ -46,7 +46,8 @@ def check_rw_fusable(cfg: RwConfig) -> None:
 def make_rw_chunk_runner(log_prob: Callable, cfg: RwConfig, n_chains: int,
                          log_prob_block: Callable | None = None,
                          interpret: bool | None = None,
-                         chunk_steps: int | None = None) -> Callable:
+                         chunk_steps: int | None = None,
+                         steps_per_cell: int | None = None) -> Callable:
     """Build ``run(state, base_key, n_steps, t0) -> (state, history)``.
 
     state: the BATCHED RwState (leaves with a leading [n_chains] axis —
@@ -60,6 +61,15 @@ def make_rw_chunk_runner(log_prob: Callable, cfg: RwConfig, n_chains: int,
     """
     check_rw_fusable(cfg)
     K = int(cfg.adapt_interval) if cfg.adapt else int(chunk_steps or 100)
+    if steps_per_cell is None:
+        # amortise the per-grid-cell DMA latency over a few steps (the
+        # per-step blocks are tiny); identical results for every value
+        spc = max(s for s in (1, 2, 5, 10) if K % s == 0)
+    else:
+        spc = int(steps_per_cell)
+        if K % spc != 0:
+            raise ValueError(f"steps_per_cell={spc} must divide the "
+                             f"chunk length K={K}")
     interp = (jax.default_backend() != "tpu" if interpret is None
               else interpret)
     _lp_blocks: dict = {}
@@ -115,7 +125,8 @@ def make_rw_chunk_runner(log_prob: Callable, cfg: RwConfig, n_chains: int,
                  jnp.log(uu1), jnp.log(uu2)], axis=-1)
             xh, lph, acc, _stage = fused_rw_chunk_pallas(
                 st.theta, st.logp, dy1, dy2, scal, lp_block,
-                delayed=cfg.delayed, interpret=interp)
+                delayed=cfg.delayed, interpret=interp,
+                steps_per_cell=spc)
 
             if cfg.adapt:
                 # bit-exact Welford replay of the per-step updates the

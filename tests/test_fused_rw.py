@@ -132,3 +132,25 @@ def test_fused_runner_validates_alignment(lp):
         runner(state, jax.random.key(0), 30, 0)
     with pytest.raises(ValueError, match="aligned"):
         runner(state, jax.random.key(0), 20, 10)
+
+
+@pytest.mark.parametrize("spc", [1, 4, 20])
+def test_steps_per_cell_invariance(lp, spc):
+    """steps_per_cell only regroups the grid — results identical."""
+    cfg = rw.dram_config(t0=30, adapt_interval=20)
+    n = 3
+    state = jax.vmap(lambda t: rw.init(t, lp, jnp.eye(2) * 0.5))(
+        jnp.zeros((n, 2)))
+    key = jax.random.key(5)
+    base = make_rw_chunk_runner(lp, cfg, n, steps_per_cell=1)
+    var = make_rw_chunk_runner(lp, cfg, n, steps_per_cell=spc)
+    s0, h0 = base(state, key, 80, 0)
+    s1, h1 = var(state, key, 80, 0)
+    np.testing.assert_array_equal(np.asarray(h0["x"]), np.asarray(h1["x"]))
+    np.testing.assert_array_equal(np.asarray(s0.chol), np.asarray(s1.chol))
+
+
+def test_steps_per_cell_must_divide(lp):
+    with pytest.raises(ValueError, match="divide"):
+        make_rw_chunk_runner(lp, rw.dram_config(adapt_interval=20), 2,
+                             steps_per_cell=3)
