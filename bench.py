@@ -224,8 +224,15 @@ def run_wall_to_rhat():
     # (kernel-rng on TPU) — same streams/stopping as fused=False for
     # rng='stream'; labelled via the engine field either way
     rng_mode = "kernel" if jax.default_backend() == "tpu" else "stream"
+    # archive_capacity pinned to the SAME ring window the ESS phase uses
+    # (8192 = 32 appends × 256 chains). Left to auto-capacity, the
+    # max_chunks-based hint balloons the ring to 65536 rows the run never
+    # fills — 8× the archive-gather working set for identical semantics
+    # over the ~4000 generations actually executed.
+    cap = 256 if SMOKE else 8192
     s = bp.DreamZs(log_prob, n_chains=N_CHAINS, seed=SEED,
-                   burnin_gens=burn, fused=True, fused_rng=rng_mode)
+                   burnin_gens=burn, fused=True, fused_rng=rng_mode,
+                   archive_capacity=cap)
     t0 = time.time()
     s.run_mcmc_until(theta0, **until_kw)               # compile + warm
     log(f"rhat-stop compile+warm: {time.time() - t0:.1f}s")
