@@ -879,7 +879,9 @@ class DreamZs(McmcSampler):
         fused=False run. On the mesh path the fused chunks execute
         per-shard inside the pool's shard_map program (the LOCAL
         runner, ``make_chunk_runner(wrap=False)``) — with
-        rng="stream" still bit-identical to the single-device run.
+        rng="stream" still matching the single-device run (bit-exact
+        on the pinned tests; ~1-ulp compiler-rounding equivalence in
+        general — docs/design.md §3).
         """
         chunk_runner, fused_after = None, 0
         if self.fused:

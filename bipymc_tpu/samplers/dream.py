@@ -35,7 +35,7 @@ from bipymc_tpu.ensemble.archive import (
     archive_gather_sharded)
 from bipymc_tpu.ensemble.indices import distinct_from_bits
 from bipymc_tpu.parallel.collectives import (
-    all_gather_chains, psum_chains, chain_offset)
+    all_gather_chains, chain_offset)
 
 
 class DreamConfig(NamedTuple):
@@ -374,10 +374,18 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
         # ---------- CR adaptation statistics (burn-in only, §4.7) --------
         if cfg.adapt_cr:
             def adapt_cr(_):
-                # population std per dim from generation-start positions
+                # population std per dim from generation-start positions.
+                # Cross-chain reductions go through all_gather + the SAME
+                # full-axis reduce as the vmap path — NOT psum of
+                # per-device partials, whose different float association
+                # breaks vmap↔shard_map bit-identity once the CR
+                # probabilities feed back into proposals (caught by an
+                # end-to-end probe at 64 chains / d=16; the d=2 sharding
+                # test had never hit a rounding divergence).
                 n_total = jnp.asarray(cfg.n_chains, dtype)
-                s1 = psum_chains(jnp.sum(state.x, axis=0), axis_name)
-                s2 = psum_chains(jnp.sum(state.x ** 2, axis=0), axis_name)
+                x_all = all_gather_chains(state.x, axis_name)      # [N, d]
+                s1 = jnp.sum(x_all, axis=0)
+                s2 = jnp.sum(x_all ** 2, axis=0)
                 var = jnp.maximum(s2 / n_total - (s1 / n_total) ** 2, 1e-30)
                 jump2 = jnp.sum((x_new - state.x) ** 2 / var, axis=1)
                 # attribute each jump to the CR the move ACTUALLY used:
@@ -388,9 +396,12 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
                 cr_used = cr_idx
                 if cfg.jump_full_cr:
                     cr_used = jnp.where(gamma_jump, cfg.n_cr - 1, cr_idx)
-                onehot = jax.nn.one_hot(cr_used, cfg.n_cr, dtype=dtype)
-                d_jump = psum_chains(onehot.T @ jump2, axis_name)
-                d_count = psum_chains(jnp.sum(onehot, axis=0), axis_name)
+                onehot = jax.nn.one_hot(
+                    all_gather_chains(cr_used, axis_name), cfg.n_cr,
+                    dtype=dtype)                                   # [N, n_cr]
+                jump2_all = all_gather_chains(jump2, axis_name)    # [N]
+                d_jump = onehot.T @ jump2_all
+                d_count = jnp.sum(onehot, axis=0)
                 cr_jump = state.cr_jump + d_jump
                 cr_count = state.cr_count + d_count
                 rate = cr_jump / jnp.maximum(cr_count, 1.0)

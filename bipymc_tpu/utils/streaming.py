@@ -17,7 +17,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from bipymc_tpu.parallel.collectives import psum_chains
+from bipymc_tpu.parallel.collectives import all_gather_chains
 
 
 class RhatCarry(NamedTuple):
@@ -60,13 +60,22 @@ def rhat_update_block(carry: RhatCarry, xs) -> RhatCarry:
 
 
 def rhat_compute(carry: RhatCarry, n_chains, axis_name=None):
-    """R̂ per dimension [d] from the streamed moments (psum across shards)."""
+    """R̂ per dimension [d] from the streamed moments.
+
+    Cross-shard reductions all_gather the per-chain moments and apply
+    the identical full-axis reduce the single-device path runs — psum of
+    per-device partial sums has a different float association, which
+    would let the mesh path's R̂ (and therefore a while_loop stopping
+    decision sitting exactly at the tolerance) drift from the
+    single-device run it is pinned against. The gather is [N, d] once
+    per chunk — noise next to the chunk itself.
+    """
     n = jnp.maximum(carry.n, 2.0)
     m = jnp.asarray(n_chains, carry.mean.dtype)
-    w = psum_chains(jnp.sum(carry.m2, axis=0), axis_name) / (m * (n - 1.0))
-    mean_sum = psum_chains(jnp.sum(carry.mean, axis=0), axis_name)
-    gmean = mean_sum / m
-    dev = jnp.sum((carry.mean - gmean) ** 2, axis=0)
-    b_over_n = psum_chains(dev, axis_name) / (m - 1.0)
+    m2_all = all_gather_chains(carry.m2, axis_name)      # [N, d]
+    mean_all = all_gather_chains(carry.mean, axis_name)  # [N, d]
+    w = jnp.sum(m2_all, axis=0) / (m * (n - 1.0))
+    gmean = jnp.sum(mean_all, axis=0) / m
+    b_over_n = jnp.sum((mean_all - gmean) ** 2, axis=0) / (m - 1.0)
     v_hat = (n - 1.0) / n * w + b_over_n
     return jnp.sqrt(v_hat / jnp.maximum(w, 1e-30))

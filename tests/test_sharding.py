@@ -42,6 +42,55 @@ def test_demc_mesh_equals_vmap():
 
 
 @needs_devices
+def test_dream_mesh_close_vmap_large():
+    """Equivalence contract at a size where compiler rounding shows up
+    (docs/design.md §3): at d=16/N=64 the shard program's fusion/FMA
+    choices differ from the vmap program's by ~1 ulp per step, so exact
+    equality is luck — but accept decisions and move types must agree
+    exactly over hundreds of generations (a flip would swing positions
+    macroscopically), and positions must stay within tight tolerance.
+    Also regression-pins the gather-then-reduce rule for the burn-in CR
+    statistics: psum-of-partials there diverged at O(eps*N) and fed back
+    into proposals."""
+    from bipymc_tpu.models.targets import (baseline_config3_means,
+                                           gaussian_mixture,
+                                           stratified_mode_init)
+    from bipymc_tpu.parallel.pool import ChainPool
+    from bipymc_tpu.samplers import dream
+    from bipymc_tpu.utils.init import var_ball
+
+    D, N, T = 16, 64, 200
+    means = baseline_config3_means(D)
+    lp = gaussian_mixture(means, sigma=1.0)
+    th0 = stratified_mode_init(jax.random.key(1), means, N, var=4.0)
+    cfg = dream.DreamConfig(n_chains=N, burnin_gens=100)
+    kz, krun = jax.random.split(jax.random.key(0))
+    z0 = var_ball(kz, jnp.var(th0, axis=0), N, center=jnp.mean(th0, axis=0))
+    state0 = dream.init(th0, lp, cfg, archive_capacity=512, z0=z0)
+
+    def collect(s, info):
+        return {"x": s.x, "acc": info.accepted, "snk": info.snooker,
+                "logp": info.logp}
+
+    def run(mesh):
+        pool = ChainPool(
+            step_factory=lambda a: dream.make_step(lp, cfg, axis_name=a),
+            sharded_fields=("x", "logp", "logp_sum"),
+            mesh=mesh, collect_fn=collect)
+        return pool.run(state0, krun, T)[1]
+
+    hv, hm = run(None), run(chain_mesh())
+    np.testing.assert_array_equal(np.asarray(hv["acc"]),
+                                  np.asarray(hm["acc"]))
+    np.testing.assert_array_equal(np.asarray(hv["snk"]),
+                                  np.asarray(hm["snk"]))
+    np.testing.assert_allclose(np.asarray(hv["x"]), np.asarray(hm["x"]),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(hv["logp"]),
+                               np.asarray(hm["logp"]), atol=1e-3)
+
+
+@needs_devices
 def test_mesh_indivisible_chains_raises():
     lp = correlated_gaussian(MEAN, COV)
     with pytest.raises(ValueError, match="divisible"):
