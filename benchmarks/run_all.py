@@ -401,8 +401,15 @@ def main():
     signal.alarm(240)    # degraded-tunnel warmups measured ~50s
     np.asarray(jnp.ones(()))                     # device-tunnel warmup
 
+    # Smoke runs (--quick, or any non-TPU backend) write to a SIDE file:
+    # results.json / RESULTS.md hold hardware measurements, and a full
+    # 5-config CPU smoke would otherwise silently replace them (the
+    # partial-run guard below only catches partial runs).
+    smoke = args.quick or jax.default_backend() != "tpu"
+    results_name = "results_smoke.json" if smoke else "results.json"
+
     # merge into any prior results so partial --configs runs don't clobber
-    results_path = os.path.join(HERE, "results.json")
+    results_path = os.path.join(HERE, results_name)
     results = {}
     if os.path.exists(results_path):
         with open(results_path) as f:
@@ -452,9 +459,14 @@ def main():
                 v = f"{v:,.2f}"
             lines.append(f"- {k}: {v}")
         lines.append("")
-    with open(os.path.join(HERE, "RESULTS.md"), "w") as f:
-        f.write("\n".join(lines))
-    print("wrote benchmarks/RESULTS.md and results.json", file=sys.stderr)
+    if smoke:
+        print(f"smoke run: wrote benchmarks/{results_name} "
+              "(RESULTS.md untouched)", file=sys.stderr)
+    else:
+        with open(os.path.join(HERE, "RESULTS.md"), "w") as f:
+            f.write("\n".join(lines))
+        print("wrote benchmarks/RESULTS.md and results.json",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
