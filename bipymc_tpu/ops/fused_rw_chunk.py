@@ -42,6 +42,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# the SAME log1mexp the per-step engine uses: elementwise jnp only, so
+# it traces inside the Mosaic kernel body, and a numerical tweak cannot
+# desynchronise the two engines' Green–Mira acceptance
+# (tests/test_fused_rw.py pins the agreement)
+from bipymc_tpu.core.numerics import log1mexp as _log1mexp
 from bipymc_tpu.ops.tiling import round_up
 
 _LANE = 128
@@ -50,24 +55,22 @@ _LANE = 128
 S_SZ1, S_SW, S_LU1, S_LU2 = 0, 1, 2, 3
 
 
-def _log1mexp(log_a):
-    """log(1 − exp(log_a)) for log_a ≤ 0 (Mächler 2012) — the same
-    formula as samplers/rw.py, in Mosaic-supported elementwise ops."""
-    log_a = jnp.minimum(log_a, -1e-30)
-    return jnp.where(
-        log_a > -0.6931471805599453,
-        jnp.log(-jnp.expm1(log_a)),
-        jnp.log1p(-jnp.exp(log_a)),
-    )
-
-
 def _make_kernel(closed_fn, const_shapes, delayed, spc):
     nc = len(const_shapes)
 
     def kernel(*refs):
-        x0_ref, lp0_ref, dy1_ref, dy2_ref, scal_ref = refs[:5]
-        const_refs = refs[5:5 + nc]
-        xh_ref, aux_ref, x_scr, lp_scr = refs[5 + nc:]
+        # MH/AM (delayed=False) kernels take NO dy2 operand: the stage-2
+        # displacements are dead there, and an unread ref would still be
+        # DMA'd into VMEM every grid cell
+        if delayed:
+            x0_ref, lp0_ref, dy1_ref, dy2_ref, scal_ref = refs[:5]
+            rest = refs[5:]
+        else:
+            x0_ref, lp0_ref, dy1_ref, scal_ref = refs[:4]
+            dy2_ref = None
+            rest = refs[4:]
+        const_refs = rest[:nc]
+        xh_ref, aux_ref, x_scr, lp_scr = rest[nc:]
         consts = [cref[:] if len(shape) >= 2 else cref[:].reshape(shape)
                   for cref, shape in zip(const_refs, const_shapes)]
         k = pl.program_id(1)
@@ -140,7 +143,9 @@ def fused_rw_chunk_pallas(x0, logp0, dy1, dy2, scal, log_prob_block,
     x0 [n, d]; logp0 [n]; dy1/dy2 [K, n, d] precomputed stage-1/2
     proposal displacements (L z₁, (L/√κ) z₂ against the chunk's frozen
     Cholesky); scal [K, n, 4] packed per-chain scalars
-    (‖z₁‖², ‖z₁ − z₂/√κ‖², log u₁, log u₂).
+    (‖z₁‖², ‖z₁ − z₂/√κ‖², log u₁, log u₂). With ``delayed=False`` pass
+    ``dy2=None`` and zero the unused scal lanes — the kernel then takes
+    no stage-2 operand (no dead DMA), and only the log u₁ lane is read.
     log_prob_block: hashable ``[BC, Dp] -> [BC, 1]`` on zero-padded lanes
     (ops/fused_chunk.block_logp_from_scalar). steps_per_cell: steps
     handled per grid cell (must divide K; identical results for every
@@ -200,8 +205,16 @@ def fused_rw_chunk_pallas(x0, logp0, dy1, dy2, scal, log_prob_block,
                      memory_space=pltpu.VMEM),              # x0
         pl.BlockSpec((bc, _LANE), lambda nb_, k_: (nb_, 0),
                      memory_space=pltpu.VMEM),              # lp0
-        knd, knd, scal_spec,                                # dy1 dy2 scal
+        knd,                                                # dy1
     ]
+    # delayed=False kernels take no dy2 operand at all — the stage-2
+    # displacements are dead and would otherwise be DMA'd per grid cell
+    operands = [x0_p, lp0_p, pad_knd(dy1)]
+    if delayed:
+        in_specs.append(knd)                                # dy2
+        operands.append(pad_knd(dy2))
+    in_specs.append(scal_spec)                              # scal
+    operands.append(scal_p)
 
     xh, aux = pl.pallas_call(
         _make_kernel(closed_fn, const_shapes, bool(delayed), spc),
@@ -222,7 +235,7 @@ def fused_rw_chunk_pallas(x0, logp0, dy1, dy2, scal, log_prob_block,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(x0_p, lp0_p, pad_knd(dy1), pad_knd(dy2), scal_p, *consts_2d)
+    )(*operands, *consts_2d)
 
     xh = xh.reshape(K, n_p, d_p)
     aux = aux.reshape(K, n_p, _LANE)

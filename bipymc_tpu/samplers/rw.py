@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from bipymc_tpu.core.rng import bits_to_uniform, uniform_to_normal
+from bipymc_tpu.core.numerics import log1mexp as _log1mexp
 
 
 
@@ -76,16 +77,6 @@ class RwInfo(NamedTuple):
     accepted: jax.Array     # [] bool — did the chain move this step
     stage: jax.Array        # [] int32: 0 reject, 1 stage-1 accept, 2 stage-2
     logp: jax.Array         # [] log-posterior after the step
-
-
-def _log1mexp(log_a):
-    """log(1 − exp(log_a)) for log_a ≤ 0, numerically stable (Mächler 2012)."""
-    log_a = jnp.minimum(log_a, -1e-30)  # exact 0 → well-defined -inf-ish
-    return jnp.where(
-        log_a > -0.6931471805599453,          # −log 2
-        jnp.log(-jnp.expm1(log_a)),
-        jnp.log1p(-jnp.exp(log_a)),
-    )
 
 
 def init(theta0: jax.Array, log_prob: Callable, cov0: jax.Array) -> RwState:

@@ -110,19 +110,31 @@ def make_rw_chunk_runner(log_prob: Callable, cfg: RwConfig, n_chains: int,
                 lambda kk: jax.random.bits(kk, (2 * d + 2,), jnp.uint32)
             ))(ckeys)
             u = bits_to_uniform(blk, dtype)               # [K, n, 2d+2]
+            # the z2 words are always DRAWN (the [2d+2] block is the
+            # stream contract) but only transformed when DR reads them
             z1 = uniform_to_normal(u[..., 0:d])
-            z2 = uniform_to_normal(u[..., d:2 * d])
+            z2 = (uniform_to_normal(u[..., d:2 * d]) if cfg.delayed
+                  else None)
             return z1, z2, u[..., 2 * d], u[..., 2 * d + 1]
 
         def chunk(st: RwState, ci):
             ts = t0 + ci * K + jnp.arange(K, dtype=jnp.int32)
             z1, z2, uu1, uu2 = prep(ts)
             dy1 = jnp.einsum("nij,knj->kni", st.chol, z1)
-            dy2 = inv_sqrt_kappa * jnp.einsum("nij,knj->kni", st.chol, z2)
-            w = z1 - inv_sqrt_kappa * z2
-            scal = jnp.stack(
-                [jnp.sum(z1 * z1, -1), jnp.sum(w * w, -1),
-                 jnp.log(uu1), jnp.log(uu2)], axis=-1)
+            if cfg.delayed:
+                dy2 = inv_sqrt_kappa * jnp.einsum(
+                    "nij,knj->kni", st.chol, z2)
+                w = z1 - inv_sqrt_kappa * z2
+                scal = jnp.stack(
+                    [jnp.sum(z1 * z1, -1), jnp.sum(w * w, -1),
+                     jnp.log(uu1), jnp.log(uu2)], axis=-1)
+            else:
+                # MH/AM: no stage 2 — skip the dead K-batched einsum,
+                # norms, and kernel operand (the kernel reads only the
+                # log u₁ lane)
+                dy2 = None
+                zk = jnp.zeros(uu1.shape, dtype)
+                scal = jnp.stack([zk, zk, jnp.log(uu1), zk], axis=-1)
             xh, lph, acc, _stage = fused_rw_chunk_pallas(
                 st.theta, st.logp, dy1, dy2, scal, lp_block,
                 delayed=cfg.delayed, interpret=interp,

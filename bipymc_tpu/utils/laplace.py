@@ -55,7 +55,16 @@ def laplace_cov(log_prob, theta_map, min_scale=1e-8):
     """
     H = jax.hessian(log_prob)(jnp.asarray(theta_map))
     w, v = jnp.linalg.eigh(-H)        # -H PSD at a proper mode
-    floor = jnp.maximum(jnp.max(w), 1.0) * min_scale
+    # floor relative to the LARGEST curvature when one exists — the
+    # docstring's contract: a flat/saddle direction's proposal variance
+    # caps at min_scale^-1 times the sharpest direction's, whatever the
+    # posterior's absolute scale. (The previous max(w, 1.0)*min_scale
+    # floor was absolute for wide posteriors with max curvature < 1,
+    # contradicting the doc.) With NO positive curvature at all
+    # (max(w) <= 0: x is not a proper mode), there is no information —
+    # degrade to unit proposal variance rather than 1/min_scale.
+    w_max = jnp.max(w)
+    floor = jnp.where(w_max > 0.0, w_max * min_scale, 1.0)
     w = jnp.maximum(w, floor)
     return (v / w) @ v.T              # v @ diag(1/w) @ v.T
 

@@ -49,6 +49,26 @@ def test_laplace_cov_clamps_flat_directions():
     assert np.isfinite(np.asarray(cov)).all()
 
 
+def test_laplace_cov_floor_is_curvature_relative():
+    # WIDE posterior (curvature 1e-4 << 1) with a flat dim: the flat
+    # direction's variance must cap at min_scale^-1 times the sharp
+    # direction's (docstring contract), not at the absolute 1/min_scale
+    # the old max(w, 1.0)*min_scale floor produced
+    lp = lambda x: -0.5 * 1e-4 * x[0] ** 2
+    min_scale = 1e-6
+    cov = np.asarray(bp.laplace_cov(lp, jnp.zeros(2), min_scale=min_scale))
+    np.testing.assert_allclose(cov[0, 0], 1e4, rtol=1e-3)
+    np.testing.assert_allclose(cov[1, 1], 1e4 / min_scale, rtol=1e-3)
+
+
+def test_laplace_cov_no_curvature_unit_fallback():
+    # not a mode anywhere (all eigenvalues of -H <= 0): degrade to unit
+    # proposal variance, not 1/min_scale
+    lp = lambda x: jnp.sum(0.0 * x)
+    cov = np.asarray(bp.laplace_cov(lp, jnp.zeros(3)))
+    np.testing.assert_allclose(cov, np.eye(3), atol=1e-6)
+
+
 def test_map_laplace_drives_dram(target):
     theta0, cov, _ = bp.map_laplace(target, jnp.zeros(2), n_steps=1500)
     s = bp.Dram(target, seed=0, n_chains=4)
