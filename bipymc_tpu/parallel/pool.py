@@ -247,6 +247,36 @@ class ChainPool:
 
         Returns (final_state, info dict with steps/rhat/mean/var).
         """
+        if chunk_runner is not None:
+            # The fused branch folds the runner's own position history
+            # (hist["x"]) into R̂; on per-generation chunks the same
+            # moments fold position_fn(state). Those must be the SAME
+            # series, or the two chunk kinds of one run fold different
+            # quantities into one RhatCarry. The runner declares which
+            # state field its history records (position_field); verify
+            # by object identity on the concrete entry state.
+            field = getattr(chunk_runner, "position_field", "x")
+            pf = position_fn or _default_position
+            if pf(state) is not _get_field(state, field):
+                raise ValueError(
+                    "run_until(chunk_runner=...): position_fn must "
+                    f"extract the runner's recorded position (state."
+                    f"{field}) — fused chunks fold the runner's "
+                    "hist['x'] into the R-hat moments, so a transformed "
+                    "position needs the per-generation path")
+            # Alignment must hold for EVERY chunk start: the runner's
+            # own t0-alignment check never fires here because t0 is
+            # traced by the time the runner sees it.
+            mult = getattr(chunk_runner, "chunk_multiple", None)
+            if mult and chunk % mult:
+                raise ValueError(
+                    f"chunk={chunk} must be a multiple of the fused "
+                    f"runner's chunk length {mult}")
+            align = getattr(chunk_runner, "align", None)
+            if align and int(t0) % align:
+                raise ValueError(
+                    f"t0={t0} must be aligned to the fused runner's "
+                    f"alignment {align}")
         if position_fn is None:
             position_fn = _default_position
         pos0 = position_fn(state)
@@ -286,6 +316,11 @@ class ChainPool:
             def fused_chunk(args):
                 s, rc, t_start = args
                 s, hist = chunk_runner(s, key, chunk, t_start)
+                if not (isinstance(hist, dict) and "x" in hist):
+                    raise ValueError(
+                        "run_until needs the fused runner's position "
+                        "history to fold R-hat moments — build it with "
+                        "collect='all' (make_chunk_runner default)")
                 return s, rhat_update_block(rc, hist["x"])
 
             def body(loop):

@@ -80,9 +80,15 @@ def _kernel_rng_seeds(keys, offset):
 _GATHER_MODE = "block"
 
 
-def _gather_rows(buf, row_idx):
-    """buf[row_idx] with a switchable lowering (see _GATHER_MODE)."""
-    if _GATHER_MODE == "pergen":
+def _gather_rows(buf, row_idx, mode=None):
+    """buf[row_idx] with a switchable lowering (see _GATHER_MODE).
+
+    mode=None reads the module global AT TRACE TIME — callers that want
+    to A/B the lowering must build (and jit) a fresh runner per arm, or
+    pass ``make_chunk_runner(gather_mode=...)`` so the choice is part of
+    the runner's identity instead of hidden trace-time state.
+    """
+    if (mode or _GATHER_MODE) == "pergen":
         return jax.lax.map(lambda ri: buf[ri], row_idx)
     return buf[row_idx]
 
@@ -112,6 +118,7 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
                       mesh=None,
                       rng: str = "stream",
                       wrap: bool = True,
+                      gather_mode: str | None = None,
                       _test_stream_bits: bool = False) -> Callable:
     """Build ``run(state, base_key, n_gens, t0) -> (state, history)``.
 
@@ -298,7 +305,8 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
                 row_idx = distinct_idx_pallas(
                     row_bits.reshape(G * n, n_rows), n_rows,
                     st.archive.fill).reshape(G, n, n_rows)
-            rows = _gather_rows(st.archive.buf, row_idx)   # [G, n, k, d]
+            rows = _gather_rows(st.archive.buf, row_idx,
+                                gather_mode)     # [G, n, k, d]
 
             if not kernel_rng:
                 u_mask, u_e, eps_n = rng_in
@@ -370,6 +378,15 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
             hist = {"logp": lph, "accepted": acc, "snooker": snk}
         return state, hist
 
+    # contract attributes ChainPool.run_until validates at its entry
+    # (its t0 is traced by the time the runner's own check could fire):
+    # chunk lengths and t0 must be archive-aligned, and the history this
+    # runner records is the population x
+    G = int(cfg.archive_thin)
+    runner_local.align = G
+    runner_local.chunk_multiple = G
+    runner_local.position_field = "x"
+
     if mesh is None or not wrap:
         # wrap=False with a mesh: the LOCAL per-shard body (collectives
         # on the chain axis, no shard_map of its own) for embedding in a
@@ -395,4 +412,7 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
             out_specs=(state_specs, hist_specs), check_vma=False)
         return fn(state, base_key, jnp.asarray(t0, jnp.int32))
 
+    runner.align = G
+    runner.chunk_multiple = G
+    runner.position_field = "x"
     return runner

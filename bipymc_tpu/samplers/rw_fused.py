@@ -192,4 +192,12 @@ def make_rw_chunk_runner(log_prob: Callable, cfg: RwConfig, n_chains: int,
         }
         return state, hist
 
+    # contract attributes ChainPool.run_until validates at its entry
+    # (its t0 is traced by the time this runner's own check could fire):
+    # chunk lengths are K-multiples always; t0 alignment matters only
+    # when AM refresh points must land on chunk boundaries; the history
+    # records the theta trajectory
+    runner.chunk_multiple = K
+    runner.align = K if cfg.adapt else 1
+    runner.position_field = "theta"
     return runner

@@ -165,3 +165,40 @@ def test_rhat_update_block_matches_sequential():
     np.testing.assert_allclose(
         np.asarray(rhat_compute(blk, 6)), np.asarray(rhat_compute(seq, 6)),
         rtol=1e-5)
+
+
+def test_run_until_validates_fused_runner_contract():
+    """ChainPool.run_until must reject misaligned chunk/t0 and a
+    position_fn that extracts something other than what the fused
+    runner's history records (the runner's own t0 check never fires
+    there — t0 is traced by the time the runner sees it)."""
+    from bipymc_tpu.parallel.pool import ChainPool
+    from bipymc_tpu.samplers import dream
+    from bipymc_tpu.samplers.dream_fused import make_chunk_runner
+    from bipymc_tpu.utils.init import var_ball
+
+    lp = correlated_gaussian(MEAN, COV)
+    cfg = dream.DreamConfig(n_chains=8, burnin_gens=0, archive_thin=10)
+    x0 = var_ball(jax.random.key(0), jnp.ones(2), 8, center=MEAN)
+    state = dream.init(x0, lp, cfg, archive_capacity=64, z0=x0)
+    runner = make_chunk_runner(lp, cfg)
+    assert runner.align == 10 and runner.chunk_multiple == 10
+    pool = ChainPool(
+        step_factory=lambda a: dream.make_step(lp, cfg, axis_name=a),
+        sharded_fields=("x", "logp", "logp_sum"))
+    key = jax.random.key(1)
+    with pytest.raises(ValueError, match="multiple"):
+        pool.run_until(state, key, chunk=15, max_chunks=2,
+                       chunk_runner=runner)
+    with pytest.raises(ValueError, match="aligned"):
+        pool.run_until(state, key, chunk=20, max_chunks=2, t0=5,
+                       chunk_runner=runner)
+    with pytest.raises(ValueError, match="position"):
+        pool.run_until(state, key, chunk=20, max_chunks=2,
+                       position_fn=lambda s: s.logp_sum[:, None],
+                       chunk_runner=runner)
+    # stats-mode runner has no position history to fold
+    runner_stats = make_chunk_runner(lp, cfg, collect="stats")
+    with pytest.raises(ValueError, match="collect"):
+        pool.run_until(state, key, chunk=20, max_chunks=2,
+                       chunk_runner=runner_stats)
