@@ -31,7 +31,7 @@ from bipymc_tpu.core.rng import step_key
 from bipymc_tpu.core.scan import run_scan_thinned
 from bipymc_tpu.parallel.mesh import CHAIN_AXIS
 from bipymc_tpu.utils.streaming import (
-    rhat_init, rhat_update, rhat_update_block, rhat_compute)
+    rhat_init, rhat_update, rhat_update_block, rhat_merge, rhat_compute)
 
 
 def _parse_field(entry):
@@ -316,11 +316,17 @@ class ChainPool:
             def fused_chunk(args):
                 s, rc, t_start = args
                 s, hist = chunk_runner(s, key, chunk, t_start)
+                if isinstance(hist, dict) and "rhat" in hist:
+                    # collect="rhat" runner: moments folded inside the
+                    # runner's own scan (O(G*n*d) live bytes instead of
+                    # the full [chunk, n, d] history) — merge its carry
+                    return s, rhat_merge(rc, hist["rhat"])
                 if not (isinstance(hist, dict) and "x" in hist):
                     raise ValueError(
                         "run_until needs the fused runner's position "
-                        "history to fold R-hat moments — build it with "
-                        "collect='all' (make_chunk_runner default)")
+                        "history (collect='all') or streamed moments "
+                        "(collect='rhat') to fold R-hat — collect="
+                        "'stats' provides neither")
                 return s, rhat_update_block(rc, hist["x"])
 
             def body(loop):

@@ -892,10 +892,14 @@ class DreamZs(McmcSampler):
                 if self._fused_runner_local is None:
                     from bipymc_tpu.samplers.dream_fused import \
                         make_chunk_runner
+                    # collect="rhat": moments fold inside the runner's
+                    # own scan, so the while_loop never holds a
+                    # [chunk, n, d] position history just to feed R̂
                     self._fused_runner_local = make_chunk_runner(
                         self.log_like_fn, self.cfg,
                         log_prob_block=self._log_prob_block,
-                        mesh=self.mesh, rng=self.fused_rng, wrap=False)
+                        mesh=self.mesh, rng=self.fused_rng, wrap=False,
+                        collect="rhat")
                 chunk_runner = self._fused_runner_local
                 fused_after = self.cfg.burnin_gens
         state, k_run = self._ensure_state(theta_0, spread,

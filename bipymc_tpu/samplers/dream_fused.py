@@ -41,6 +41,7 @@ from bipymc_tpu.ops.fused_chunk import (
 from bipymc_tpu.parallel.collectives import all_gather_chains, chain_offset
 from bipymc_tpu.parallel.mesh import CHAIN_AXIS
 from bipymc_tpu.samplers.dream import DreamConfig, DreamState
+from bipymc_tpu.utils.streaming import rhat_init, rhat_update_block
 
 
 def validate_fused_segment(cfg: DreamConfig, t0: int):
@@ -133,7 +134,11 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
     ``log_prob``. collect: ``"all"`` keeps per-generation positions in
     history; ``"stats"`` keeps only logp/accepted (positions cost
     n_gens·n·d floats — at 4096 chains × d=100 that is 1.6 GB per 1000
-    generations, the difference between fitting in HBM or not).
+    generations, the difference between fitting in HBM or not);
+    ``"rhat"`` folds per-chain Welford moments inside the runner's own
+    scan and returns them as ``hist["rhat"]`` (an RhatCarry) next to the
+    stats leaves — what ``ChainPool.run_until`` merges, so an R̂-stop
+    loop never materializes positions at all.
 
     prep_chunks: batch the randomness/scalar pregeneration over this
     many chunks per outer scan step (docs/design.md §10e's "batch the
@@ -289,10 +294,12 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
                 return row_bits, scal, (seeds, tb)
             return row_bits, scal, (seeds,)
 
-        def chunk_core(st: DreamState, xs):
+        def chunk_core(carry, xs):
             """One G-generation chunk from pregenerated inputs: the
             fill-dependent distinct-row draw, the Z gather, the fused
-            kernel, and the ring append."""
+            kernel, and the ring append. collect="rhat" threads a
+            Welford carry alongside the state."""
+            st = carry[0] if collect == "rhat" else carry
             row_bits, scal, rng_in = xs                  # [G, n, ...]
             # distinct archive rows — same construction as the
             # per-generation engine (identical bits → identical rows)
@@ -336,6 +343,14 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
                 logp_sum=st.logp_sum + jnp.sum(lph, axis=0),
                 gen=st.gen + G)
             snk = scal[..., 3] > 0.5
+            if collect == "rhat":
+                # fold this G-block's positions into the carried moments
+                # instead of materializing them: run_until only needs the
+                # Welford carry, and the [n_gens, n, d] history is the
+                # difference between O(G·n·d) and O(chunk·n·d) live bytes
+                # inside the caller's while_loop
+                rc = rhat_update_block(carry[1], xh)
+                return (new_st, rc), (lph, acc, snk)
             ys = ((xh, lph, acc, snk) if collect == "all"
                   else (lph, acc, snk))
             return new_st, ys
@@ -344,36 +359,49 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
         M = max(1, min(int(prep_chunks), n_chunks))
         q, r = divmod(n_chunks, M)
 
-        def superchunk(st: DreamState, s):
+        if collect == "rhat":
+            nl, dl = state.x.shape
+            carry0 = (state, rhat_init(nl, dl, state.x.dtype))
+        else:
+            carry0 = state
+
+        def superchunk(carry, s):
             ts = t0 + s * (M * G) + jnp.arange(M * G, dtype=jnp.int32)
             pre = prep(ts)                                # [M*G, n, ...]
             pre = jax.tree_util.tree_map(
                 lambda a: a.reshape(M, G, *a.shape[1:]), pre)
-            return lax.scan(chunk_core, st, pre)
+            return lax.scan(chunk_core, carry, pre)
 
         parts = []
-        state, ys = lax.scan(
-            superchunk, state, jnp.arange(q, dtype=jnp.int32))
+        carry, ys = lax.scan(
+            superchunk, carry0, jnp.arange(q, dtype=jnp.int32))
         # ys leaves are [q, M, G, ...] → flatten the chunk axes
         parts.append(jax.tree_util.tree_map(
             lambda a: a.reshape(q * M * G, *a.shape[3:]), ys))
         if r:
-            def rem(st, k):
+            def rem(c, k):
                 ts = (t0 + (q * M + k) * G
                       + jnp.arange(G, dtype=jnp.int32))
-                return chunk_core(st, prep(ts))
-            state, ys_r = lax.scan(
-                rem, state, jnp.arange(r, dtype=jnp.int32))
+                return chunk_core(c, prep(ts))
+            carry, ys_r = lax.scan(
+                rem, carry, jnp.arange(r, dtype=jnp.int32))
             parts.append(jax.tree_util.tree_map(
                 lambda a: a.reshape(r * G, *a.shape[2:]), ys_r))
         ys = (parts[0] if len(parts) == 1 else
               jax.tree_util.tree_map(
                   lambda a, b: jnp.concatenate([a, b], axis=0), *parts))
         if collect == "all":
+            state = carry
             xh, lph, acc, snk = ys
             hist = {"x": xh, "logp": lph, "accepted": acc,
                     "snooker": snk}
+        elif collect == "rhat":
+            state, rc = carry
+            lph, acc, snk = ys
+            hist = {"rhat": rc, "logp": lph, "accepted": acc,
+                    "snooker": snk}
         else:
+            state = carry
             lph, acc, snk = ys
             hist = {"logp": lph, "accepted": acc, "snooker": snk}
         return state, hist
@@ -406,6 +434,10 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
             hist_ndim["x"] = 3
         hist_specs = {k: _history_spec(nd, axis)
                       for k, nd in hist_ndim.items()}
+        if collect == "rhat":
+            from bipymc_tpu.utils.streaming import RhatCarry
+            hist_specs["rhat"] = RhatCarry(
+                n=P(), mean=P(axis, None), m2=P(axis, None))
         fn = jax.shard_map(
             lambda s, k, t: runner_local(s, k, n_gens, t),
             mesh=mesh, in_specs=(state_specs, P(), P()),

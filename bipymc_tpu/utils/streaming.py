@@ -3,8 +3,9 @@
 BASELINE config 5 requires "on-device Gelman-Rubin stopping": the run must
 terminate when R̂ < tol without streaming history to the host. Per-chain
 Welford moments (count, mean, M2 per dimension) ride in the scan carry;
-cross-chain moments come from ``psum`` on the mesh path — the whole
-stopping rule evaluates inside the compiled ``while_loop``
+cross-chain reductions all_gather the per-chain moments and reduce over
+the full chain axis (the gather-then-reduce rule, docs/design.md §3) —
+the whole stopping rule evaluates inside the compiled ``while_loop``
 (SURVEY.md §7.5, §9 "Host-free stopping").
 
 This is the classic (non-split) R̂ over the monitored window; the post-hoc
@@ -56,6 +57,22 @@ def rhat_update_block(carry: RhatCarry, xs) -> RhatCarry:
     # carry.n == 0 (fresh/reset window) must reduce to the block moments
     mean = carry.mean + delta * (t / n)
     m2 = carry.m2 + bm2 + delta ** 2 * (carry.n * t / n)
+    return RhatCarry(n=n, mean=mean, m2=m2)
+
+
+def rhat_merge(a: RhatCarry, b: RhatCarry) -> RhatCarry:
+    """Merge two moment carries (Chan et al. pairwise combine).
+
+    Equal to folding b's underlying samples into a, up to float
+    re-association. Lets a fused multi-generation runner fold its own
+    blocks internally (``make_chunk_runner(collect="rhat")``) and hand
+    back ONE carry instead of a [T, n, d] position history.
+    """
+    n = a.n + b.n
+    delta = b.mean - a.mean
+    frac = jnp.where(n > 0, b.n / jnp.maximum(n, 1.0), 0.0)
+    mean = a.mean + delta * frac
+    m2 = a.m2 + b.m2 + delta ** 2 * (a.n * frac)
     return RhatCarry(n=n, mean=mean, m2=m2)
 
 

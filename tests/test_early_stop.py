@@ -202,3 +202,29 @@ def test_run_until_validates_fused_runner_contract():
     with pytest.raises(ValueError, match="collect"):
         pool.run_until(state, key, chunk=20, max_chunks=2,
                        chunk_runner=runner_stats)
+
+
+def test_rhat_merge_matches_block_fold():
+    """Chan-merging a block's own carry must equal folding the raw block
+    (up to float tolerance) — the collect='rhat' fused path vs the
+    collect='all' + rhat_update_block path."""
+    from bipymc_tpu.utils.streaming import rhat_merge, rhat_update_block
+    rng = np.random.default_rng(3)
+    n, d = 8, 5
+    a_block = jnp.asarray(rng.normal(size=(40, n, d)).astype(np.float32))
+    b_block = jnp.asarray(rng.normal(size=(25, n, d)).astype(np.float32) + 0.7)
+    rc_fold = rhat_update_block(
+        rhat_update_block(rhat_init(n, d), a_block), b_block)
+    rc_b = rhat_update_block(rhat_init(n, d), b_block)
+    rc_merge = rhat_merge(rhat_update_block(rhat_init(n, d), a_block), rc_b)
+    assert float(rc_fold.n) == float(rc_merge.n)
+    np.testing.assert_allclose(np.asarray(rc_fold.mean),
+                               np.asarray(rc_merge.mean), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rc_fold.m2),
+                               np.asarray(rc_merge.m2), rtol=1e-4)
+    # merging into an EMPTY carry must reduce to the block's own moments
+    rc_empty = rhat_merge(rhat_init(n, d), rc_b)
+    np.testing.assert_allclose(np.asarray(rc_empty.mean),
+                               np.asarray(rc_b.mean), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rc_empty.m2),
+                               np.asarray(rc_b.m2), rtol=1e-6)
