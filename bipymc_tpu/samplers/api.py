@@ -708,8 +708,8 @@ class DreamZs(McmcSampler):
 
     def __init__(self, log_like_fn, n_chains=8, seed=0, dtype=jnp.float32,
                  mesh=None, archive_capacity=None, n_archive_init=None,
-                 fused=False, fused_rng="stream", log_prob_block=None,
-                 **config_kw):
+                 fused=False, fused_rng="stream", fused_z_update=1,
+                 log_prob_block=None, **config_kw):
         """``fused=True`` routes post-burn-in, archive-aligned steady-state
         generations through the fused multi-generation Pallas engine
         (samplers/dream_fused.py — one kernel per ``archive_thin``
@@ -729,7 +729,17 @@ class DreamZs(McmcSampler):
         §10f). Runs remain deterministic given ``seed``, but the
         streams are no longer bit-identical to ``fused=False`` (the
         distributions are unchanged — injected-stream fidelity tests
-        don't apply to this mode, distributional ones do)."""
+        don't apply to this mode, distributional ones do).
+
+        ``fused_z_update=K`` publishes archive appends every K
+        thin-blocks instead of every block, running K·archive_thin
+        generations per kernel with one batched K-snapshot append —
+        ter Braak & Vrugt (2008)'s own Z-update-interval structure with
+        a larger interval, so the stationary distribution is unchanged;
+        K > 1 trajectories are not bit-identical to ``fused=False``
+        (proposals inside a super-block sample a Z stale by up to
+        K·archive_thin generations). Requires K·n_chains ≤ archive
+        capacity. See samplers/dream_fused.make_chunk_runner."""
         super().__init__(log_like_fn, seed=seed, dtype=dtype)
         self.n_chains = int(n_chains)
         self.cfg = self._config_builder(self.n_chains, **config_kw)
@@ -738,6 +748,14 @@ class DreamZs(McmcSampler):
         self.n_archive_init = n_archive_init
         self.fused = bool(fused)
         self.fused_rng = fused_rng
+        self.fused_z_update = int(fused_z_update)
+        if self.fused_z_update < 1:
+            raise ValueError(
+                f"fused_z_update={fused_z_update}: must be >= 1")
+        if self.fused_z_update > 1 and not self.fused:
+            raise ValueError(
+                "fused_z_update > 1 is a fused-engine execution knob; "
+                "pass fused=True")
         if fused_rng not in ("stream", "kernel"):
             raise ValueError(
                 f"fused_rng={fused_rng!r}: expected 'stream' or 'kernel'")
@@ -816,7 +834,7 @@ class DreamZs(McmcSampler):
             self._fused_runner = make_chunk_runner(
                 self.log_like_fn, self.cfg,
                 log_prob_block=self._log_prob_block, mesh=self.mesh,
-                rng=self.fused_rng)
+                rng=self.fused_rng, z_update_every=self.fused_z_update)
         if n_gens not in self._fused_jits:
             runner = self._fused_runner
             self._fused_jits[n_gens] = jax.jit(
@@ -839,12 +857,13 @@ class DreamZs(McmcSampler):
         # steady state] → [per-generation remainder]; each segment is
         # stored as its own history chunk with matching leaves
         G = self.cfg.archive_thin
+        CG = G * self.fused_z_update      # fused super-block length
         t = self._steps_run
         n1 = max(0, self.cfg.burnin_gens - t)
         if (t + n1) % G:
             n1 += G - (t + n1) % G
         n1 = min(n1, n_gens)
-        n2 = ((n_gens - n1) // G) * G
+        n2 = ((n_gens - n1) // CG) * CG
         n3 = n_gens - n1 - n2
         if n1:
             state, hist = self._pool().run(state, k_run, n1, thin=1, t0=t)
@@ -886,8 +905,9 @@ class DreamZs(McmcSampler):
         chunk_runner, fused_after = None, 0
         if self.fused:
             G = self.cfg.archive_thin
-            if chunk % G:
-                chunk += G - chunk % G
+            CG = G * self.fused_z_update
+            if chunk % CG:
+                chunk += CG - chunk % CG
             if self._steps_run % G == 0:
                 if self._fused_runner_local is None:
                     from bipymc_tpu.samplers.dream_fused import \
@@ -899,7 +919,8 @@ class DreamZs(McmcSampler):
                         self.log_like_fn, self.cfg,
                         log_prob_block=self._log_prob_block,
                         mesh=self.mesh, rng=self.fused_rng, wrap=False,
-                        collect="rhat")
+                        collect="rhat",
+                        z_update_every=self.fused_z_update)
                 chunk_runner = self._fused_runner_local
                 fused_after = self.cfg.burnin_gens
         state, k_run = self._ensure_state(theta_0, spread,

@@ -120,6 +120,7 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
                       rng: str = "stream",
                       wrap: bool = True,
                       gather_mode: str | None = None,
+                      z_update_every: int = 1,
                       _test_stream_bits: bool = False) -> Callable:
     """Build ``run(state, base_key, n_gens, t0) -> (state, history)``.
 
@@ -177,6 +178,23 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
     (collectives on the chain axis) instead of the shard_map-wrapped
     program — for embedding inside a caller's own shard_map, e.g.
     ``ChainPool.run_until``'s fused chunks.
+    z_update_every: publish archive appends every K = z_update_every
+    thin-blocks instead of every block — K·archive_thin generations run
+    as ONE kernel, with ONE distinct-row draw / Z gather / batched ring
+    append (K thinned population snapshots, time-ordered) per super-
+    block. This is ter Braak & Vrugt (2008)'s own structure — the paper
+    updates Z "every K-th generation"; K·archive_thin is simply a larger
+    update interval, with every intermediate thinned snapshot still
+    appended at update time — so the stationary distribution is
+    unchanged. Proposals inside a super-block sample a Z that is stale
+    by up to K·archive_thin generations, so K > 1 trajectories are NOT
+    bit-identical to the per-generation engine (K = 1 is, with
+    rng="stream"); the random streams themselves still key on absolute
+    generation indices and are identical for every K. Requires
+    ``K · n_chains ≤ archive capacity`` (a batched append may not wrap
+    onto itself). The payoff is per-generation XLA glue (distinct-idx
+    draw, gather, append, kernel launch) amortized K×: the dominant
+    non-kernel cost at the 256-chain headline (docs/design.md §10g).
     _test_stream_bits: testing hook — stream the exact bits the
     "stream" path would consume through the in-kernel conversion code
     instead of the PRNG, making rng="kernel" reproduce rng="stream"
@@ -185,8 +203,12 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
     if rng not in ("stream", "kernel"):
         raise ValueError(f"rng={rng!r}: expected 'stream' or 'kernel'")
     check_fusable(cfg, mesh)
+    K = int(z_update_every)
+    if K < 1:
+        raise ValueError(f"z_update_every={z_update_every}: must be >= 1")
     axis = CHAIN_AXIS if mesh is not None else None
     G = cfg.archive_thin
+    CG = K * G                     # generations per kernel / super-block
     n_pairs = cfg.delta_max
     n_rows = max(2 * n_pairs, 3)
     # built-once per dim so fused_chunk_pallas's static log_prob_block
@@ -206,11 +228,20 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
         skips the alignment validation — do it at the call site via
         :func:`validate_fused_segment`). On the mesh path this body runs
         per shard (n = local chains) with collectives on ``axis``."""
-        if n_gens % G != 0:
-            raise ValueError(f"n_gens={n_gens} not a multiple of "
-                             f"archive_thin={G}")
+        if n_gens % CG != 0:
+            raise ValueError(
+                f"n_gens={n_gens} not a multiple of the super-block "
+                f"length {CG} (archive_thin={G} x z_update_every={K})")
         if isinstance(t0, int):
             validate_fused_segment(cfg, t0)
+        # archive is replicated in fused scope (check_fusable), so
+        # buf.shape[0] is the global capacity on the mesh path too
+        if K * cfg.n_chains > state.archive.buf.shape[0]:
+            raise ValueError(
+                f"z_update_every={K}: a batched append publishes "
+                f"{K * cfg.n_chains} rows at once, exceeding the "
+                f"archive capacity {state.archive.buf.shape[0]} — "
+                "raise archive_capacity or lower z_update_every")
         n, dim = state.x.shape
         dtype = state.x.dtype
         lp_block = _lp_block_for(dim)
@@ -295,14 +326,18 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
             return row_bits, scal, (seeds,)
 
         def chunk_core(carry, xs):
-            """One G-generation chunk from pregenerated inputs: the
-            fill-dependent distinct-row draw, the Z gather, the fused
-            kernel, and the ring append. collect="rhat" threads a
-            Welford carry alongside the state."""
+            """One CG-generation super-block from pregenerated inputs:
+            the fill-dependent distinct-row draw, the Z gather, the
+            fused kernel, and the batched ring append (K thinned
+            snapshots published together — exactly the per-generation
+            schedule when K == 1). collect="rhat" threads a Welford
+            carry alongside the state."""
             st = carry[0] if collect == "rhat" else carry
-            row_bits, scal, rng_in = xs                  # [G, n, ...]
+            row_bits, scal, rng_in = xs                  # [CG, n, ...]
             # distinct archive rows — same construction as the
-            # per-generation engine (identical bits → identical rows)
+            # per-generation engine (identical bits → identical rows);
+            # with K > 1 every generation in the super-block samples
+            # the super-block-start archive (fill and contents)
             if interp:
                 row_idx = jax.vmap(jax.vmap(
                     lambda bb: distinct_from_bits(
@@ -310,10 +345,10 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
             else:
                 from bipymc_tpu.ops.distinct_idx import distinct_idx_pallas
                 row_idx = distinct_idx_pallas(
-                    row_bits.reshape(G * n, n_rows), n_rows,
-                    st.archive.fill).reshape(G, n, n_rows)
+                    row_bits.reshape(CG * n, n_rows), n_rows,
+                    st.archive.fill).reshape(CG, n, n_rows)
             rows = _gather_rows(st.archive.buf, row_idx,
-                                gather_mode)     # [G, n, k, d]
+                                gather_mode)     # [CG, n, k, d]
 
             if not kernel_rng:
                 u_mask, u_e, eps_n = rng_in
@@ -332,16 +367,22 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
 
             x_new = xh[-1]
             logp_new = lph[-1]
-            # archive append at the chunk's last generation — the same
-            # schedule gen % thin == thin-1 as the per-generation engine
+            # archive append: the thinned snapshots (gen % thin ==
+            # thin-1, the per-generation engine's schedule) publish as
+            # ONE time-ordered batched append — identical rows and ring
+            # positions to K sequential appends, and bit-identical to
+            # the per-generation engine when K == 1
+            snaps = xh[G - 1::G]                         # [K, n, d]
+            pub = (snaps if axis is None
+                   else lax.all_gather(snaps, axis, axis=1, tiled=True))
             new_st = DreamState(
                 x=x_new, logp=logp_new,
                 archive=archive_append(
-                    st.archive, all_gather_chains(x_new, axis)),
+                    st.archive, pub.reshape(-1, pub.shape[-1])),
                 cr_p=st.cr_p, cr_cum=st.cr_cum,
                 cr_jump=st.cr_jump, cr_count=st.cr_count,
                 logp_sum=st.logp_sum + jnp.sum(lph, axis=0),
-                gen=st.gen + G)
+                gen=st.gen + CG)
             snk = scal[..., 3] > 0.5
             if collect == "rhat":
                 # fold this G-block's positions into the carried moments
@@ -355,7 +396,7 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
                   else (lph, acc, snk))
             return new_st, ys
 
-        n_chunks = n_gens // G
+        n_chunks = n_gens // CG
         M = max(1, min(int(prep_chunks), n_chunks))
         q, r = divmod(n_chunks, M)
 
@@ -366,27 +407,27 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
             carry0 = state
 
         def superchunk(carry, s):
-            ts = t0 + s * (M * G) + jnp.arange(M * G, dtype=jnp.int32)
-            pre = prep(ts)                                # [M*G, n, ...]
+            ts = t0 + s * (M * CG) + jnp.arange(M * CG, dtype=jnp.int32)
+            pre = prep(ts)                                # [M*CG, n, ...]
             pre = jax.tree_util.tree_map(
-                lambda a: a.reshape(M, G, *a.shape[1:]), pre)
+                lambda a: a.reshape(M, CG, *a.shape[1:]), pre)
             return lax.scan(chunk_core, carry, pre)
 
         parts = []
         carry, ys = lax.scan(
             superchunk, carry0, jnp.arange(q, dtype=jnp.int32))
-        # ys leaves are [q, M, G, ...] → flatten the chunk axes
+        # ys leaves are [q, M, CG, ...] → flatten the chunk axes
         parts.append(jax.tree_util.tree_map(
-            lambda a: a.reshape(q * M * G, *a.shape[3:]), ys))
+            lambda a: a.reshape(q * M * CG, *a.shape[3:]), ys))
         if r:
             def rem(c, k):
-                ts = (t0 + (q * M + k) * G
-                      + jnp.arange(G, dtype=jnp.int32))
+                ts = (t0 + (q * M + k) * CG
+                      + jnp.arange(CG, dtype=jnp.int32))
                 return chunk_core(c, prep(ts))
             carry, ys_r = lax.scan(
                 rem, carry, jnp.arange(r, dtype=jnp.int32))
             parts.append(jax.tree_util.tree_map(
-                lambda a: a.reshape(r * G, *a.shape[2:]), ys_r))
+                lambda a: a.reshape(r * CG, *a.shape[2:]), ys_r))
         ys = (parts[0] if len(parts) == 1 else
               jax.tree_util.tree_map(
                   lambda a, b: jnp.concatenate([a, b], axis=0), *parts))
@@ -408,11 +449,11 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
 
     # contract attributes ChainPool.run_until validates at its entry
     # (its t0 is traced by the time the runner's own check could fire):
-    # chunk lengths and t0 must be archive-aligned, and the history this
-    # runner records is the population x
-    G = int(cfg.archive_thin)
-    runner_local.align = G
-    runner_local.chunk_multiple = G
+    # chunk lengths must cover whole super-blocks, t0 must be
+    # archive-aligned, and the history this runner records is the
+    # population x
+    runner_local.align = int(G)
+    runner_local.chunk_multiple = int(CG)
     runner_local.position_field = "x"
 
     if mesh is None or not wrap:
@@ -444,7 +485,7 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
             out_specs=(state_specs, hist_specs), check_vma=False)
         return fn(state, base_key, jnp.asarray(t0, jnp.int32))
 
-    runner.align = G
-    runner.chunk_multiple = G
+    runner.align = int(G)
+    runner.chunk_multiple = int(CG)
     runner.position_field = "x"
     return runner

@@ -406,3 +406,101 @@ def test_api_fused_rejects_unsupported_config():
                    archive_capacity=64)
     s.run_mcmc(40, thin=4, theta_0=jnp.zeros((8, 2)), spread=2.0)
     assert s.get_chain().shape[1] == 10
+
+
+def test_z_update_first_block_matches_exact_second_diverges():
+    """z_update_every=2: the FIRST thin-block of a super-block sees the
+    identical archive as the per-generation engine (bit-equal streams →
+    equal trajectories), the SECOND samples a Z stale by one append and
+    diverges — the documented staleness boundary."""
+    log_prob, cfg, state, k_run = _setup()
+    step = dream.make_step(log_prob, cfg._replace(pallas_proposal=True),
+                           axis_name=None)
+    state20, _ = run_scan_thinned(step, state, k_run, n_steps=20, thin=1,
+                                  collect_fn=_collect, t0=0)
+    _, ref_hist = run_scan_thinned(
+        step, state20, k_run, n_steps=10, thin=1, collect_fn=_collect,
+        t0=20)
+    runner = make_chunk_runner(
+        log_prob, cfg._replace(pallas_proposal=True), z_update_every=2)
+    fus_state, fus_hist = runner(state20, k_run, 10, 20)
+    G = cfg.archive_thin
+    np.testing.assert_allclose(np.asarray(ref_hist["x"][:G]),
+                               np.asarray(fus_hist["x"][:G]),
+                               rtol=1e-6, atol=1e-6)
+    # second block: exact engine samples fill+n rows incl. the fresh
+    # append; stale-Z samples the super-block-start archive — with 120
+    # row draws over a changed fill, identity would need every draw to
+    # coincide (p ~ 0)
+    assert not np.array_equal(np.asarray(ref_hist["x"][G:]),
+                              np.asarray(fus_hist["x"][G:]))
+    # both appends still published, in time order
+    assert int(fus_state.gen) == 30
+    assert int(fus_state.archive.fill) == int(state20.archive.fill) + 16
+
+
+def test_z_update_batched_publish_matches_history():
+    """A K=3 super-block's batched append writes exactly the K thinned
+    history snapshots, time-ordered, at the sequential ring positions."""
+    d, n, thin = 4, 8, 5
+    log_prob = gaussian_mixture(np.zeros((1, d), np.float32), sigma=1.0)
+    cfg = dream.DreamConfig(n_chains=n, archive_thin=thin, burnin_gens=0)
+    key = jax.random.key(3)
+    k_x, k_z, k_run = jax.random.split(key, 3)
+    x0 = var_ball(k_x, np.full(d, 2.0), n)
+    z0 = var_ball(k_z, np.full(d, 2.0), n)
+    state = dream.init(x0, log_prob, cfg, archive_capacity=256, z0=z0)
+    head0 = int(state.archive.head)
+    fill0 = int(state.archive.fill)
+    runner = make_chunk_runner(log_prob, cfg, z_update_every=3)
+    fstate, hist = runner(state, k_run, 15, 0)
+    snaps = np.asarray(hist["x"])[thin - 1::thin]       # [3, n, d]
+    buf = np.asarray(fstate.archive.buf)
+    np.testing.assert_array_equal(
+        buf[head0:head0 + 3 * n], snaps.reshape(3 * n, d))
+    assert int(fstate.archive.fill) == fill0 + 3 * n
+    assert int(fstate.archive.head) == (head0 + 3 * n) % 256
+    np.testing.assert_array_equal(np.asarray(fstate.x),
+                                  np.asarray(hist["x"])[-1])
+
+
+def test_api_fused_z_update():
+    """DreamZs(fused_z_update=K): segments cover whole super-blocks,
+    chunk rounding in run_mcmc_until respects the super-block length,
+    and misuse raises."""
+    import bipymc_tpu as bp
+    d, n = 4, 8
+    lp = gaussian_mixture(np.zeros((1, d), np.float32), sigma=1.0)
+    x0 = np.asarray(var_ball(jax.random.key(2), np.full(d, 2.0), n))
+    s = bp.DreamZs(lp, n_chains=n, seed=5, archive_thin=5,
+                   burnin_gens=10, archive_capacity=256,
+                   fused=True, fused_z_update=2)
+    s.run_mcmc(45, jnp.asarray(x0))
+    # 45 = 10 per-gen (burn-in) + 30 fused (3 super-blocks) + 5 per-gen
+    assert s.super_chain.shape == (n, 45, d)
+    assert int(s.final_state.gen) == 45
+    # continuation keeps working across the engine boundary
+    s.run_mcmc(20)
+    assert s.super_chain.shape == (n, 65, d)
+
+    s2 = bp.DreamZs(lp, n_chains=n, seed=5, archive_thin=5,
+                    burnin_gens=10, archive_capacity=256,
+                    fused=True, fused_z_update=2)
+    info = s2.run_mcmc_until(jnp.asarray(x0), rhat_tol=1.2, chunk=15,
+                             max_chunks=30, warmup_chunks=2)
+    assert int(info["steps"]) % 10 == 0      # chunk rounded up to CG=10
+
+    with pytest.raises(ValueError, match="fused=True"):
+        bp.DreamZs(lp, n_chains=n, fused_z_update=2)
+    with pytest.raises(ValueError, match=">= 1"):
+        bp.DreamZs(lp, n_chains=n, fused=True, fused_z_update=0)
+    # batched append larger than the archive: caught at the runner
+    cfg = dream.DreamConfig(n_chains=n, archive_thin=5, burnin_gens=0)
+    st = dream.init(jnp.asarray(x0), lp, cfg, archive_capacity=16,
+                    z0=var_ball(jax.random.key(4), np.full(d, 2.0), n))
+    r = make_chunk_runner(lp, cfg, z_update_every=4)
+    with pytest.raises(ValueError, match="archive capacity"):
+        r(st, jax.random.key(0), 20, 0)
+    with pytest.raises(ValueError, match="super-block"):
+        make_chunk_runner(lp, cfg, z_update_every=2)(
+            st, jax.random.key(0), 15, 0)
