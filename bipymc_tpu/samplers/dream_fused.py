@@ -397,7 +397,12 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
             return new_st, ys
 
         n_chunks = n_gens // CG
-        M = max(1, min(int(prep_chunks), n_chunks))
+        # prep batching amortizes per-chunk launch overhead; a K-super-
+        # block already prepares K blocks at once, so scale M down to
+        # keep the live prep bytes (M*CG gens x n x nw words) flat —
+        # at rng="stream" nw is 5+k+3d and M=prep_chunks with K=8 would
+        # spike the prep block into hundreds of MB
+        M = max(1, min(int(prep_chunks) // K, n_chunks))
         q, r = divmod(n_chunks, M)
 
         if collect == "rhat":
