@@ -504,3 +504,26 @@ def test_api_fused_z_update():
     with pytest.raises(ValueError, match="super-block"):
         make_chunk_runner(lp, cfg, z_update_every=2)(
             st, jax.random.key(0), 15, 0)
+
+
+def test_z_update_statistics_on_gaussian():
+    """2k generations at z_update_every=8 (250 super-blocks) still
+    sample the 2-d Gaussian correctly — the stale-Z window changes the
+    execution schedule, not the stationary distribution."""
+    d, n = 2, 16
+    log_prob = gaussian_mixture(np.zeros((1, d), np.float32), sigma=1.0)
+    cfg = dream.DreamConfig(n_chains=n, archive_thin=10, burnin_gens=0,
+                            p_snooker=0.1)
+    key = jax.random.key(3)
+    k_x, k_z, k_run = jax.random.split(key, 3)
+    state = dream.init(var_ball(k_x, np.full(d, 4.0), n), log_prob, cfg,
+                       archive_capacity=256,
+                       z0=var_ball(k_z, np.full(d, 4.0), n))
+    runner = make_chunk_runner(log_prob, cfg, z_update_every=8)
+    state, hist = jax.jit(
+        lambda s, k: runner(s, k, 2000, 0))(state, k_run)
+    kept = np.asarray(hist["x"][500:]).reshape(-1, d)
+    assert np.all(np.abs(kept.mean(0)) < 0.15), kept.mean(0)
+    assert np.all(np.abs(kept.std(0) - 1.0) < 0.15), kept.std(0)
+    acc = np.asarray(hist["accepted"][500:]).mean()
+    assert 0.05 < acc < 0.9, acc
