@@ -57,6 +57,7 @@ def main():
     print(f"proc {pid}: global psum OK ({want})", flush=True)
 
     run_dream_across_processes(mesh, pid)
+    run_fused_across_processes(mesh, pid)
     jax.distributed.shutdown()
 
 
@@ -115,6 +116,58 @@ def run_dream_across_processes(mesh, pid):
     assert checked >= 2                              # 2 devices × ≥1 chain
     print(f"proc {pid}: cross-process DREAM-zs run bit-identical "
           f"({checked} local chains × {n_gens} gens)", flush=True)
+
+
+def run_fused_across_processes(mesh, pid):
+    """Drive the FUSED multi-generation engine (samplers/dream_fused.py)
+    with the population sharded across OS processes: the wrapped
+    shard_map runner executes one kernel per archive_thin generations
+    per shard, with the ring-append all_gather riding the cross-process
+    transport. rng="stream" folds keys by global chain id, so the
+    trajectories must equal the single-process vmap runner bit-for-bit
+    (the same contract tests/test_fused_chunk.py pins intra-process).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bipymc_tpu.models.targets import correlated_gaussian
+    from bipymc_tpu.samplers import dream
+    from bipymc_tpu.samplers.dream_fused import make_chunk_runner
+    from bipymc_tpu.parallel.pool import _state_specs
+    from bipymc_tpu.parallel.mesh import CHAIN_AXIS
+
+    lp = correlated_gaussian(np.array([1.0, -1.0]),
+                             np.array([[1.0, 0.3], [0.3, 0.8]]))
+    cfg = dream.DreamConfig(n_chains=8, burnin_gens=0, archive_thin=5)
+    key = jax.random.key(7)
+    k_x, k_z, k_run = jax.random.split(key, 3)
+    x0 = 2.0 * jax.random.normal(k_x, (8, 2), jnp.float32)
+    z0 = 2.0 * jax.random.normal(k_z, (16, 2), jnp.float32)
+    state = dream.init(x0, lp, cfg, archive_capacity=64, z0=z0)
+    n_gens = 20
+
+    single = make_chunk_runner(lp, cfg)
+    _, want = jax.jit(lambda s, k: single(s, k, n_gens, 0))(state, k_run)
+    want_x = np.asarray(want["x"])                   # [T, 8, 2]
+
+    dist_runner = make_chunk_runner(lp, cfg, mesh=mesh)
+    specs = _state_specs(state, ("x", "logp", "logp_sum"), CHAIN_AXIS)
+    shardings = jax.tree_util.tree_map(
+        lambda p: NamedSharding(mesh, p), specs,
+        is_leaf=lambda x: isinstance(x, P))
+    gstate = jax.device_put(state, shardings)
+    _, fhist = dist_runner(gstate, k_run, n_gens, 0)
+    checked = 0
+    for shard in fhist["x"].addressable_shards:
+        cols = shard.index[1]                        # chain-axis slice
+        np.testing.assert_array_equal(np.asarray(shard.data),
+                                      want_x[:, cols, :])
+        checked += np.asarray(shard.data).shape[1]
+    assert checked >= 2
+    print(f"proc {pid}: cross-process FUSED engine bit-identical "
+          f"({checked} local chains x {n_gens} gens)", flush=True)
 
 
 if __name__ == "__main__":

@@ -51,3 +51,4 @@ def test_two_process_distributed_psum():
         # verdict #3: a SAMPLER generation (not just a psum) must cross
         # the process boundary, bit-identical to the single-process run
         assert "cross-process DREAM-zs run bit-identical" in out, out
+        assert "cross-process FUSED engine bit-identical" in out, out
