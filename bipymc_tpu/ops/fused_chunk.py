@@ -107,6 +107,37 @@ def block_logp_from_scalar(log_prob, d):
     return f
 
 
+def hoist_target_consts(log_prob_block, bc, d_p, dtype):
+    """Trace ``log_prob_block`` on a [bc, d_p] block and pull its closure
+    constants out as kernel operands.
+
+    Pallas kernels cannot capture array constants (mode centres, data
+    vectors, …), and ``closure_convert`` only extracts tracers — so
+    trace to a jaxpr and lift the concrete consts explicitly. Returns
+    ``(closed_fn, consts_2d, const_shapes, const_specs)``: call
+    ``closed_fn(x_block, *consts)`` inside the kernel with the const
+    refs' values (restored to their true shapes via ``const_shapes`` —
+    rank < 2 consts are lifted to (1, k) so every operand is a legal
+    2-D VMEM block). Shared by the fused DREAM and stretch kernels.
+    """
+    closed = jax.make_jaxpr(log_prob_block)(
+        jax.ShapeDtypeStruct((bc, d_p), dtype))
+    consts = closed.consts
+
+    def closed_fn(xb, *cs):
+        out = jax.core.eval_jaxpr(closed.jaxpr, cs, xb)
+        return out[0]
+
+    const_shapes = tuple(tuple(c.shape) for c in consts)
+    consts_2d = [c if c.ndim >= 2 else jnp.reshape(c, (1, -1))
+                 for c in consts]
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda *_, _nd=c.ndim: (0,) * _nd,
+                     memory_space=pltpu.VMEM)
+        for c in consts_2d]
+    return closed_fn, consts_2d, const_shapes, const_specs
+
+
 def _make_kernel(closed_fn, const_shapes, n_pairs, d_true, b, b_star,
                  rng="stream", test_bits=False):
     nc = len(const_shapes)
@@ -236,26 +267,8 @@ def fused_chunk_pallas(x0, logp0, rows, u_mask, u_e, eps, scal,
     gnd = pl.BlockSpec((1, bc, d_p), lambda nb_, g_: (g_, nb_, 0),
                        memory_space=pltpu.VMEM)
 
-    # hoist the target's closure constants (mode centres, data, …) into
-    # kernel inputs — Pallas kernels cannot capture array constants, and
-    # closure_convert only extracts tracers, so trace to a jaxpr and pull
-    # the concrete consts explicitly. Flattened to (1, size) so every
-    # const is a legal 2-D VMEM block; the kernel restores the shapes.
-    closed = jax.make_jaxpr(log_prob_block)(
-        jax.ShapeDtypeStruct((bc, d_p), dtype))
-    consts = closed.consts
-
-    def closed_fn(xb, *cs):
-        out = jax.core.eval_jaxpr(closed.jaxpr, cs, xb)
-        return out[0]
-
-    const_shapes = tuple(tuple(c.shape) for c in consts)
-    consts_2d = [c if c.ndim >= 2 else jnp.reshape(c, (1, -1))
-                 for c in consts]
-    const_specs = [
-        pl.BlockSpec(c.shape, lambda *_, _nd=c.ndim: (0,) * _nd,
-                     memory_space=pltpu.VMEM)
-        for c in consts_2d]
+    closed_fn, consts_2d, const_shapes, const_specs = hoist_target_consts(
+        log_prob_block, bc, d_p, dtype)
 
     scal_spec = pl.BlockSpec((1, bc, _LANE), lambda nb_, g_: (g_, nb_, 0),
                              memory_space=pltpu.VMEM)

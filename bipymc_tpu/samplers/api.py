@@ -663,12 +663,46 @@ class EnsembleSampler(McmcSampler):
     (samplers/stretch.py). Use n_chains ≥ 2d+2 walkers."""
 
     def __init__(self, log_like_fn, n_chains=32, seed=0, dtype=jnp.float32,
-                 mesh=None, **config_kw):
+                 mesh=None, fused=False, log_prob_block=None, **config_kw):
+        """``fused=True`` routes runs through the fused multi-generation
+        stretch engine (samplers/stretch_fused.py: whole chunks of
+        generations per Pallas kernel, the complementary-walker gather
+        as an in-kernel one-hot MXU contraction). No archive and no
+        burn-in adaptation means EVERY segment fuses — no alignment
+        constraints; trajectories consume the per-generation engine's
+        exact random streams (accept decisions identical, positions to
+        float re-association). Single-device, ≤ 1024 walkers, and a
+        jnp-expressible (Mosaic-lowerable) target — see
+        ops/fused_stretch.py; ``log_prob_block`` optionally supplies a
+        hand-written lane-padded block target."""
         super().__init__(log_like_fn, seed=seed, dtype=dtype)
         self.n_chains = int(n_chains)
         self.cfg = stretch.StretchConfig(n_chains=self.n_chains,
                                          **config_kw)
         self.mesh = mesh
+        self.fused = bool(fused)
+        self._log_prob_block = log_prob_block
+        self._fused_runner = None
+        self._fused_jits = {}
+        if self.fused:
+            if mesh is not None:
+                raise ValueError(
+                    "fused=True is single-device (the one-hot partner "
+                    "gather needs the whole population in one kernel "
+                    "cell); drop mesh= or use the per-generation engine")
+            from bipymc_tpu.ops.fused_stretch import MAX_WALKERS
+            if self.n_chains > MAX_WALKERS:
+                raise ValueError(
+                    f"fused=True supports <= {MAX_WALKERS} walkers; "
+                    f"got {self.n_chains}")
+
+    def _fused(self):
+        if self._fused_runner is None:
+            from bipymc_tpu.samplers.stretch_fused import make_chunk_runner
+            self._fused_runner = make_chunk_runner(
+                self.log_like_fn, self.cfg,
+                log_prob_block=self._log_prob_block)
+        return self._fused_runner
 
     def _ensure(self, theta_0, spread):
         return self._ensure_population(
@@ -681,6 +715,15 @@ class EnsembleSampler(McmcSampler):
     def run_mcmc(self, n_gens, theta_0=None, thin=1, spread=1.0,
                  progress_every=None):
         state, k_run = self._ensure(theta_0, spread)
+        if self.fused and thin == 1 and progress_every is None:
+            runner = self._fused()
+            if n_gens not in self._fused_jits:
+                self._fused_jits[n_gens] = jax.jit(
+                    lambda s, k, t: runner(s, k, n_gens, t))
+            final_state, history = self._fused_jits[n_gens](
+                state, k_run, jnp.asarray(self._steps_run, jnp.int32))
+            self._store(final_state, history, n_gens, thin=1)
+            return self
         final_state, history = self._pool_obj.run(
             state, k_run, n_gens, thin=thin, t0=self._steps_run,
             progress_every=progress_every)
@@ -693,7 +736,8 @@ class EnsembleSampler(McmcSampler):
         final_state, info = self._pool_obj.run_until(
             state, k_run, rhat_tol=rhat_tol, chunk=chunk,
             max_chunks=max_chunks, warmup_chunks=warmup_chunks,
-            t0=self._steps_run)
+            t0=self._steps_run,
+            chunk_runner=self._fused() if self.fused else None)
         self._final_state = jax.block_until_ready(final_state)
         self._steps_run += int(info["steps"])
         return {k: np.asarray(v) for k, v in info.items()}

@@ -1,0 +1,128 @@
+"""Chunked fused-execution driver for the stretch ensemble sampler.
+
+Drives ops/fused_stretch.py: a ``lax.scan`` over ``kernel_gens``-
+generation chunks where each chunk is (a) a handful of XLA ops
+pregenerating the chunk's randomness — the SAME threefry streams as the
+per-generation engine (samplers/stretch.py: step_key on the absolute t,
+split, per-walker fold by global index) converted with the identical
+expressions (partner ``j = bits0 % half`` into the other half,
+``z = ((a−1)u+1)²/a``, ``log u``) — then (b) ONE Pallas kernel advancing
+all generations with the walker population in VMEM scratch.
+
+Unlike DREAM-zs there is no archive and no burn-in adaptation, so the
+whole run is time-homogeneous: every segment fuses (no alignment or
+post-burn-in constraints), and the only knob is ``kernel_gens`` (scalar
+operand staging per kernel call — launch overhead already amortizes
+~64× at the default).
+
+Scope: single-device (the population must fit one kernel cell for the
+one-hot partner gather — ``ops/fused_stretch.MAX_WALKERS``); the mesh
+path stays on the per-generation engine. Trajectories consume identical
+random streams to the per-generation engine, agreeing exactly on accept
+decisions and to float re-association on positions
+(tests/test_stretch.py pins both).
+"""
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from bipymc_tpu.core.rng import bits_to_uniform, step_key
+from bipymc_tpu.ops.fused_chunk import block_logp_from_scalar
+from bipymc_tpu.ops.fused_stretch import fused_stretch_pallas, MAX_WALKERS
+from bipymc_tpu.samplers.stretch import StretchConfig, StretchState
+
+
+def make_chunk_runner(log_prob: Callable, cfg: StretchConfig,
+                      log_prob_block: Callable | None = None,
+                      interpret: bool | None = None,
+                      kernel_gens: int = 64) -> Callable:
+    """Build ``run(state, base_key, n_gens, t0) -> (state, history)``.
+
+    history is ``{"x": [n_gens, n, d], "logp": [n_gens, n],
+    "accepted": [n_gens, n]}`` — the same leaves as the per-generation
+    ChainPool collection. ``t0`` may be a Python int or a traced int32
+    scalar (continuation runs); any n_gens ≥ 1 is legal.
+    """
+    n = cfg.n_chains
+    if n % 2:
+        raise ValueError("stretch move needs an even number of walkers")
+    if n > MAX_WALKERS:
+        raise ValueError(
+            f"fused stretch engine supports <= {MAX_WALKERS} walkers; "
+            f"got {n} — use the per-generation engine")
+    half = n // 2
+    _lp_blocks: dict = {}
+
+    def _lp_block_for(dim):
+        if log_prob_block is not None:
+            return log_prob_block
+        if dim not in _lp_blocks:
+            _lp_blocks[dim] = block_logp_from_scalar(log_prob, dim)
+        return _lp_blocks[dim]
+
+    def runner_local(state: StretchState, base_key, n_gens: int, t0):
+        dim = state.x.shape[1]
+        dtype = state.x.dtype
+        lp_block = _lp_block_for(dim)
+        interp = (jax.default_backend() != "tpu" if interpret is None
+                  else interpret)
+        rows = jnp.arange(n, dtype=jnp.int32)
+
+        def prep(ts):
+            """scal [B, n, 6] for absolute generation indices ts [B] —
+            the per-generation engine's exact stream construction."""
+            def one(t):
+                k1, k2 = jax.random.split(step_key(base_key, t))
+                blk1 = jax.vmap(lambda i: jax.random.bits(
+                    jax.random.fold_in(k1, i), (3,), jnp.uint32))(rows)
+                blk2 = jax.vmap(lambda i: jax.random.bits(
+                    jax.random.fold_in(k2, i), (3,), jnp.uint32))(rows)
+
+                def conv(blk, other_offset):
+                    j = ((blk[:, 0] & jnp.uint32(0x7FFFFFFF))
+                         .astype(jnp.int32) % half + other_offset)
+                    u2 = bits_to_uniform(blk[:, 1:], dtype)
+                    z = ((cfg.a - 1.0) * u2[:, 0] + 1.0) ** 2 / cfg.a
+                    return j.astype(dtype), z, jnp.log(u2[:, 1])
+
+                j1, z1, lu1 = conv(blk1, half)   # first half partners ≥ half
+                j2, z2, lu2 = conv(blk2, 0)      # second half partners < half
+                return jnp.stack([j1, z1, lu1, j2, z2, lu2], axis=-1)
+            return jax.vmap(one)(ts)
+
+        G = max(1, min(int(kernel_gens), n_gens))
+        q, r = divmod(n_gens, G)
+
+        def chunk(st, ts):
+            xh, lph, acc = fused_stretch_pallas(
+                st.x, st.logp, prep(ts), lp_block, n_true=n, half=half,
+                d_true=dim, interpret=interp)
+            new_st = StretchState(x=xh[-1], logp=lph[-1],
+                                  gen=st.gen + ts.shape[0])
+            return new_st, (xh, lph, acc)
+
+        parts = []
+        state, ys = lax.scan(
+            lambda st, s: chunk(st, t0 + s * G
+                                + jnp.arange(G, dtype=jnp.int32)),
+            state, jnp.arange(q, dtype=jnp.int32))
+        parts.append(jax.tree_util.tree_map(
+            lambda a: a.reshape(q * G, *a.shape[2:]), ys))
+        if r:
+            state, ys_r = chunk(
+                state, t0 + q * G + jnp.arange(r, dtype=jnp.int32))
+            parts.append(ys_r)
+        ys = (parts[0] if len(parts) == 1 else
+              jax.tree_util.tree_map(
+                  lambda a, b: jnp.concatenate([a, b], axis=0), *parts))
+        xh, lph, acc = ys
+        return state, {"x": xh, "logp": lph, "accepted": acc}
+
+    # run_until contract attributes: no alignment constraints at all
+    runner_local.align = 1
+    runner_local.chunk_multiple = 1
+    runner_local.position_field = "x"
+    return runner_local

@@ -42,3 +42,47 @@ def test_mesh_equals_vmap():
 def test_odd_walker_count_raises():
     with pytest.raises(ValueError, match="even"):
         bp.EnsembleSampler(banana(), n_chains=7).run_mcmc(10, jnp.zeros(2))
+
+
+def test_fused_matches_per_generation():
+    """Fused stretch engine (ops/fused_stretch.py): identical streams →
+    identical accept decisions and matching trajectories, across a
+    kernel-chunk boundary and a continuation run."""
+    lp = correlated_gaussian(MEAN, COV)
+    a = bp.EnsembleSampler(lp, n_chains=16, seed=4)
+    a.run_mcmc(50, jnp.zeros(2), spread=1.0)
+    b = bp.EnsembleSampler(lp, n_chains=16, seed=4, fused=True)
+    b.run_mcmc(50, jnp.zeros(2), spread=1.0)
+    np.testing.assert_array_equal(
+        np.asarray(a._history["accepted"]),
+        np.asarray(b._history["accepted"]))
+    np.testing.assert_allclose(a.super_chain, b.super_chain,
+                               rtol=1e-6, atol=1e-6)
+    # continuation consumes the same downstream streams
+    a.run_mcmc(30)
+    b.run_mcmc(30)
+    np.testing.assert_allclose(a.super_chain, b.super_chain,
+                               rtol=1e-6, atol=1e-6)
+    assert int(b.final_state.gen) == 80
+
+
+def test_fused_rhat_stop_matches_default():
+    """run_mcmc_until with fused=True: same stopping point and R-hat as
+    the per-generation engine (no alignment constraints — stretch has
+    no archive, so every chunk fuses from generation 0)."""
+    lp = correlated_gaussian(MEAN, COV)
+    kw = dict(rhat_tol=1.15, chunk=50, max_chunks=60, spread=1.5)
+    a = bp.EnsembleSampler(lp, n_chains=16, seed=5)
+    ia = a.run_mcmc_until(jnp.zeros(2), **kw)
+    b = bp.EnsembleSampler(lp, n_chains=16, seed=5, fused=True)
+    ib = b.run_mcmc_until(jnp.zeros(2), **kw)
+    assert int(ia["steps"]) == int(ib["steps"])
+    np.testing.assert_allclose(ia["rhat"], ib["rhat"], rtol=1e-4)
+
+
+def test_fused_validation():
+    lp = correlated_gaussian(MEAN, COV)
+    with pytest.raises(ValueError, match="single-device"):
+        bp.EnsembleSampler(lp, n_chains=16, fused=True, mesh=chain_mesh())
+    with pytest.raises(ValueError, match="walkers"):
+        bp.EnsembleSampler(lp, n_chains=2048, fused=True)
