@@ -657,6 +657,19 @@ class DeMc(McmcSampler):
         return {k: np.asarray(v) for k, v in info.items()}
 
 
+def _check_fused_dtype(dtype):
+    """Fail fused=True + float64 on TPU at construction: the TPU has no
+    f64 datapath, so the Mosaic compile would die mid-run with an
+    opaque error after burn-in already advanced (the same
+    construction-time policy as fused_rng='kernel'). Off-TPU the fused
+    engines run in interpret mode, where f64 is fine."""
+    if dtype == jnp.float64 and jax.default_backend() == "tpu":
+        raise ValueError(
+            "fused=True with dtype=float64 cannot run on the TPU "
+            "(no f64 datapath in Mosaic kernels); use dtype=float32 "
+            "or the per-generation engine")
+
+
 class EnsembleSampler(McmcSampler):
     """Affine-invariant ensemble sampler (Goodman & Weare 2010 stretch
     move, emcee-style red-black parallel update) — beyond-reference extra
@@ -695,6 +708,7 @@ class EnsembleSampler(McmcSampler):
                 raise ValueError(
                     f"fused=True supports <= {MAX_WALKERS} walkers; "
                     f"got {self.n_chains}")
+            _check_fused_dtype(self.dtype)
 
     def _fused(self):
         if self._fused_runner is None:
@@ -818,6 +832,7 @@ class DreamZs(McmcSampler):
         if self.fused:
             from bipymc_tpu.samplers.dream_fused import check_fusable
             check_fusable(self.cfg, mesh)
+            _check_fused_dtype(self.dtype)
 
     def _pool(self):
         if getattr(self, "_pool_obj", None) is None:

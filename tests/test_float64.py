@@ -46,3 +46,21 @@ def test_float64_samplers():
                        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "F64 OK" in r.stdout
+
+
+def test_fused_f64_rejected_on_tpu(monkeypatch):
+    """fused=True + float64 must fail at construction when the backend
+    is the TPU (no f64 datapath in Mosaic) — not mid-run."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    import bipymc_tpu as bp
+    from bipymc_tpu.models.targets import correlated_gaussian
+    import numpy as np
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    lp = correlated_gaussian(np.zeros(2), np.eye(2))
+    with pytest.raises(ValueError, match="float64"):
+        bp.DreamZs(lp, n_chains=8, fused=True, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="float64"):
+        bp.EnsembleSampler(lp, n_chains=8, fused=True, dtype=jnp.float64)
