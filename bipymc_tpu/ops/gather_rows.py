@@ -1,0 +1,83 @@
+"""Capacity-independent archive row gather (HBM -> VMEM DMA kernel).
+
+``archive.buf[row_idx]`` is the one op in the fused DREAM-zs chunk whose
+XLA lowering can depend on the *capacity* of the archive rather than the
+number of rows fetched: on TPU a dynamic row gather may lower to a
+one-hot ``dot`` against the whole ``[capacity, d]`` buffer, making the
+gather cost ``O(capacity · R · d)`` instead of the ``O(R · d)`` bytes the
+fetch actually needs (measured: the fused ``run_mcmc_until`` path slowed
+~2x when auto-capacity grew 8192 -> 65536 with identical work per
+generation; see docs/ROUND3.md §14).
+
+This kernel is the speed-of-light lowering: the buffer stays in HBM
+(``memory_space=ANY``), the flattened row indices ride scalar prefetch so
+they are available before the body runs, and each grid cell issues
+``rows_per_cell`` independent async DMAs — one ``[1, d]`` row each,
+HBM -> the cell's VMEM output block — then waits for them all. Cost is
+``R`` row-sized DMAs regardless of capacity; Mosaic double-buffers the
+output blocks so cells overlap.
+
+Exact by construction (a copy is a copy): equivalence with ``buf[idx]``
+is pinned in interpret mode and on hardware (tests/test_gather_rows.py).
+Reference parity: this implements the archive-row fetch of ter Braak &
+Vrugt (2008)'s DREAM-zs sampled-history proposal (SURVEY.md §4.5); the
+reference's NumPy fancy-indexing has no capacity pathology to begin
+with, and neither should we.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gather_kernel(idx_ref, buf_ref, out_ref, sems, *, g):
+    i = pl.program_id(0)
+    copies = []
+    for j in range(g):
+        row = idx_ref[i * g + j]
+        c = pltpu.make_async_copy(
+            buf_ref.at[pl.ds(row, 1), :],
+            out_ref.at[pl.ds(j, 1), :],
+            sems.at[j])
+        c.start()
+        copies.append(c)
+    for c in copies:
+        c.wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("rows_per_cell", "interpret"))
+def gather_rows_pallas(buf, row_idx, *, rows_per_cell: int = 32,
+                       interpret: bool = False):
+    """``buf[row_idx]`` with cost independent of ``buf.shape[0]``.
+
+    buf: [capacity, d]; row_idx: any int shape [...]; returns [..., d].
+    rows_per_cell bounds the DMAs in flight per grid cell (each needs a
+    semaphore); the row count is padded up to a multiple with repeats of
+    row 0 and the padding rows are dropped from the result.
+    """
+    cap, d = buf.shape
+    shape = row_idx.shape
+    flat = row_idx.reshape(-1).astype(jnp.int32)
+    r = flat.shape[0]
+    g = max(1, min(rows_per_cell, r))
+    rp = -(-r // g) * g
+    if rp != r:
+        flat = jnp.pad(flat, (0, rp - r))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rp // g,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((g, d), lambda i, idx_ref: (i, 0)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((g,))],
+    )
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, g=g),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rp, d), buf.dtype),
+        interpret=interpret,
+    )(flat, buf)
+    return out[:r].reshape(*shape, d)

@@ -767,7 +767,7 @@ class DreamZs(McmcSampler):
     def __init__(self, log_like_fn, n_chains=8, seed=0, dtype=jnp.float32,
                  mesh=None, archive_capacity=None, n_archive_init=None,
                  fused=False, fused_rng="stream", fused_z_update=1,
-                 log_prob_block=None, **config_kw):
+                 fused_gather="block", log_prob_block=None, **config_kw):
         """``fused=True`` routes post-burn-in, archive-aligned steady-state
         generations through the fused multi-generation Pallas engine
         (samplers/dream_fused.py — one kernel per ``archive_thin``
@@ -797,7 +797,14 @@ class DreamZs(McmcSampler):
         K > 1 trajectories are not bit-identical to ``fused=False``
         (proposals inside a super-block sample a Z stale by up to
         K·archive_thin generations). Requires K·n_chains ≤ archive
-        capacity. See samplers/dream_fused.make_chunk_runner."""
+        capacity. See samplers/dream_fused.make_chunk_runner.
+
+        ``fused_gather`` selects the archive row-gather lowering inside
+        the fused engine: ``"block"`` (one XLA gather per super-block),
+        ``"pergen"`` (per-generation gathers), or ``"kernel"`` (the
+        capacity-independent HBM-DMA kernel, ops/gather_rows.py — the
+        XLA lowerings can cost O(archive capacity) on TPU). Values are
+        identical; only speed differs."""
         super().__init__(log_like_fn, seed=seed, dtype=dtype)
         self.n_chains = int(n_chains)
         self.cfg = self._config_builder(self.n_chains, **config_kw)
@@ -807,6 +814,12 @@ class DreamZs(McmcSampler):
         self.fused = bool(fused)
         self.fused_rng = fused_rng
         self.fused_z_update = int(fused_z_update)
+        self.fused_gather = fused_gather
+        from bipymc_tpu.samplers.dream_fused import _GATHER_MODES
+        if fused_gather not in _GATHER_MODES:
+            raise ValueError(
+                f"fused_gather={fused_gather!r}: expected one of "
+                f"{_GATHER_MODES}")
         if self.fused_z_update < 1:
             raise ValueError(
                 f"fused_z_update={fused_z_update}: must be >= 1")
@@ -893,7 +906,8 @@ class DreamZs(McmcSampler):
             self._fused_runner = make_chunk_runner(
                 self.log_like_fn, self.cfg,
                 log_prob_block=self._log_prob_block, mesh=self.mesh,
-                rng=self.fused_rng, z_update_every=self.fused_z_update)
+                rng=self.fused_rng, z_update_every=self.fused_z_update,
+                gather_mode=self.fused_gather)
         if n_gens not in self._fused_jits:
             runner = self._fused_runner
             self._fused_jits[n_gens] = jax.jit(
@@ -979,7 +993,8 @@ class DreamZs(McmcSampler):
                         log_prob_block=self._log_prob_block,
                         mesh=self.mesh, rng=self.fused_rng, wrap=False,
                         collect="rhat",
-                        z_update_every=self.fused_z_update)
+                        z_update_every=self.fused_z_update,
+                        gather_mode=self.fused_gather)
                 chunk_runner = self._fused_runner_local
                 fused_after = self.cfg.burnin_gens
         state, k_run = self._ensure_state(theta_0, spread,

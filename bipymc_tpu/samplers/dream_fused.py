@@ -73,15 +73,20 @@ def _kernel_rng_seeds(keys, offset):
         jnp.uint32))(keys)
 
 
-# Archive row-gather strategy for the fused chunk ("block" | "pergen").
+# Archive row-gather strategy for the fused chunk
+# ("block" | "pergen" | "kernel").
 # "block" issues ONE [G, n, k]-index gather per chunk; "pergen" scans G
 # per-generation [n, k] gathers (lax.map), matching the per-generation
-# engine's op shape. Values are identical; only the XLA lowering differs.
+# engine's op shape; "kernel" routes the block gather through the
+# capacity-independent HBM-DMA kernel (ops/gather_rows.py) — the XLA
+# gather lowerings can cost O(archive capacity), the kernel cannot.
+# Values are identical for all three; only the lowering differs.
 # Module-level so a hardware A/B can flip it in-process.
 _GATHER_MODE = "block"
+_GATHER_MODES = ("block", "pergen", "kernel")
 
 
-def _gather_rows(buf, row_idx, mode=None):
+def _gather_rows(buf, row_idx, mode=None, interpret=False):
     """buf[row_idx] with a switchable lowering (see _GATHER_MODE).
 
     mode=None reads the module global AT TRACE TIME — callers that want
@@ -89,8 +94,12 @@ def _gather_rows(buf, row_idx, mode=None):
     pass ``make_chunk_runner(gather_mode=...)`` so the choice is part of
     the runner's identity instead of hidden trace-time state.
     """
-    if (mode or _GATHER_MODE) == "pergen":
+    mode = mode or _GATHER_MODE
+    if mode == "pergen":
         return jax.lax.map(lambda ri: buf[ri], row_idx)
+    if mode == "kernel":
+        from bipymc_tpu.ops.gather_rows import gather_rows_pallas
+        return gather_rows_pallas(buf, row_idx, interpret=interpret)
     return buf[row_idx]
 
 
@@ -202,6 +211,9 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
     """
     if rng not in ("stream", "kernel"):
         raise ValueError(f"rng={rng!r}: expected 'stream' or 'kernel'")
+    if gather_mode is not None and gather_mode not in _GATHER_MODES:
+        raise ValueError(
+            f"gather_mode={gather_mode!r}: expected one of {_GATHER_MODES}")
     check_fusable(cfg, mesh)
     K = int(z_update_every)
     if K < 1:
@@ -347,8 +359,8 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
                 row_idx = distinct_idx_pallas(
                     row_bits.reshape(CG * n, n_rows), n_rows,
                     st.archive.fill).reshape(CG, n, n_rows)
-            rows = _gather_rows(st.archive.buf, row_idx,
-                                gather_mode)     # [CG, n, k, d]
+            rows = _gather_rows(st.archive.buf, row_idx, gather_mode,
+                                interpret=interp)    # [CG, n, k, d]
 
             if not kernel_rng:
                 u_mask, u_e, eps_n = rng_in
