@@ -82,6 +82,15 @@ class DreamConfig(NamedTuple):
                                  # sampling — for archives too large to
                                  # replicate per device (SURVEY.md §7.7);
                                  # no-op on the single-device vmap path
+    gather_kernel: bool = False  # route the per-generation archive row
+                                 # gather buf[row_idx] through the
+                                 # capacity-independent HBM-DMA kernel
+                                 # (ops/gather_rows.py) instead of the
+                                 # XLA gather, whose TPU lowering can
+                                 # cost O(archive capacity) per
+                                 # generation (docs/ROUND3.md §14).
+                                 # Values identical; replicated-archive
+                                 # configurations only.
 
 
 def demcz_config(n_chains: int, **kw) -> DreamConfig:
@@ -334,6 +343,10 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
         if cfg.use_archive and cfg.shard_archive and axis_name is not None:
             rows = archive_gather_sharded(
                 state.archive.buf, row_idx, axis_name)
+        elif cfg.use_archive and cfg.gather_kernel:
+            from bipymc_tpu.ops.gather_rows import gather_rows_pallas
+            rows = gather_rows_pallas(state.archive.buf, row_idx,
+                                      interpret=interp)
         elif cfg.use_archive:
             rows = state.archive.buf[row_idx]              # [n_local, n_rows, d]
         else:

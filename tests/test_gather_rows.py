@@ -56,6 +56,19 @@ def test_gather_mode_validated():
         make_chunk_runner(log_prob, cfg, gather_mode="onehot")
 
 
+def test_pergen_engine_gather_kernel_matches_default():
+    import bipymc_tpu as bp
+
+    def run(**kw):
+        s = bp.DreamZs(lambda x: -0.5 * jnp.sum(x ** 2), n_chains=8,
+                       seed=11, burnin_gens=10, archive_thin=5,
+                       archive_capacity=64, **kw)
+        s.run_mcmc(30, theta_0=np.zeros(4, np.float32), spread=2.0)
+        return s.chain
+
+    np.testing.assert_array_equal(run(), run(gather_kernel=True))
+
+
 def test_api_fused_gather_kernel_matches_block():
     import bipymc_tpu as bp
 
