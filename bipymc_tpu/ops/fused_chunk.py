@@ -107,6 +107,27 @@ def block_logp_from_scalar(log_prob, d):
     return f
 
 
+def lp_block_cache(log_prob, log_prob_block=None):
+    """Per-dim cache of :func:`block_logp_from_scalar` wrappers.
+
+    The fused drivers pass log_prob_block as a *static* (hashable) jit
+    argument, so its identity must be stable across runner calls — a
+    fresh closure per call would defeat the jit cache (the round-2
+    ``run_until`` recompile-bug class). Returns ``lp_block_for(dim)``;
+    an explicit ``log_prob_block`` short-circuits the cache. Shared by
+    the fused DREAM / RW / stretch drivers.
+    """
+    blocks: dict = {}
+
+    def lp_block_for(dim):
+        if log_prob_block is not None:
+            return log_prob_block
+        if dim not in blocks:
+            blocks[dim] = block_logp_from_scalar(log_prob, dim)
+        return blocks[dim]
+    return lp_block_for
+
+
 def hoist_target_consts(log_prob_block, bc, d_p, dtype):
     """Trace ``log_prob_block`` on a [bc, d_p] block and pull its closure
     constants out as kernel operands.

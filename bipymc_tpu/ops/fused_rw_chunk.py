@@ -47,6 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 # desynchronise the two engines' Green–Mira acceptance
 # (tests/test_fused_rw.py pins the agreement)
 from bipymc_tpu.core.numerics import log1mexp as _log1mexp
+from bipymc_tpu.ops.fused_chunk import hoist_target_consts
 from bipymc_tpu.ops.tiling import round_up
 
 _LANE = 128
@@ -179,23 +180,10 @@ def fused_rw_chunk_pallas(x0, logp0, dy1, dy2, scal, log_prob_block,
     knd = pl.BlockSpec((1, spc, bc, d_p), lambda nb_, k_: (k_, 0, nb_, 0),
                        memory_space=pltpu.VMEM)
 
-    # hoist target-closure constants into kernel inputs (same machinery
-    # as ops/fused_chunk.py — Pallas kernels cannot capture array consts)
-    closed = jax.make_jaxpr(log_prob_block)(
-        jax.ShapeDtypeStruct((bc, d_p), dtype))
-    consts = closed.consts
-
-    def closed_fn(xb, *cs):
-        out = jax.core.eval_jaxpr(closed.jaxpr, cs, xb)
-        return out[0]
-
-    const_shapes = tuple(tuple(c.shape) for c in consts)
-    consts_2d = [c if c.ndim >= 2 else jnp.reshape(c, (1, -1))
-                 for c in consts]
-    const_specs = [
-        pl.BlockSpec(c.shape, lambda *_, _nd=c.ndim: (0,) * _nd,
-                     memory_space=pltpu.VMEM)
-        for c in consts_2d]
+    # hoist target-closure constants into kernel inputs (Pallas kernels
+    # cannot capture array consts)
+    closed_fn, consts_2d, const_shapes, const_specs = hoist_target_consts(
+        log_prob_block, bc, d_p, dtype)
 
     scal_spec = pl.BlockSpec((1, spc, bc, _LANE),
                              lambda nb_, k_: (k_, 0, nb_, 0),

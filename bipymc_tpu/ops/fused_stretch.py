@@ -74,32 +74,39 @@ def _make_kernel(closed_fn, const_shapes, n_true, half, d_true):
             lp_scr[:] = lp0_ref[:]
 
         x = x_scr[:]                               # [n_p, d_p]
-        lp = lp_scr[:, 0:1]                        # [n_p, 1]
+        lp = lp_scr[:, 0:1]                        # [n_p, 1] lp dtype
         scal = scal_ref[0]                         # [n_p, LANE]
         n_p = x.shape[0]
         row = jax.lax.broadcasted_iota(jnp.int32, (n_p, 1), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (n_p, n_p), 1)
         d_f = jnp.asarray(d_true, x.dtype)
-        acc_any = jnp.zeros((n_p, 1), x.dtype)
+        acc_any = jnp.zeros((n_p, 1), lp.dtype)
 
         for jl, zl, ll, first in ((S_J1, S_Z1, S_LU1, True),
                                   (S_J2, S_Z2, S_LU2, False)):
             j = scal[:, jl:jl + 1].astype(jnp.int32)      # [n_p, 1]
             onehot = (col == j).astype(x.dtype)           # [n_p, n_p]
             x_j = jax.lax.dot(onehot, x)                  # MXU gather
-            z = scal[:, zl:zl + 1]
-            log_u = scal[:, ll:ll + 1]
+            # scal rides in promote(dtype, f32) so indices are exact for
+            # narrow walker dtypes; values were computed in the walker
+            # dtype, so this downcast is an exact round trip
+            z = scal[:, zl:zl + 1].astype(x.dtype)
+            log_u = scal[:, ll:ll + 1].astype(x.dtype)
             x_star = x_j + z * (x - x_j)
-            lps = closed_fn(x_star, *consts)              # [n_p, 1]
+            # lps/lp/log_alpha follow the TARGET's dtype (a bf16-walker
+            # target usually promotes to f32) — the same promotion the
+            # per-generation engine's accept math sees
+            lps = closed_fn(x_star, *consts).astype(lp.dtype)  # [n_p, 1]
             log_alpha = (d_f - 1.0) * jnp.log(z) + lps - lp
             log_alpha = jnp.where(jnp.isfinite(lps),
-                                  jnp.minimum(0.0, log_alpha), -jnp.inf)
+                                  jnp.minimum(0.0, log_alpha),
+                                  jnp.asarray(-jnp.inf, lp.dtype))
             active = ((row < half) if first
                       else (row >= half) & (row < n_true))
             acc = active & (log_u < log_alpha)
             x = jnp.where(acc, x_star, x)
             lp = jnp.where(acc, lps, lp)
-            acc_any = jnp.maximum(acc_any, acc.astype(x.dtype))
+            acc_any = jnp.maximum(acc_any, acc.astype(lp.dtype))
 
         x_scr[:] = x
         lp_scr[:] = jnp.broadcast_to(lp, lp_scr.shape)
@@ -122,7 +129,10 @@ def fused_stretch_pallas(x0, logp0, scal, log_prob_block, n_true, half,
     x0 [n, d]; logp0 [n]; scal [G, n, 6] packed per-walker scalars
     (j1, z1, log_u1, j2, z2, log_u2 — partner ROW indices are absolute
     walker rows, precomputed with the per-generation engine's exact bit
-    conversions). log_prob_block: hashable ``[n_p, Dp] -> [n_p, 1]`` on
+    conversions). scal must ride in a dtype that represents every row
+    index exactly (the driver packs promote(x0.dtype, float32); z/log-u
+    lanes are downcast to x0.dtype in-kernel — exact, since the driver
+    computed them in x0.dtype). log_prob_block: hashable ``[n_p, Dp] -> [n_p, 1]`` on
     zero-padded lanes. Returns (x_hist [G, n, d], logp_hist [G, n],
     accepted [G, n] bool — either half-update accepted).
     """
@@ -135,7 +145,8 @@ def fused_stretch_pallas(x0, logp0, scal, log_prob_block, n_true, half,
             f"(one-hot partner gather is O(n^2)); got {n_true} — use "
             "the per-generation engine")
     dtype = x0.dtype
-    d = x0.shape[1]
+    lp_dtype = logp0.dtype         # the target's dtype (promotion kept:
+    d = x0.shape[1]                # bf16 walkers usually carry f32 logp)
     n_p = round_up(n, 8)
     d_p = round_up(d, _LANE)
 
@@ -164,11 +175,11 @@ def fused_stretch_pallas(x0, logp0, scal, log_prob_block, n_true, half,
         out_specs=[nd, nl],
         out_shape=[
             jax.ShapeDtypeStruct((G, n_p, d_p), dtype),
-            jax.ShapeDtypeStruct((G, n_p, _LANE), dtype),
+            jax.ShapeDtypeStruct((G, n_p, _LANE), lp_dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((n_p, d_p), dtype),
-            pltpu.VMEM((n_p, _LANE), dtype),
+            pltpu.VMEM((n_p, _LANE), lp_dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),

@@ -63,6 +63,11 @@ def gather_rows_pallas(buf, row_idx, *, rows_per_cell: int = 32,
     shape = row_idx.shape
     flat = row_idx.reshape(-1).astype(jnp.int32)
     r = flat.shape[0]
+    if r == 0:                      # zero-length grid is not expressible
+        return jnp.zeros((*shape, d), buf.dtype)
+    # XLA's gather clamps out-of-range indices; the row DMA would read
+    # whatever HBM sits past the buffer — clamp for identical semantics
+    flat = jnp.clip(flat, 0, cap - 1)
     g = max(1, min(rows_per_cell, r))
     rp = -(-r // g) * g
     if rp != r:

@@ -37,7 +37,7 @@ from bipymc_tpu.core.rng import bits_to_uniform, uniform_to_normal, step_key
 from bipymc_tpu.ensemble.archive import archive_append
 from bipymc_tpu.ensemble.indices import distinct_from_bits
 from bipymc_tpu.ops.fused_chunk import (
-    fused_chunk_pallas, block_logp_from_scalar)
+    fused_chunk_pallas, lp_block_cache)
 from bipymc_tpu.parallel.collectives import all_gather_chains, chain_offset
 from bipymc_tpu.parallel.mesh import CHAIN_AXIS
 from bipymc_tpu.samplers.dream import DreamConfig, DreamState
@@ -211,6 +211,9 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
     """
     if rng not in ("stream", "kernel"):
         raise ValueError(f"rng={rng!r}: expected 'stream' or 'kernel'")
+    if collect not in ("all", "stats", "rhat"):
+        raise ValueError(
+            f"collect={collect!r}: expected 'all', 'stats' or 'rhat'")
     if gather_mode is not None and gather_mode not in _GATHER_MODES:
         raise ValueError(
             f"gather_mode={gather_mode!r}: expected one of {_GATHER_MODES}")
@@ -223,17 +226,7 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
     CG = K * G                     # generations per kernel / super-block
     n_pairs = cfg.delta_max
     n_rows = max(2 * n_pairs, 3)
-    # built-once per dim so fused_chunk_pallas's static log_prob_block
-    # argument has a stable identity — a per-call closure would defeat
-    # the jit cache (the round-2 run_until recompile bug class)
-    _lp_blocks: dict = {}
-
-    def _lp_block_for(dim):
-        if log_prob_block is not None:
-            return log_prob_block
-        if dim not in _lp_blocks:
-            _lp_blocks[dim] = block_logp_from_scalar(log_prob, dim)
-        return _lp_blocks[dim]
+    _lp_block_for = lp_block_cache(log_prob, log_prob_block)
 
     def runner_local(state: DreamState, base_key, n_gens: int, t0):
         """n_gens: static; t0: Python int or traced int32 scalar (traced

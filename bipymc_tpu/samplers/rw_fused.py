@@ -29,7 +29,7 @@ from jax import lax
 
 from bipymc_tpu.core.rng import (bits_to_uniform, step_key,
                                  uniform_to_normal)
-from bipymc_tpu.ops.fused_chunk import block_logp_from_scalar
+from bipymc_tpu.ops.fused_chunk import lp_block_cache
 from bipymc_tpu.ops.fused_rw_chunk import fused_rw_chunk_pallas
 from bipymc_tpu.samplers.rw import RwConfig, RwState
 
@@ -72,14 +72,7 @@ def make_rw_chunk_runner(log_prob: Callable, cfg: RwConfig, n_chains: int,
                              f"chunk length K={K}")
     interp = (jax.default_backend() != "tpu" if interpret is None
               else interpret)
-    _lp_blocks: dict = {}
-
-    def _lp_block_for(dim):
-        if log_prob_block is not None:
-            return log_prob_block
-        if dim not in _lp_blocks:
-            _lp_blocks[dim] = block_logp_from_scalar(log_prob, dim)
-        return _lp_blocks[dim]
+    _lp_block_for = lp_block_cache(log_prob, log_prob_block)
 
     def runner(state: RwState, base_key, n_steps: int, t0):
         n, d = state.theta.shape

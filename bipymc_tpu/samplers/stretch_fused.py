@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from bipymc_tpu.core.rng import bits_to_uniform, step_key
-from bipymc_tpu.ops.fused_chunk import block_logp_from_scalar
+from bipymc_tpu.ops.fused_chunk import lp_block_cache
 from bipymc_tpu.ops.fused_stretch import fused_stretch_pallas, MAX_WALKERS
 from bipymc_tpu.samplers.stretch import StretchConfig, StretchState
 
@@ -54,14 +54,7 @@ def make_chunk_runner(log_prob: Callable, cfg: StretchConfig,
             f"fused stretch engine supports <= {MAX_WALKERS} walkers; "
             f"got {n} — use the per-generation engine")
     half = n // 2
-    _lp_blocks: dict = {}
-
-    def _lp_block_for(dim):
-        if log_prob_block is not None:
-            return log_prob_block
-        if dim not in _lp_blocks:
-            _lp_blocks[dim] = block_logp_from_scalar(log_prob, dim)
-        return _lp_blocks[dim]
+    _lp_block_for = lp_block_cache(log_prob, log_prob_block)
 
     def runner_local(state: StretchState, base_key, n_gens: int, t0):
         dim = state.x.shape[1]
@@ -69,28 +62,52 @@ def make_chunk_runner(log_prob: Callable, cfg: StretchConfig,
         lp_block = _lp_block_for(dim)
         interp = (jax.default_backend() != "tpu" if interpret is None
                   else interpret)
-        rows = jnp.arange(n, dtype=jnp.int32)
+        rows_lo = jnp.arange(half, dtype=jnp.int32)   # phase-1 active rows
+        rows_hi = half + rows_lo                      # phase-2 active rows
+
+        # packed-scalar dtype: indices must survive the packing exactly,
+        # and bf16/f16 walker dtypes cannot represent every row < n
+        # (bf16 integers are exact only to 256 < MAX_WALKERS). Pack in
+        # promote(dtype, f32): z/log-u are computed in the walker dtype
+        # first (the per-generation engine's exact values), so the
+        # upcast-pack / downcast-read round trip is exact for every
+        # supported dtype and f32/f64 trajectories are untouched.
+        scal_dtype = jnp.promote_types(dtype, jnp.float32)
 
         def prep(ts):
             """scal [B, n, 6] for absolute generation indices ts [B] —
-            the per-generation engine's exact stream construction."""
+            the per-generation engine's exact stream construction.
+
+            Only the ACTIVE half consumes each phase's lanes (phase 1:
+            rows < half read J1/Z1/LU1; phase 2: rows ≥ half read
+            J2/Z2/LU2 — the kernel masks the rest), and the per-
+            generation engine folds k1 only over rows_lo and k2 only
+            over rows_hi — so draw exactly those n blocks per
+            generation (not 2n) and zero-fill the dead lanes. With
+            z = 0 the masked phase computes x* = x[0] (finite), so the
+            zero fill is inert.
+            """
             def one(t):
                 k1, k2 = jax.random.split(step_key(base_key, t))
                 blk1 = jax.vmap(lambda i: jax.random.bits(
-                    jax.random.fold_in(k1, i), (3,), jnp.uint32))(rows)
+                    jax.random.fold_in(k1, i), (3,), jnp.uint32))(rows_lo)
                 blk2 = jax.vmap(lambda i: jax.random.bits(
-                    jax.random.fold_in(k2, i), (3,), jnp.uint32))(rows)
+                    jax.random.fold_in(k2, i), (3,), jnp.uint32))(rows_hi)
 
                 def conv(blk, other_offset):
                     j = ((blk[:, 0] & jnp.uint32(0x7FFFFFFF))
                          .astype(jnp.int32) % half + other_offset)
                     u2 = bits_to_uniform(blk[:, 1:], dtype)
                     z = ((cfg.a - 1.0) * u2[:, 0] + 1.0) ** 2 / cfg.a
-                    return j.astype(dtype), z, jnp.log(u2[:, 1])
+                    return (j.astype(scal_dtype), z.astype(scal_dtype),
+                            jnp.log(u2[:, 1]).astype(scal_dtype))
 
                 j1, z1, lu1 = conv(blk1, half)   # first half partners ≥ half
                 j2, z2, lu2 = conv(blk2, 0)      # second half partners < half
-                return jnp.stack([j1, z1, lu1, j2, z2, lu2], axis=-1)
+                zero = jnp.zeros((half,), scal_dtype)
+                top = jnp.stack([j1, z1, lu1, zero, zero, zero], axis=-1)
+                bot = jnp.stack([zero, zero, zero, j2, z2, lu2], axis=-1)
+                return jnp.concatenate([top, bot], axis=0)
             return jax.vmap(one)(ts)
 
         G = max(1, min(int(kernel_gens), n_gens))

@@ -50,10 +50,26 @@ def test_fused_engine_gather_kernel_matches_block():
                                   np.asarray(st_k.archive.buf))
 
 
+def test_gather_empty_and_out_of_range():
+    buf = jax.random.normal(jax.random.key(0), (64, 12), jnp.float32)
+    # empty index set: same empty result as buf[idx]
+    empty = jnp.zeros((0,), jnp.int32)
+    out = gather_rows_pallas(buf, empty, interpret=True)
+    assert out.shape == (0, 12)
+    # out-of-range rows clamp (XLA gather semantics) instead of DMAing
+    # past the buffer
+    idx = jnp.array([0, 63, 64, 1000], jnp.int32)
+    out = gather_rows_pallas(buf, idx, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(buf[jnp.clip(idx, 0, 63)]))
+
+
 def test_gather_mode_validated():
     log_prob, cfg, state, k_run = _setup()
     with pytest.raises(ValueError, match="gather_mode"):
         make_chunk_runner(log_prob, cfg, gather_mode="onehot")
+    with pytest.raises(ValueError, match="collect"):
+        make_chunk_runner(log_prob, cfg, collect="rhats")
 
 
 def test_pergen_engine_gather_kernel_matches_default():

@@ -66,6 +66,30 @@ def test_fused_matches_per_generation():
     assert int(b.final_state.gen) == 80
 
 
+def test_fused_bf16_partner_indices_exact():
+    """Walker dtypes narrower than float32 must not corrupt partner
+    indices: the fused engine packs j through promote(dtype, f32) (bf16
+    integers are exact only to 256, so n_chains > 256 in bf16 would
+    silently gather wrong complementary walkers otherwise). Accept
+    decisions must agree with the per-generation engine (not pinned
+    exact: XLA emulates bf16 ops with different intermediate rounding
+    than the interpret path, so ~1-ulp accept margins can flip — the
+    partner-index bug this guards against flipped ~10%/generation)."""
+    lp = correlated_gaussian(MEAN, COV)
+
+    def run(fused):
+        s = bp.EnsembleSampler(lp, n_chains=320, seed=7, fused=fused,
+                               dtype=jnp.bfloat16)
+        s.run_mcmc(3, jnp.zeros(2), spread=1.0)
+        return (np.asarray(s._history["accepted"]),
+                np.asarray(s.super_chain, np.float32))
+    acc_a, x_a = run(False)
+    acc_b, x_b = run(True)
+    assert (acc_a == acc_b).mean() > 0.99
+    # positions: same walkers up to the flipped-margin accepts
+    assert (np.abs(x_a - x_b) < 0.1).mean() > 0.98
+
+
 def test_fused_rhat_stop_matches_default():
     """run_mcmc_until with fused=True: same stopping point and R-hat as
     the per-generation engine (no alignment constraints — stretch has
