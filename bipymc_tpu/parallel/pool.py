@@ -106,6 +106,15 @@ def _default_position(state):
 
 def _history_spec(leaf_ndim, axis_name):
     # history leaves are [T, n_chains, ...]: shard the chain axis
+    if leaf_ndim < 2:
+        # a chain-reduced leaf ([T] scalar per step) has no chain axis
+        # to shard, and the pool cannot prove it replicated across
+        # shards (collect_fn sees no mesh axis to psum over) — an
+        # unsharded out_spec would silently return ONE shard's value
+        raise ValueError(
+            "mesh-path collect_fn leaves must keep the chain axis at "
+            "dim 1 ([T, n_chains, ...]); reduce across chains on the "
+            "host after run() instead")
     return P(None, axis_name, *([None] * (leaf_ndim - 2)))
 
 
@@ -281,6 +290,11 @@ class ChainPool:
             position_fn = _default_position
         pos0 = position_fn(state)
         n_total = pos0.shape[0]
+        if n_total < 2:            # state is pre-shard here: global count
+            # with one chain, B/W is 0/0: R-hat is NaN, every comparison
+            # against rhat_tol is False and the loop would exit right
+            # after warmup looking like a converged run
+            raise ValueError("R-hat early stop needs n_chains >= 2")
         d = pos0.shape[-1]
         dtype = pos0.dtype
         axis = self.axis_name
@@ -342,10 +356,14 @@ class ChainPool:
                     s, rc = lax.cond(
                         t_start >= fused_after, fused_chunk,
                         pergen_chunk, (s, rc, t_start))
-                rhat = jnp.where(
+                # lax.cond, not jnp.where: rhat_compute all_gathers the
+                # moments on the mesh path, and where() evaluates both
+                # operands — warmup chunks would pay the collectives
+                # just to discard the result
+                rhat = lax.cond(
                     ci >= warmup_chunks,
-                    rhat_compute(rc, n_total, axis),
-                    jnp.full((d,), jnp.inf, dtype))
+                    lambda c: rhat_compute(c, n_total, axis),
+                    lambda c: jnp.full((d,), jnp.inf, dtype), rc)
                 return (s, rc, ci + 1, rhat)
 
             def cond(loop):

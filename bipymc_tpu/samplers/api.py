@@ -278,14 +278,18 @@ class _RwSampler(McmcSampler):
     def _fused_K(self):
         return int(self.cfg.adapt_interval) if self.cfg.adapt else 100
 
-    def _rw_fused(self, state, k_run, n_steps, t0):
-        """Jit-cached fused-engine segment (keyed on n_steps; t0 traced)."""
+    def _ensure_rw_fused_runner(self):
         if self._rw_fused_runner is None:
             from bipymc_tpu.samplers.rw_fused import make_rw_chunk_runner
             self._rw_fused_runner = make_rw_chunk_runner(
                 self.log_like_fn, self.cfg, self.n_chains,
                 log_prob_block=self._log_prob_block,
                 chunk_steps=self._fused_K)
+        return self._rw_fused_runner
+
+    def _rw_fused(self, state, k_run, n_steps, t0):
+        """Jit-cached fused-engine segment (keyed on n_steps; t0 traced)."""
+        self._ensure_rw_fused_runner()
         if n_steps not in self._rw_fused_jits:
             runner = self._rw_fused_runner
             self._rw_fused_jits[n_steps] = jax.jit(
@@ -397,22 +401,17 @@ class _RwSampler(McmcSampler):
         state, batched_step, k_run = self._prepare(theta_0, cov_est, spread)
         chunk_runner = None
         if self.fused:
-            # round the chunk UP to a multiple of K so every chunk start
-            # sits on an AM refresh boundary; an unaligned continuation
-            # offset falls back to the per-step engine (same policy as
-            # DreamZs.run_mcmc_until)
+            # round the chunk UP to a multiple of K (the runner executes
+            # in K-step kernels). For adaptive kernels every chunk start
+            # must also sit on an AM refresh boundary, so an unaligned
+            # continuation offset falls back to the per-step engine
+            # (same policy as DreamZs.run_mcmc_until); non-adaptive
+            # kernels (MH/DR: runner.align == 1) fuse from any offset.
             K = self._fused_K
             if chunk % K:
                 chunk += K - chunk % K
-            if self._steps_run % K == 0:
-                if self._rw_fused_runner is None:
-                    from bipymc_tpu.samplers.rw_fused import \
-                        make_rw_chunk_runner
-                    self._rw_fused_runner = make_rw_chunk_runner(
-                        self.log_like_fn, self.cfg, self.n_chains,
-                        log_prob_block=self._log_prob_block,
-                        chunk_steps=K)
-                chunk_runner = self._rw_fused_runner
+            if not self.cfg.adapt or self._steps_run % K == 0:
+                chunk_runner = self._ensure_rw_fused_runner()
         if getattr(self, "_until_pool", None) is None:
             self._until_pool = ChainPool(
                 step_factory=lambda axis: batched_step,
@@ -710,13 +709,17 @@ class EnsembleSampler(McmcSampler):
                     f"got {self.n_chains}")
             _check_fused_dtype(self.dtype)
 
-    def _fused(self):
-        if self._fused_runner is None:
+    def _fused(self, collect="all"):
+        # run_mcmc keeps positions (collect="all"); run_mcmc_until folds
+        # Welford moments inside the runner (collect="rhat") so the
+        # R̂-stop while_loop never holds a [chunk, n, d] history
+        attr = "_fused_runner" if collect == "all" else "_fused_rhat_runner"
+        if getattr(self, attr, None) is None:
             from bipymc_tpu.samplers.stretch_fused import make_chunk_runner
-            self._fused_runner = make_chunk_runner(
+            setattr(self, attr, make_chunk_runner(
                 self.log_like_fn, self.cfg,
-                log_prob_block=self._log_prob_block)
-        return self._fused_runner
+                log_prob_block=self._log_prob_block, collect=collect))
+        return getattr(self, attr)
 
     def _ensure(self, theta_0, spread):
         return self._ensure_population(
@@ -751,7 +754,7 @@ class EnsembleSampler(McmcSampler):
             state, k_run, rhat_tol=rhat_tol, chunk=chunk,
             max_chunks=max_chunks, warmup_chunks=warmup_chunks,
             t0=self._steps_run,
-            chunk_runner=self._fused() if self.fused else None)
+            chunk_runner=self._fused("rhat") if self.fused else None)
         self._final_state = jax.block_until_ready(final_state)
         self._steps_run += int(info["steps"])
         return {k: np.asarray(v) for k, v in info.items()}
@@ -827,6 +830,11 @@ class DreamZs(McmcSampler):
             raise ValueError(
                 "fused_z_update > 1 is a fused-engine execution knob; "
                 "pass fused=True")
+        if fused_gather != "block" and not self.fused:
+            raise ValueError(
+                "fused_gather is a fused-engine execution knob; pass "
+                "fused=True (the per-generation engine's equivalent is "
+                "the DreamConfig field gather_kernel=True)")
         if fused_rng not in ("stream", "kernel"):
             raise ValueError(
                 f"fused_rng={fused_rng!r}: expected 'stream' or 'kernel'")

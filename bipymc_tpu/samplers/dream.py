@@ -178,6 +178,17 @@ def make_step(log_prob: Callable, cfg: DreamConfig, axis_name=None,
     the crossover uniforms and the e-jitter uniforms; u_acc is the accept
     uniform. Default: jax.random draws (the production path).
     """
+    if cfg.gather_kernel and not cfg.use_archive:
+        raise ValueError(
+            "gather_kernel=True routes the ARCHIVE row gather through "
+            "the DMA kernel; this configuration samples the live "
+            "population (use_archive=False), which has no capacity "
+            "pathology to fix — drop gather_kernel")
+    if cfg.gather_kernel and cfg.shard_archive and axis_name is not None:
+        raise ValueError(
+            "gather_kernel=True applies to replicated archives only; "
+            "the sharded archive already gathers via the ppermute ring "
+            "— drop one of gather_kernel / shard_archive")
     n_pairs = cfg.delta_max
     if cfg.shard_archive and not cfg.use_archive:
         raise ValueError("shard_archive requires use_archive=True "

@@ -31,6 +31,7 @@ from jax import lax
 
 from bipymc_tpu.core.rng import bits_to_uniform, step_key
 from bipymc_tpu.ops.fused_chunk import lp_block_cache
+from bipymc_tpu.utils.streaming import rhat_init, rhat_update_block
 from bipymc_tpu.ops.fused_stretch import fused_stretch_pallas, MAX_WALKERS
 from bipymc_tpu.samplers.stretch import StretchConfig, StretchState
 
@@ -38,13 +39,19 @@ from bipymc_tpu.samplers.stretch import StretchConfig, StretchState
 def make_chunk_runner(log_prob: Callable, cfg: StretchConfig,
                       log_prob_block: Callable | None = None,
                       interpret: bool | None = None,
-                      kernel_gens: int = 64) -> Callable:
+                      kernel_gens: int = 64,
+                      collect: str = "all") -> Callable:
     """Build ``run(state, base_key, n_gens, t0) -> (state, history)``.
 
-    history is ``{"x": [n_gens, n, d], "logp": [n_gens, n],
-    "accepted": [n_gens, n]}`` — the same leaves as the per-generation
-    ChainPool collection. ``t0`` may be a Python int or a traced int32
-    scalar (continuation runs); any n_gens ≥ 1 is legal.
+    With the default ``collect="all"``, history is ``{"x": [n_gens, n,
+    d], "logp": [n_gens, n], "accepted": [n_gens, n]}`` — the same
+    leaves as the per-generation ChainPool collection.
+    ``collect="rhat"`` folds per-walker Welford moments across chunks
+    inside the runner's own scan and returns them as ``hist["rhat"]``
+    (an RhatCarry) instead of ``"x"`` — what ``ChainPool.run_until``
+    merges, so an R̂-stop loop holds O(kernel_gens·n·d) live position
+    bytes instead of O(chunk·n·d). ``t0`` may be a Python int or a
+    traced int32 scalar (continuation runs); any n_gens ≥ 1 is legal.
     """
     n = cfg.n_chains
     if n % 2:
@@ -53,6 +60,8 @@ def make_chunk_runner(log_prob: Callable, cfg: StretchConfig,
         raise ValueError(
             f"fused stretch engine supports <= {MAX_WALKERS} walkers; "
             f"got {n} — use the per-generation engine")
+    if collect not in ("all", "rhat"):
+        raise ValueError(f"collect={collect!r}: expected 'all' or 'rhat'")
     half = n // 2
     _lp_block_for = lp_block_cache(log_prob, log_prob_block)
 
@@ -113,28 +122,41 @@ def make_chunk_runner(log_prob: Callable, cfg: StretchConfig,
         G = max(1, min(int(kernel_gens), n_gens))
         q, r = divmod(n_gens, G)
 
-        def chunk(st, ts):
+        def chunk(carry, ts):
+            st = carry[0] if collect == "rhat" else carry
             xh, lph, acc = fused_stretch_pallas(
                 st.x, st.logp, prep(ts), lp_block, n_true=n, half=half,
                 d_true=dim, interpret=interp)
             new_st = StretchState(x=xh[-1], logp=lph[-1],
                                   gen=st.gen + ts.shape[0])
+            if collect == "rhat":
+                rc = rhat_update_block(carry[1], xh)
+                return (new_st, rc), (lph, acc)
             return new_st, (xh, lph, acc)
 
+        if collect == "rhat":
+            carry0 = (state, rhat_init(n, dim, state.x.dtype))
+        else:
+            carry0 = state
         parts = []
-        state, ys = lax.scan(
-            lambda st, s: chunk(st, t0 + s * G
-                                + jnp.arange(G, dtype=jnp.int32)),
-            state, jnp.arange(q, dtype=jnp.int32))
+        carry, ys = lax.scan(
+            lambda c, s: chunk(c, t0 + s * G
+                               + jnp.arange(G, dtype=jnp.int32)),
+            carry0, jnp.arange(q, dtype=jnp.int32))
         parts.append(jax.tree_util.tree_map(
             lambda a: a.reshape(q * G, *a.shape[2:]), ys))
         if r:
-            state, ys_r = chunk(
-                state, t0 + q * G + jnp.arange(r, dtype=jnp.int32))
+            carry, ys_r = chunk(
+                carry, t0 + q * G + jnp.arange(r, dtype=jnp.int32))
             parts.append(ys_r)
         ys = (parts[0] if len(parts) == 1 else
               jax.tree_util.tree_map(
                   lambda a, b: jnp.concatenate([a, b], axis=0), *parts))
+        if collect == "rhat":
+            state, rc = carry
+            lph, acc = ys
+            return state, {"rhat": rc, "logp": lph, "accepted": acc}
+        state = carry
         xh, lph, acc = ys
         return state, {"x": xh, "logp": lph, "accepted": acc}
 

@@ -228,3 +228,38 @@ def test_rhat_merge_matches_block_fold():
                                np.asarray(rc_b.mean), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(rc_empty.m2),
                                np.asarray(rc_b.m2), rtol=1e-6)
+
+
+def test_single_chain_run_until_raises():
+    """m=1 makes B/W = 0/0: R-hat is NaN and every tol comparison is
+    False, so the loop would exit right after warmup looking converged —
+    the pool rejects it centrally for every sampler family."""
+    lp = correlated_gaussian(MEAN, COV)
+    s = DreamZs(lp, n_chains=1, seed=0, burnin_gens=4, archive_thin=2,
+                archive_capacity=64, n_archive_init=8)
+    with pytest.raises(ValueError, match="n_chains >= 2"):
+        s.run_mcmc_until(jnp.zeros(2), rhat_tol=1.1, chunk=4, max_chunks=4)
+
+
+def test_mh_fused_until_fuses_from_any_offset():
+    """Non-adaptive kernels (align=1) keep the fused engine on
+    continuation offsets that are not multiples of the kernel chunk —
+    and the trajectory still matches the per-step engine exactly."""
+    import bipymc_tpu as bp
+    lp = correlated_gaussian(MEAN, COV)
+    kw = dict(rhat_tol=1.2, chunk=100, max_chunks=30, warmup_chunks=1)
+
+    def run(fused):
+        s = bp.Metropolis(lp, seed=3, n_chains=8, fused=fused)
+        s.run_mcmc(50, jnp.zeros(2), cov_est=jnp.eye(2) * 0.3)  # offset 50
+        return s, s.run_mcmc_until(**kw)
+    sa, ia = run(False)
+    sb, ib = run(True)
+    # the pool compiled an until-runner WITH a fused chunk_runner (the
+    # cache key carries it at index 9) despite the offset-50 start
+    assert any(k[9] is not None for k in sb._until_pool._runners)
+    assert int(ia["steps"]) == int(ib["steps"])
+    np.testing.assert_allclose(ia["rhat"], ib["rhat"], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sa.final_state.theta),
+                               np.asarray(sb.final_state.theta),
+                               rtol=1e-6, atol=1e-6)

@@ -99,3 +99,21 @@ def test_api_fused_gather_kernel_matches_block():
     np.testing.assert_array_equal(run("block"), run("kernel"))
     with pytest.raises(ValueError, match="fused_gather"):
         bp.DreamZs(lambda x: x, fused_gather="onehot")
+
+
+def test_gather_knob_misuse_raises():
+    import bipymc_tpu as bp
+    from bipymc_tpu.samplers import dream
+    lp = lambda v: -0.5 * jnp.sum(v ** 2)   # noqa: E731
+    # fused_gather is a fused-engine knob
+    with pytest.raises(ValueError, match="fused=True"):
+        bp.DreamZs(lp, n_chains=8, fused_gather="kernel")
+    # gather_kernel needs an archive to gather from
+    with pytest.raises(ValueError, match="use_archive"):
+        bp.Dream(lp, n_chains=16, gather_kernel=True).run_mcmc(
+            4, theta_0=np.zeros(3, np.float32), spread=1.0)
+    # ...and a replicated one (the sharded path has its own ring gather)
+    cfg = dream.DreamConfig(n_chains=8, shard_archive=True,
+                            gather_kernel=True)
+    with pytest.raises(ValueError, match="replicated"):
+        dream.make_step(lp, cfg, axis_name="chains")

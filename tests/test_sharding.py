@@ -130,3 +130,30 @@ def test_pt_mesh_matches_vmap():
     np.testing.assert_array_equal(a.super_chain, b.super_chain)
     np.testing.assert_array_equal(a.swap_rates, b.swap_rates)
     assert a.round_trips == b.round_trips
+
+
+def test_mesh_collect_fn_chain_reduced_leaf_rejected():
+    """A chain-reduced history leaf can't be sharded, and the pool can't
+    prove it replicated (collect_fn sees no mesh axis) — it must fail
+    with a clear message, not a shard_map rank error (or, worse,
+    silently return one shard's value)."""
+    import pytest
+    from bipymc_tpu.samplers import rw
+    cfg = rw.RwConfig(adapt=False, delayed=False)
+    lp = correlated_gaussian(jnp.zeros(2), jnp.eye(2))
+    x0 = jnp.zeros((8, 2), jnp.float32)
+    state = jax.vmap(lambda x: rw.init(x, lp, jnp.eye(2)))(x0)
+    from bipymc_tpu.parallel.pool import ChainPool
+    base = rw.make_step(lp, cfg)
+
+    def batched(state, key, t):
+        n = state.theta.shape[0]
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(n))
+        return jax.vmap(base, in_axes=(0, 0, None))(state, keys, t)
+
+    pool = ChainPool(step_factory=lambda axis: batched,
+                     sharded_fields=("theta",), mesh=chain_mesh())
+    with pytest.raises(ValueError, match="chain axis"):
+        pool.run(state, jax.random.key(0), 4,
+                 collect_fn=lambda s, i: {"m": jnp.mean(i.logp)})
