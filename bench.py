@@ -170,16 +170,16 @@ def run_tpu():
     # chains-per-mode must stay ≈64/mode for the stratified-ensemble
     # estimate to be valid; the hop rate is expected ~3e-5/chain/gen at
     # d=100 (the correlated-archive-pair channel, docs/ROUND3.md §2).
-    # Host-side NumPy: jnp here would push the ~1GB history back through
-    # the device tunnel just to argmin a distance matrix.
-    sq = ((chains ** 2).sum(-1)[..., None] + (means ** 2).sum(-1)
-          - 2.0 * chains @ means.T)                  # [M, T, k]
-    idx = sq.argmin(-1)                              # [M, T]
-    occ = np.bincount(idx[:, -1], minlength=means.shape[0])
-    n_hops = int((idx[:, 1:] != idx[:, :-1]).sum())
-    hops_rate = n_hops / (idx.shape[0] * (idx.shape[1] - 1))
+    # Pinned to the host CPU backend: the default device would pull the
+    # ~1GB history back through the device tunnel just to argmin a
+    # distance matrix.
+    from bipymc_tpu.utils.diagnostics import mode_hops, mode_occupancy
+    with jax.default_device(jax.devices("cpu")[0]):
+        occ = np.asarray(mode_occupancy(chains[:, -1, :], means))
+        _, hops_rate = mode_hops(chains, means)
+        hops_rate = float(hops_rate)
     log(f"mode occupancy (final): {occ.tolist()}; "
-        f"hops/chain/gen over timed window: {float(hops_rate):.2e}")
+        f"hops/chain/gen over timed window: {hops_rate:.2e}")
     if occ.min() == 0:
         log("WARNING: a mode lost all chains — stratified ESS is invalid")
 
@@ -190,7 +190,7 @@ def run_tpu():
         "chain_steps_per_sec": n_gens * N_CHAINS / elapsed,
         "engine": f"fused/{rng_mode}-rng",
         "mode_occupancy": occ.tolist(),
-        "mode_hops_per_chain_gen": float(hops_rate),
+        "mode_hops_per_chain_gen": hops_rate,
     }
 
 
@@ -314,6 +314,15 @@ def main():
     elif os.path.exists(baseline_path):
         with open(baseline_path) as f:
             baseline = json.load(f)
+        # the cache is keyed on the benchmark shape: a stale denominator
+        # from a different (d, n_chains) would silently corrupt the
+        # headline ratio
+        cached_cfg = baseline.get("config", {})
+        if (cached_cfg.get("d"), cached_cfg.get("n_chains")) != (D, N_CHAINS):
+            log(f"cached CPU baseline is for {cached_cfg} != "
+                f"(d={D}, n_chains={N_CHAINS}) — re-measuring")
+            signal.alarm(1200)
+            baseline = measure_cpu_baseline(baseline_path)
         log("loaded cached CPU baseline:", baseline["ess_per_sec"])
     else:
         signal.alarm(1200)       # serial NumPy phase: generous, and the
@@ -323,7 +332,7 @@ def main():
         baseline = measure_cpu_baseline(baseline_path)
         log("CPU baseline ESS/sec (perfect-MPI bound):",
             baseline["ess_per_sec"])
-    print(json.dumps({
+    out = {
         "metric": "ess_per_sec_dreamzs_256chain_100d",
         "value": round(res["ess_per_sec"], 2),
         "unit": "effective samples/sec/chip",
@@ -331,14 +340,23 @@ def main():
         "vs_baseline": round(res["ess_per_sec"] / baseline["ess_per_sec"], 2),
         # second north-star (BASELINE.json:2), compile-excluded; within one
         # basin — cross-mode R̂ is unreachable by construction (see
-        # run_wall_to_rhat docstring)
+        # run_wall_to_rhat docstring). rhat_stop_final > rhat_tol would
+        # mean the stop hit max_chunks without converging — surfaced in
+        # the JSON, not just stderr
         "wall_clock_to_rhat_1p1_s": round(wall_rhat, 3),
         "rhat_stop_generations": rhat_gens,
+        "rhat_stop_final": round(rhat_final, 4),
+        "rhat_stop_converged": bool(rhat_final < 1.1),
         # multimodality honesty (round-2 verdict #2): chains per mode after
         # the timed window (stratified 64×4 init) + measured hop rate
         "mode_occupancy": res["mode_occupancy"],
         "mode_hops_per_chain_gen": res["mode_hops_per_chain_gen"],
-    }))
+    }
+    if SMOKE:
+        # tiny-shape execution check: mark the line so the stdout JSON
+        # can never be ingested as a hardware measurement
+        out["smoke"] = True
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@ Two backends: a dependency-free ``.npz`` writer (leaf arrays + a pickled
 treedef) and, if available, `orbax.checkpoint` for sharded/async saves.
 """
 
+import os
 import pickle
 
 import jax
@@ -40,7 +41,15 @@ def save_state(path, state, step=0):
 
 
 def load_state(path):
-    """Load a state saved by :func:`save_state` → (state, step)."""
+    """Load a state saved by :func:`save_state` → (state, step).
+
+    ``np.savez`` appends ``.npz`` to extensionless paths but ``np.load``
+    does not — mirror that here so ``save_state('ckpt', ...)`` /
+    ``load_state('ckpt')`` round-trips.
+    """
+    path = os.fspath(path)
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path += ".npz"
     with np.load(path, allow_pickle=False) as data:
         treedef = pickle.loads(data["__treedef__"].tobytes())
         n = len([k for k in data.files if k.startswith("leaf_")])

@@ -13,6 +13,7 @@ Chain-history convention: ``chains[M, N, d]`` = M chains × N steps × d dims
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _promote(chains):
@@ -20,6 +21,20 @@ def _promote(chains):
     if chains.ndim == 2:
         chains = chains[..., None]
     return chains
+
+
+def _acf_normalized(chains):
+    """Per-chain/dim normalised ACF via zero-padded FFT: [M,N,d]→[M,N,d].
+
+    Zero-variance chain/dim (e.g. a stuck chain) → ρ := 0, not NaN.
+    """
+    n = chains.shape[1]
+    x = chains - jnp.mean(chains, axis=1, keepdims=True)
+    nfft = 2 * n  # zero-pad to avoid circular correlation
+    f = jnp.fft.rfft(x, n=nfft, axis=1)
+    acf = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=1)[:, :n, :]
+    acf0 = acf[:, :1, :]
+    return jnp.where(acf0 > 0.0, acf / jnp.maximum(acf0, 1e-30), 0.0)
 
 
 def gelman_rubin(chains, split=True):
@@ -85,17 +100,9 @@ def autocorr_fn(chains, max_lag=None):
     (SURVEY.md §4.8), per chain/dim, then averaged.
     """
     chains = _promote(chains)
-    m, n, d = chains.shape
     if max_lag is None:
-        max_lag = n
-    x = chains - jnp.mean(chains, axis=1, keepdims=True)
-    nfft = 2 * n  # zero-pad to avoid circular correlation
-    f = jnp.fft.rfft(x, n=nfft, axis=1)
-    acf = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=1)[:, :n, :]
-    # zero-variance chain/dim (e.g. a stuck chain) → ρ := 0, not NaN
-    acf0 = acf[:, :1, :]
-    acf = jnp.where(acf0 > 0.0, acf / jnp.maximum(acf0, 1e-30), 0.0)
-    return jnp.mean(acf, axis=(0, 2))[:max_lag]
+        max_lag = chains.shape[1]
+    return jnp.mean(_acf_normalized(chains), axis=(0, 2))[:max_lag]
 
 
 def _tau_from_rho(rho, c):
@@ -121,14 +128,7 @@ def integrated_autocorr_time(chains, c=5.0, per_dim=False):
     chains = _promote(chains)
     if not per_dim:
         return _tau_from_rho(autocorr_fn(chains), c)
-    m, n, d = chains.shape
-    x = chains - jnp.mean(chains, axis=1, keepdims=True)
-    nfft = 2 * n
-    f = jnp.fft.rfft(x, n=nfft, axis=1)
-    acf = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=1)[:, :n, :]
-    acf0 = acf[:, :1, :]
-    acf = jnp.where(acf0 > 0.0, acf / jnp.maximum(acf0, 1e-30), 0.0)
-    rho = jnp.mean(acf, axis=0)                             # [n, d]
+    rho = jnp.mean(_acf_normalized(chains), axis=0)         # [n, d]
     return jax.vmap(lambda r: _tau_from_rho(r, c), in_axes=1)(rho)
 
 
@@ -231,9 +231,19 @@ def ess_rate(chains, gens_per_sec, window=ESS_WINDOW_GENS, c=5.0):
 
     chains: [M, N, d] kept history (N ≥ window recommended; shorter
     histories use all of N). Returns (ess, ess_per_sec).
+
+    The window is sliced BEFORE any device transfer, and a host (NumPy)
+    history stays on the host CPU backend: the benchmark harnesses hand
+    this ~GB-scale assembled histories, and promoting them to a remote
+    default device would push the whole array through the device tunnel
+    just to FFT a window of it.
     """
-    chains = _promote(chains)
     n = chains.shape[1]
-    w = min(window, n)
-    ess = float(effective_sample_size(chains[:, n - w:, :], c=c))
+    w = min(int(window), n)
+    chains = chains[:, n - w:, ...]
+    if isinstance(chains, np.ndarray):
+        with jax.default_device(jax.devices("cpu")[0]):
+            ess = float(effective_sample_size(_promote(chains), c=c))
+    else:
+        ess = float(effective_sample_size(_promote(chains), c=c))
     return ess, ess * float(gens_per_sec) / w

@@ -176,3 +176,16 @@ def test_plot_mode_occupancy(tmp_path):
     fig = plot_mode_occupancy(hist, means, path=tmp_path / "occ.png")
     assert fig is not None
     assert (tmp_path / "occ.png").stat().st_size > 1000
+
+
+def test_checkpoint_extensionless_path_roundtrip(tmp_path):
+    """np.savez appends .npz to extensionless paths; load_state must
+    mirror that so save_state('ckpt')/load_state('ckpt') round-trips."""
+    from bipymc_tpu.utils.checkpoint import save_state, load_state
+    state = {"a": jnp.arange(4.0), "b": jnp.ones((2, 2))}
+    p = str(tmp_path / "ckpt")            # no .npz
+    save_state(p, state, step=7)
+    loaded, step = load_state(p)
+    assert step == 7
+    np.testing.assert_array_equal(np.asarray(loaded["a"]),
+                                  np.asarray(state["a"]))
