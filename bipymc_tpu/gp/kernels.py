@@ -17,6 +17,17 @@ def _scale(X, lengthscales):
     return X / lengthscales
 
 
+def _stationary_diag(params, X):
+    """k(x, x) for stationary kernels: σ_f², independent of x.
+
+    Attached as ``kernel.diag`` so the regressor's predictive variance
+    uses the true prior diagonal for whatever kernel is plugged in
+    (a custom kernel without ``.diag`` falls back to row-wise k(x, x)).
+    """
+    sf2 = jnp.exp(2.0 * params["log_sigma_f"])
+    return jnp.full((X.shape[0],), 1.0, X.dtype) * sf2
+
+
 def squared_exp(params, X, X2=None):
     """SE-ARD: k(x,x′) = σ_f² exp(−½ Σ_d (x_d−x′_d)²/ℓ_d²).
 
@@ -50,3 +61,8 @@ def matern52(params, X, X2=None):
     r2 = jnp.maximum(pairwise_sqdist(Xs, X2s), 1e-30)
     a = jnp.sqrt(5.0 * r2)
     return sf2 * (1.0 + a + 5.0 * r2 / 3.0) * jnp.exp(-a)
+
+
+squared_exp.diag = _stationary_diag
+matern32.diag = _stationary_diag
+matern52.diag = _stationary_diag

@@ -42,9 +42,11 @@ def _chol_dispatch(kmat):
     <1% of f32 peak) while the Pallas kernel shares the serial
     elimination chain across 8 matrices per grid cell.
 
-    NOT differentiable un-vmapped (custom_vmap limitation) — grad paths
-    (``optimize``, ``log_marginal_likelihood``) use ``grad_safe=True``
-    in :meth:`GpRegressor._cholesky` instead.
+    NOT differentiable un-vmapped (custom_vmap limitation) — callers
+    differentiate through :func:`_chol_dispatch_diff` (a custom-JVP
+    wrapper), and the heavy grad paths (``optimize``,
+    ``log_marginal_likelihood``) use ``grad_safe=True`` in
+    :meth:`GpRegressor._cholesky` for XLA's fused cholesky adjoint.
     """
     return jnp.linalg.cholesky(kmat)
 
@@ -60,6 +62,36 @@ def _chol_dispatch_vmap(axis_size, in_batched, kmat):
     out = (jax.vmap(jnp.linalg.cholesky)(kmat) if kb
            else jnp.linalg.cholesky(kmat))
     return out, kb
+
+
+@jax.custom_jvp
+def _chol_dispatch_diff(kmat):
+    """Differentiable wrapper over :func:`_chol_dispatch`.
+
+    ``custom_vmap`` has no JVP rule, so ``jax.grad`` through the public
+    ``fit()``/``predict()`` pipeline would raise with the default
+    ``batched_chol=True``. The outer ``custom_jvp`` supplies the standard
+    Cholesky forward derivative dL = L·Φ(L⁻¹ dA L⁻ᵀ) (Φ = tril with
+    halved diagonal) WITHOUT differentiating into the dispatch — the
+    primal still routes to the Pallas batched kernel under vmap (the
+    custom_jvp batching rule traces its fun, so the inner vmap rule
+    fires), and the solves in the tangent batch fine.
+    """
+    return _chol_dispatch(kmat)
+
+
+@_chol_dispatch_diff.defjvp
+def _chol_dispatch_diff_jvp(primals, tangents):
+    (kmat,), (dk,) = primals, tangents
+    chol = _chol_dispatch(kmat)
+    # S = L⁻¹ dA L⁻ᵀ = (L⁻¹ (L⁻¹ dA)ᵀ)ᵀ; dA symmetric ⇒ S symmetric, so
+    # the outer transpose is free via a second lower solve
+    s1 = jax.scipy.linalg.solve_triangular(chol, dk, lower=True)
+    s = jax.scipy.linalg.solve_triangular(
+        chol, jnp.swapaxes(s1, -1, -2), lower=True)
+    phi = jnp.tril(s, -1) + 0.5 * (
+        s * jnp.eye(s.shape[-1], dtype=s.dtype))
+    return chol, chol @ phi
 
 
 class GpFit(NamedTuple):
@@ -115,9 +147,10 @@ class GpRegressor:
         elimination chain across 8 matrices per grid cell — XLA's batched
         cholesky plateaus at ~112µs/matrix for every batch ≥ 16 at n=512
         (<1% of f32 peak, benchmarks/config4_scaling.json). No effect
-        off-TPU, un-vmapped, non-f32, or n > 1024. Grad paths
-        (``optimize``/``log_marginal_likelihood``) bypass it (the
-        custom_vmap wrapper is not reverse-differentiable un-vmapped)."""
+        off-TPU, un-vmapped, non-f32, or n > 1024. Differentiable (the
+        dispatch rides a custom-JVP Cholesky derivative); the heavy grad
+        paths (``optimize``/``log_marginal_likelihood``) still bypass it
+        for XLA's fused cholesky adjoint."""
         self.kernel = kernel
         self.jitter = jitter
         self.normalize_y = normalize_y
@@ -132,12 +165,17 @@ class GpRegressor:
                                                 grad_safe=True))
 
     # ---- pure implementations -------------------------------------------
+    def _diag_shift(self, params):
+        """Noise + jitter added to the Gram diagonal (shared with the
+        row-sharded build in gp.sharded)."""
+        sn2 = jnp.exp(2.0 * params["log_sigma_n"])
+        sf2 = jnp.exp(2.0 * params["log_sigma_f"])
+        return sn2 + self.jitter * sf2
+
     def _gram(self, params, x):
         n = x.shape[0]
         k = self.kernel(params, x)
-        sn2 = jnp.exp(2.0 * params["log_sigma_n"])
-        sf2 = jnp.exp(2.0 * params["log_sigma_f"])
-        return k + (sn2 + self.jitter * sf2) * jnp.eye(n, dtype=k.dtype)
+        return k + self._diag_shift(params) * jnp.eye(n, dtype=k.dtype)
 
     def _normalize(self, y):
         if self.normalize_y:
@@ -158,8 +196,11 @@ class GpRegressor:
             return cholesky_pallas(kmat)
         if self.batched_chol and not grad_safe:
             # no-op unless vmapped on TPU/f32 with batch ≥ 8 (see
-            # _chol_dispatch); grad paths must pass grad_safe=True
-            return _chol_dispatch(kmat)
+            # _chol_dispatch); differentiable via the custom-JVP wrapper.
+            # grad_safe=True (optimize/log-ML) skips the wrapper: plain
+            # XLA cholesky has a cheaper fused adjoint than the generic
+            # solve-based JVP
+            return _chol_dispatch_diff(kmat)
         return jnp.linalg.cholesky(kmat)
 
     def _solve_lower(self, chol, b):
@@ -185,12 +226,23 @@ class GpRegressor:
         return GpFit(params=params, x=x, chol=chol, alpha=alpha,
                      y_mean=y_mean, y_std=y_std)
 
+    def _prior_diag(self, params, xs):
+        """k(x*, x*) per test row — the prior term of the predictive
+        variance. Stationary kernels publish it as ``kernel.diag``
+        (= σ_f²); a plugged-in kernel without one falls back to
+        row-wise evaluation so non-stationary diagonals stay correct."""
+        diag_fn = getattr(self.kernel, "diag", None)
+        if diag_fn is not None:
+            return diag_fn(params, xs)
+        return jax.vmap(
+            lambda r: self.kernel(params, r[None, :])[0, 0])(xs)
+
     def _predict_impl(self, fit: GpFit, xs):
         ks = self.kernel(fit.params, fit.x, xs)          # [n, m]
         mu = ks.T @ fit.alpha
         w = self._solve_lower(fit.chol, ks)
-        sf2 = jnp.exp(2.0 * fit.params["log_sigma_f"])
-        var = jnp.maximum(sf2 - jnp.sum(w * w, axis=0), 1e-12)
+        prior = self._prior_diag(fit.params, xs)
+        var = jnp.maximum(prior - jnp.sum(w * w, axis=0), 1e-12)
         return fit.y_mean + fit.y_std * mu, fit.y_std ** 2 * var
 
     def _lml_impl(self, params, x, y, grad_safe=False):
@@ -275,6 +327,14 @@ class GpRegressor:
             p, l = run_one(p0)
             if bool(jnp.isfinite(l)) and float(l) > float(best_l):
                 best_p, best_l = p, l
+        if best_p is None:
+            # every restart diverged (NaNs in y, duplicated rows with
+            # tiny jitter, ...) — fail HERE, not with an unrelated
+            # TypeError when the caller feeds params=None into fit()
+            raise ValueError(
+                "optimize(): log marginal likelihood was non-finite for "
+                "every restart — check the data for NaNs/duplicate rows "
+                "or raise the jitter")
         return best_p, best_l
 
     def surrogate_log_like(self, fit: GpFit, kind="mean"):

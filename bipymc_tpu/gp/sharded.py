@@ -12,8 +12,11 @@ sharding for n ≳ 10⁴ training points. Strategy:
   for GP-scale n the factorisation fits one chip once the build is paid);
 - prediction shards *test* points — embarrassingly parallel.
 
-Numerics match the single-device path exactly (tested on the 8-fake-CPU
-mesh in tests/test_gp_sharded.py).
+Numerics match the single-device path to float rounding (tested at
+1e-5/1e-6 tolerances on the 8-fake-CPU mesh in tests/test_gp_sharded.py
+— NOT bitwise: pairwise_sqdist centers by the mean of the rows it is
+handed, so each device's block is centered slightly differently than
+the dense build).
 """
 
 import jax
@@ -48,9 +51,8 @@ def sharded_gram(gp, params, x, mesh: Mesh, axis: str = CHAIN_AXIS):
         block, mesh=mesh, in_specs=(P(axis, None), P()),
         out_specs=P(axis, None)))(xp, xp)
     k = gram_padded[:n, :n]
-    sn2 = jnp.exp(2.0 * params["log_sigma_n"])
-    sf2 = jnp.exp(2.0 * params["log_sigma_f"])
-    return k + (sn2 + gp.jitter * sf2) * jnp.eye(n, dtype=k.dtype)
+    # same noise/jitter diagonal as the dense build (gp._diag_shift)
+    return k + gp._diag_shift(params) * jnp.eye(n, dtype=k.dtype)
 
 
 def fit_sharded(gp, x, y, mesh: Mesh, params=None, axis: str = CHAIN_AXIS):
@@ -63,9 +65,11 @@ def fit_sharded(gp, x, y, mesh: Mesh, params=None, axis: str = CHAIN_AXIS):
         params = default_params(x.shape[-1], dtype=x.dtype)
     yn, y_mean, y_std = gp._normalize(y)
     kmat = sharded_gram(gp, params, x, mesh, axis)
-    chol = jnp.linalg.cholesky(kmat)
-    v = jax.scipy.linalg.solve_triangular(chol, yn, lower=True)
-    alpha = jax.scipy.linalg.solve_triangular(chol.T, v, lower=False)
+    # the regressor's own factorise/solve helpers, so the gp's configured
+    # pallas_chol/pallas_solve paths apply here too
+    chol = gp._cholesky(kmat)
+    v = gp._solve_lower(chol, yn)
+    alpha = gp._solve_lower_t(chol, v)
     return GpFit(params=params, x=x, chol=chol, alpha=alpha,
                  y_mean=y_mean, y_std=y_std)
 
@@ -77,12 +81,9 @@ def predict_sharded(gp, fit: GpFit, xs, mesh: Mesh,
     xsp, m = _pad_rows(xs, mesh.devices.size)
 
     def block(xs_local):
-        ks = gp.kernel(fit.params, fit.x, xs_local)     # [n, m_local]
-        mu = ks.T @ fit.alpha
-        w = jax.scipy.linalg.solve_triangular(fit.chol, ks, lower=True)
-        sf2 = jnp.exp(2.0 * fit.params["log_sigma_f"])
-        var = jnp.maximum(sf2 - jnp.sum(w * w, axis=0), 1e-12)
-        return fit.y_mean + fit.y_std * mu, fit.y_std ** 2 * var
+        # the regressor's own predict body: configured solve path and
+        # the true prior diagonal (kernel.diag) apply here too
+        return gp._predict_impl(fit, xs_local)
 
     mu, var = jax.jit(jax.shard_map(
         block, mesh=mesh, in_specs=P(axis, None),

@@ -88,6 +88,11 @@ def _sqdist_pallas_call(A, B, bm=_BLOCK, bn=_BLOCK):
             flops=2 * n_p * m_p * k_p,
             bytes_accessed=4 * (n_p * k_p + m_p * k_p + n_p * m_p),
             transcendentals=0),
+        # the default scoped-VMEM budget is 16MB; two double-buffered
+        # [block, k_p] input slabs exceed it for k_p ≳ 4096 (the caller
+        # gates the auto-dispatch on the same budget)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(A, B)
     return out[:n, :m]
 
@@ -104,15 +109,27 @@ def pairwise_sqdist(X, X2=None, use_pallas=None):
 
     Centers the inputs first (distance-invariant) to tame the f32
     cancellation in the ‖·‖² decomposition. ``use_pallas=None`` auto-picks
-    the Pallas path on TPU for problems big enough to tile.
+    the Pallas path on TPU for problems big enough to tile (and whose
+    feature-axis slabs fit the raised VMEM budget). float64 inputs (the
+    x64 knob — CPU only; the TPU has no f64 datapath) keep their full
+    precision on the XLA path instead of being squeezed through f32.
     """
     X2 = X if X2 is None else X2
     mu = jnp.mean(X, axis=0)
-    A = (X - mu).astype(jnp.float32)
-    B = (X2 - mu).astype(jnp.float32)
+    A = X - mu
+    B = X2 - mu
+    if A.dtype == jnp.float64:
+        return _sqdist_xla(A, B)
+    A = A.astype(jnp.float32)
+    B = B.astype(jnp.float32)
     if use_pallas is None:
+        # two double-buffered [block, k_p] f32 input slabs per grid cell
+        # must fit the VMEM budget _sqdist_pallas_call requests
+        k_p = round_up(X.shape[1], _K_ALIGN)
+        slab_bytes = 2 * 2 * _BLOCK * k_p * 4
         use_pallas = (jax.default_backend() == "tpu"
-                      and X.shape[0] * X2.shape[0] >= 128 * 128)
+                      and X.shape[0] * X2.shape[0] >= 128 * 128
+                      and slab_bytes <= 90 * 1024 * 1024)
     if use_pallas:
         return _sqdist_pallas(A, B)
     return _sqdist_xla(A, B)

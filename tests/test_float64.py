@@ -34,6 +34,14 @@ z.run_mcmc(3000, MEAN.astype(jnp.float64), spread=2.0)
 zf = z.get_chain(discard=1000, flat=True)
 assert zf.dtype == np.float64, zf.dtype
 assert np.abs(zf.mean(0) - np.asarray(MEAN)).max() < 0.3
+
+# pairwise_sqdist must keep f64 precision for f64 inputs: points 1e4
+# apart by 1e-3 lose the spacing entirely if squeezed through f32
+from bipymc_tpu.ops.pallas_kernels import pairwise_sqdist
+x = jnp.asarray([[1.0e4], [1.0e4 + 1.0e-3]], jnp.float64)
+r2 = pairwise_sqdist(x)
+assert r2.dtype == jnp.float64, r2.dtype
+assert abs(float(r2[0, 1]) - 1.0e-6) < 1.0e-12, float(r2[0, 1])
 print("F64 OK")
 """
 

@@ -173,3 +173,61 @@ def test_gp_pallas_solve_flag_cpu_fallback():
     mu_b, var_b = b.predict(fb, xs)
     np.testing.assert_array_equal(np.asarray(mu_a), np.asarray(mu_b))
     np.testing.assert_array_equal(np.asarray(var_a), np.asarray(var_b))
+
+
+def test_grad_through_public_fit_default_config():
+    """jax.grad through fit()/predict() must work with the DEFAULT
+    batched_chol=True (custom_vmap alone has no JVP rule; the dispatch
+    rides a custom-JVP Cholesky derivative) and match the plain-XLA
+    gradient."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-2, 2, (24, 2)), jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x).sum(1)), jnp.float32)
+
+    def loss(gp, y_):
+        fit = gp._fit_impl(default_params(2), x, y_)
+        return jnp.sum(fit.alpha ** 2) + jnp.sum(fit.chol)
+
+    g_default = jax.grad(lambda y_: loss(GpRegressor(), y_))(y)
+    g_plain = jax.grad(
+        lambda y_: loss(GpRegressor(batched_chol=False), y_))(y)
+    np.testing.assert_allclose(np.asarray(g_default),
+                               np.asarray(g_plain), rtol=1e-4, atol=1e-5)
+
+
+def test_predict_variance_uses_kernel_diagonal():
+    """Predictive variance must use k(x*,x*) — not hardcode sigma_f^2 —
+    so plugged-in kernels with non-constant diagonals stay correct."""
+    def linear_kernel(params, X, X2=None):
+        X2 = X if X2 is None else X2
+        sf2 = jnp.exp(2.0 * params["log_sigma_f"])
+        return sf2 * (X @ X2.T + 1.0)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(-1, 1, (16, 1)), jnp.float32)
+    y = jnp.asarray(2.0 * np.asarray(x)[:, 0] + 0.3, jnp.float32)
+    gp = GpRegressor(kernel=linear_kernel, jitter=1e-4)
+    fit = gp.fit(x, y)
+    xs = jnp.asarray([[0.0], [10.0]], jnp.float32)
+    _, var = gp.predict(fit, xs)
+    # exact posterior variance k(x*,x*) − ‖L⁻¹k*‖²: with the prior
+    # diagonal hardcoded to sigma_f² (the old bug), ‖w‖² ≈ 100 > 1 at
+    # x*=10 and the variance clamps to 1e-12 instead
+    ks = linear_kernel(fit.params, fit.x, xs)
+    w = jax.scipy.linalg.solve_triangular(fit.chol, ks, lower=True)
+    want = np.asarray(jnp.diagonal(linear_kernel(fit.params, xs))
+                      - jnp.sum(w * w, axis=0))
+    np.testing.assert_allclose(np.asarray(var), want, rtol=1e-4)
+    assert float(var[1]) > 1e-3, float(var[1])
+
+
+def test_optimize_all_nonfinite_raises():
+    x = jnp.zeros((8, 1), jnp.float32)          # duplicated rows
+    y = jnp.full((8,), jnp.nan, jnp.float32)    # NaN targets
+    gp = GpRegressor()
+    try:
+        gp.optimize(x, y, steps=5)
+    except ValueError as e:
+        assert "non-finite" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
