@@ -94,6 +94,72 @@ def _chol_dispatch_diff_jvp(primals, tangents):
     return chol, chol @ phi
 
 
+@custom_batching.custom_vmap
+def _chol_solve_dispatch(kmat, y):
+    """Fused ``(chol(K), L⁻¹y)`` whose BATCHED form runs ONE Pallas kernel.
+
+    The log-ML needs exactly (L, v = L⁻¹y): ``yᵀK⁻¹y = ‖v‖²`` and
+    ``log|K| = 2Σlog L_ii``. Un-vmapped callers get XLA's cholesky +
+    triangular_solve. Under vmap on TPU/f32 (the config-4 shape: one
+    Gram system per chain) both route to
+    ops.pallas_bchol.cholesky_solve_batched_pallas — XLA's batched
+    ``triangular_solve`` sits on the same sequential-HLO critical path
+    its batched ``cholesky`` does, while the fused kernel's blocked
+    forward substitution rides the factorisation's existing contractions
+    for ~free. Differentiate through :func:`_chol_solve_dispatch_diff`.
+    """
+    chol = jnp.linalg.cholesky(kmat)
+    v = jax.scipy.linalg.solve_triangular(chol, y, lower=True)
+    return chol, v
+
+
+@_chol_solve_dispatch.def_vmap
+def _chol_solve_dispatch_vmap(axis_size, in_batched, kmat, y):
+    kb, yb = in_batched
+    if (kb and kmat.ndim == 3 and kmat.dtype == jnp.float32
+            and kmat.shape[-1] <= 1024 and axis_size >= 8
+            and jax.default_backend() == "tpu"):
+        from bipymc_tpu.ops.pallas_bchol import (
+            cholesky_solve_batched_pallas)
+        y_b = y if yb else jnp.broadcast_to(y, (axis_size, y.shape[-1]))
+        l, z = cholesky_solve_batched_pallas(kmat, y_b)
+        return (l, z), (True, True)
+    chol = (jax.vmap(jnp.linalg.cholesky)(kmat) if kb
+            else jnp.linalg.cholesky(kmat))
+
+    def solve(c, b):
+        return jax.scipy.linalg.solve_triangular(c, b, lower=True)
+
+    v = jax.vmap(solve, in_axes=(0 if kb else None,
+                                 0 if yb else None))(chol, y)
+    return (chol, v), (kb, True)
+
+
+@jax.custom_jvp
+def _chol_solve_dispatch_diff(kmat, y):
+    """Differentiable wrapper over :func:`_chol_solve_dispatch` (same
+    custom_vmap-has-no-JVP limitation and same remedy as
+    :func:`_chol_dispatch_diff`): forward derivative
+    dL = L·Φ(L⁻¹ dA L⁻ᵀ), dz = L⁻¹(dy − dL·z)."""
+    return _chol_solve_dispatch(kmat, y)
+
+
+@_chol_solve_dispatch_diff.defjvp
+def _chol_solve_dispatch_diff_jvp(primals, tangents):
+    (kmat, y), (dk, dy) = primals, tangents
+    chol, z = _chol_solve_dispatch(kmat, y)
+    s1 = jax.scipy.linalg.solve_triangular(chol, dk, lower=True)
+    s = jax.scipy.linalg.solve_triangular(
+        chol, jnp.swapaxes(s1, -1, -2), lower=True)
+    phi = jnp.tril(s, -1) + 0.5 * (
+        s * jnp.eye(s.shape[-1], dtype=s.dtype))
+    dchol = chol @ phi
+    rhs = dy - jnp.matmul(dchol, z[..., None])[..., 0]
+    dz = jax.scipy.linalg.solve_triangular(
+        chol, rhs[..., None], lower=True)[..., 0]
+    return (chol, z), (dchol, dz)
+
+
 class GpFit(NamedTuple):
     params: dict
     x: jax.Array       # [n, d] training inputs
@@ -249,8 +315,17 @@ class GpRegressor:
         n = x.shape[0]
         y, _, y_std = self._normalize(y)
         kmat = self._gram(params, x)
-        chol = self._cholesky(kmat, grad_safe=grad_safe)
-        v = self._solve_lower(chol, y)
+        if (self.batched_chol and not grad_safe and not self.pallas_chol
+                and not self.pallas_solve):
+            # fused factor+forward-solve: under vmap on TPU this is ONE
+            # Pallas kernel for (L, v) — the batched triangular_solve
+            # shares XLA's batched-cholesky critical-path plateau, so
+            # config 4's hot loop drops it entirely. grad_safe paths
+            # (optimize/log-ML) keep XLA's fused cholesky adjoint.
+            chol, v = _chol_solve_dispatch_diff(kmat, y)
+        else:
+            chol = self._cholesky(kmat, grad_safe=grad_safe)
+            v = self._solve_lower(chol, y)
         # -n log(y_std): change-of-variables so the value is the LML of the
         # *original* y under normalize_y (constant in params, so hyperopt
         # is unaffected, but values stay comparable across settings)

@@ -48,7 +48,7 @@ _BG = 8           # matrices per grid cell: batch rides the sublane axis of
                   # every [BG, 1, n] row op — 8 fills an f32 (8, 128) tile
 
 
-def _make_kernel(n_pad, bg):
+def _make_kernel(n_pad, bg, with_rhs=False):
     nb = n_pad // _B
     f32 = jnp.float32
 
@@ -57,8 +57,23 @@ def _make_kernel(n_pad, bg):
     # batched "A @ Bᵀ": contract last dims, batch dim 0
     bdot_nt = (((2,), (2,)), ((0,), (0,)))
 
-    def kernel(a_ref, out_ref, ml_ref, mr_ref):
+    def kernel(*refs):
+        # with_rhs weaves a blocked forward substitution z = L⁻¹y through
+        # the factorisation (the GP log-ML path: XLA's batched
+        # triangular_solve has the same sequential-HLO plateau the batched
+        # cholesky had, and the two ops it needs — y_k·Lkk⁻ᵀ and the
+        # trailing y_i −= z_k·Gᵀ — are the SAME bdot_nt contraction the
+        # panel already runs, so the solve rides along for ~free).
+        # y/z ride as [BG, 8, n_pad] row-vectors (8 identical sublanes fill
+        # one f32 tile; cost is O(n·B) per block vs the panel's O(r·B²)).
+        if with_rhs:
+            a_ref, y_ref, out_ref, z_ref, ml_ref, mr_ref = refs
+        else:
+            a_ref, out_ref, ml_ref, mr_ref = refs
+            y_ref = z_ref = None
         out_ref[:] = a_ref[:]
+        if with_rhs:
+            z_ref[:] = y_ref[:]
         ri = lax.broadcasted_iota(jnp.int32, (1, _B, _B), 1)
         ci = lax.broadcasted_iota(jnp.int32, (1, _B, _B), 2)
 
@@ -116,6 +131,16 @@ def _make_kernel(n_pad, bg):
                 (ci <= ri).astype(f32)
             out_ref[:, pl.ds(o, _B), pl.ds(o, _B)] = lkk
 
+            if with_rhs:
+                # z_k = Lkk⁻¹ (y_k − Σ_{j<k} L_kj z_j): the block's y is
+                # already trailing-updated, and linv[j, c] = (Lkk⁻¹)[j, c]
+                # so the row form zᵀ = yᵀ·Lkk⁻ᵀ is one bdot_nt
+                yk = z_ref[:, :, pl.ds(o, _B)]             # [BG, 8, B]
+                zk = lax.dot_general(yk, linv, bdot_nt,
+                                     precision=lax.Precision.HIGHEST,
+                                     preferred_element_type=f32)
+                z_ref[:, :, pl.ds(o, _B)] = zk
+
             if k < nb - 1:
                 r = n_pad - o - _B                         # static per k
                 # panel: G = A[:, o+B:, o:o+B] @ Lkk⁻ᵀ (batched MXU)
@@ -131,6 +156,15 @@ def _make_kernel(n_pad, bg):
                         g, g, bdot_nt,
                         precision=lax.Precision.HIGHEST,
                         preferred_element_type=f32))
+                if with_rhs:
+                    # trailing substitution: y_i −= G z_k (row form via
+                    # the same contraction: Σ_c zk[s,c]·g[i,c])
+                    ztail = z_ref[:, :, pl.ds(o + _B, r)]
+                    z_ref[:, :, pl.ds(o + _B, r)] = (
+                        ztail - lax.dot_general(
+                            zk, g, bdot_nt,
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=f32))
 
         # zero the strict upper triangle
         fri = lax.broadcasted_iota(jnp.int32, (1, n_pad, n_pad), 1)
@@ -140,7 +174,7 @@ def _make_kernel(n_pad, bg):
     return kernel
 
 
-def _bchol_fwd_impl(a, interpret):
+def _bchol_fwd_impl(a, interpret, y=None):
     b, n = a.shape[0], a.shape[-1]
     n_pad = round_up(n, _B)
     # VMEM budget: the pipelined in+out blocks cost ~4·BG·n²·4B (double
@@ -156,20 +190,38 @@ def _bchol_fwd_impl(a, interpret):
         eye = jnp.broadcast_to(jnp.eye(n_pad, dtype=a.dtype),
                                (b_pad, n_pad, n_pad))
         a = eye.at[:b, :n, :n].set(a)
+    mat_spec = pl.BlockSpec((bg, n_pad, n_pad), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs, operands = [mat_spec], [a]
+    out_specs = [mat_spec]
+    out_shape = [jax.ShapeDtypeStruct((b_pad, n_pad, n_pad), a.dtype)]
+    if y is not None:
+        # y rides as [b, 8, n_pad] row-vectors (8 identical sublanes fill
+        # an f32 tile); zero-padded columns stay zero through the solve
+        yp = jnp.zeros((b_pad, 8, n_pad), a.dtype)
+        yp = yp.at[:b, :, :n].set(
+            jnp.broadcast_to(y[:, None, :], (b, 8, n)))
+        row_spec = pl.BlockSpec((bg, 8, n_pad), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs.append(row_spec)
+        operands.append(yp)
+        out_specs.append(row_spec)
+        out_shape.append(jax.ShapeDtypeStruct((b_pad, 8, n_pad), a.dtype))
     out = pl.pallas_call(
-        _make_kernel(n_pad, bg),
+        _make_kernel(n_pad, bg, with_rhs=y is not None),
         grid=(b_pad // bg,),
-        in_specs=[pl.BlockSpec((bg, n_pad, n_pad), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((bg, n_pad, n_pad), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad, n_pad), a.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs if y is not None else out_specs[0],
+        out_shape=out_shape if y is not None else out_shape[0],
         scratch_shapes=[pltpu.VMEM((bg, _B, _B), jnp.float32),
                         pltpu.VMEM((bg, _B, _B), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(1.2 * budget)),
         interpret=interpret,
-    )(a)
+    )(*operands)
+    if y is not None:
+        lmat, z = out
+        return lmat[:b, :n, :n], z[:b, 0, :n]
     return out[:b, :n, :n]
 
 
@@ -216,3 +268,50 @@ def _bwd(interpret, l, lbar):
 
 
 cholesky_batched_pallas.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def cholesky_solve_batched_pallas(a, y, interpret=False):
+    """Fused ``(L, z) = (chol(A), L⁻¹y)`` for a batch of SPD systems.
+
+    a [B, n, n]; y [B, n] → (L [B, n, n], z [B, n]). One Pallas launch:
+    the blocked forward substitution is woven through the factorisation
+    (per block, ``z_k = y_k·Lkk⁻ᵀ`` and the trailing ``y −= z_k·Gᵀ`` are
+    the same batched-MXU contraction shape the panel update already
+    runs), so the separate batched ``triangular_solve`` — which has the
+    same sequential-HLO critical-path plateau XLA's batched ``cholesky``
+    has — disappears from the caller. This is the whole GP log-ML
+    factor+solve (SURVEY.md §4.9: ``v = L⁻¹y``, ``yᵀK⁻¹y = ‖v‖²``,
+    ``log|K| = 2Σlog L_ii``) in one kernel; GpRegressor routes vmapped
+    log-ML evaluations here (BASELINE config 4's hot loop).
+
+    L is the identical computation (bit-equal) to
+    :func:`cholesky_batched_pallas`; z matches XLA's triangular solve to
+    f32 roundoff (different but fixed re-association). Same limits as
+    the plain kernel: f32, n ≤ ~1024. Differentiable (custom VJP below).
+    """
+    return _bchol_fwd_impl(a, interpret, y=y)
+
+
+def _cs_fwd(a, y, interpret):
+    l, z = _bchol_fwd_impl(a, interpret, y=y)
+    return (l, z), (l, z)
+
+
+def _cs_bwd(interpret, res, cots):
+    """VJP of (L, z) = (chol(A), L⁻¹y).
+
+    z-path: dz = L⁻¹(dy − dL·z) ⇒ ybar = L⁻ᵀ zbar and an extra Cholesky
+    cotangent −(L⁻ᵀ zbar)zᵀ (lower-masked by the adjoint's Φ projection);
+    then the standard batched Cholesky adjoint maps the combined Lbar to
+    Abar."""
+    l, z = res
+    lbar, zbar = cots
+    w = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(l, -1, -2), zbar[..., None], lower=False)
+    ybar = w[..., 0]
+    lbar = lbar - w * z[..., None, :]
+    return _bchol_bwd_impl(l, lbar), ybar
+
+
+cholesky_solve_batched_pallas.defvjp(_cs_fwd, _cs_bwd)

@@ -38,6 +38,18 @@ def _pt_cold_position(s):
     return s.kernel.theta[0]
 
 
+def _check_mesh_chains(mesh, n_chains):
+    """Fail at CONSTRUCTION when the chain count cannot shard over the
+    mesh (the pool would raise the same thing at the first run_mcmc,
+    after the user already built the sampler)."""
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        if int(n_chains) % n_dev != 0:
+            raise ValueError(
+                f"n_chains={n_chains} must be divisible by the mesh's "
+                f"{n_dev} devices")
+
+
 def _as_2d_theta0(theta_0, n_chains, key, spread, dtype):
     """Accept [d] (dispersed via var_ball) or [M, d] starting points."""
     theta_0 = jnp.asarray(theta_0, dtype=dtype)
@@ -466,6 +478,7 @@ class ParallelTempering(McmcSampler):
                  dtype=jnp.float32, mesh=None, **kernel_kw):
         super().__init__(log_like_fn, seed=seed, dtype=dtype)
         self.mesh = mesh
+        _check_mesh_chains(mesh, n_chains)
         self._ctor_kw = dict(n_chains=n_chains, swap_interval=swap_interval,
                              kind=kind, dtype=dtype, mesh=mesh, **kernel_kw)
         if betas is None:
@@ -624,6 +637,7 @@ class DeMc(McmcSampler):
         self.n_chains = int(n_chains)
         self.cfg = demc.DeMcConfig(n_chains=self.n_chains, **config_kw)
         self.mesh = mesh
+        _check_mesh_chains(mesh, self.n_chains)
 
     def _ensure(self, theta_0, spread):
         return self._ensure_population(
@@ -692,6 +706,7 @@ class EnsembleSampler(McmcSampler):
         self.cfg = stretch.StretchConfig(n_chains=self.n_chains,
                                          **config_kw)
         self.mesh = mesh
+        _check_mesh_chains(mesh, self.n_chains)
         self.fused = bool(fused)
         self._log_prob_block = log_prob_block
         self._fused_runner = None
@@ -812,6 +827,7 @@ class DreamZs(McmcSampler):
         self.n_chains = int(n_chains)
         self.cfg = self._config_builder(self.n_chains, **config_kw)
         self.mesh = mesh
+        _check_mesh_chains(mesh, self.n_chains)
         self.archive_capacity = archive_capacity
         self.n_archive_init = n_archive_init
         self.fused = bool(fused)

@@ -91,3 +91,87 @@ def test_regressor_dispatch_gates():
     # hyperopt (grad path) still runs with dispatch enabled
     params, lml = gp_on.optimize(xj, yj, steps=30, lr=0.1)
     assert np.isfinite(float(lml))
+
+
+# ---- fused factor + forward solve (cholesky_solve_batched_pallas) ----------
+
+def test_chol_solve_forward_matches():
+    from bipymc_tpu.ops.pallas_bchol import cholesky_solve_batched_pallas
+    for b, n in [(3, 64), (8, 128), (5, 200), (12, 256)]:
+        k = _spd(b, n, seed=n + 2 * b)
+        rng = np.random.default_rng(n)
+        y = rng.standard_normal((b, n)).astype(np.float32)
+        l, z = cholesky_solve_batched_pallas(
+            jnp.asarray(k), jnp.asarray(y), INTERPRET)
+        l, z = np.asarray(l), np.asarray(z)
+        # the matrix path is the IDENTICAL computation to the plain
+        # kernel — bit-equal, not merely close
+        l_plain = np.asarray(
+            cholesky_batched_pallas(jnp.asarray(k), INTERPRET))
+        assert np.array_equal(l, l_plain)
+        want_l = np.linalg.cholesky(k)
+        want_z = np.stack([
+            np.linalg.solve(want_l[i], y[i]) for i in range(b)])
+        scale = np.max(np.abs(want_z))
+        np.testing.assert_allclose(z, want_z, atol=1e-5 * scale)
+
+
+def test_chol_solve_vjp_matches_xla():
+    from bipymc_tpu.ops.pallas_bchol import cholesky_solve_batched_pallas
+    k = _spd(4, 96, seed=11)
+    rng = np.random.default_rng(5)
+    y = rng.standard_normal((4, 96)).astype(np.float32)
+
+    def f_ours(a, yy):
+        l, z = cholesky_solve_batched_pallas(a, yy, INTERPRET)
+        return jnp.sum(z ** 2) + jnp.sum(jnp.log(
+            jnp.diagonal(l, axis1=-2, axis2=-1)))
+
+    def f_xla(a, yy):
+        l = jax.vmap(jnp.linalg.cholesky)(a)
+        z = jax.vmap(lambda c, b: jax.scipy.linalg.solve_triangular(
+            c, b, lower=True))(l, yy)
+        return jnp.sum(z ** 2) + jnp.sum(jnp.log(
+            jnp.diagonal(l, axis1=-2, axis2=-1)))
+
+    ga, gy = jax.grad(f_ours, argnums=(0, 1))(jnp.asarray(k),
+                                              jnp.asarray(y))
+    wa, wy = jax.grad(f_xla, argnums=(0, 1))(jnp.asarray(k),
+                                             jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(wy),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(wa),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_lml_fused_dispatch_grad_paths():
+    """grad through the vmapped AND un-vmapped non-grad_safe log-ML must
+    work with the fused dispatch in place (custom_jvp wrapper), matching
+    the grad_safe XLA path."""
+    from bipymc_tpu.gp.regressor import GpRegressor
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-2, 2, (48, 2)).astype(np.float32)
+    y = np.cos(x[:, 0]).astype(np.float32)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+    gp = GpRegressor(batched_chol=True)
+
+    def lml_t(t):
+        p = {"log_lengthscale": t[:2], "log_sigma_f": t[2],
+             "log_sigma_n": t[3]}
+        return gp._lml_impl(p, xj, yj)          # grad_safe=False path
+
+    def lml_safe(t):
+        p = {"log_lengthscale": t[:2], "log_sigma_f": t[2],
+             "log_sigma_n": t[3]}
+        return gp._lml_impl(p, xj, yj, grad_safe=True)
+
+    t0 = jnp.asarray([0.1, -0.2, 0.05, -2.0], jnp.float32)
+    g = jax.grad(lml_t)(t0)                     # un-vmapped grad
+    gs = jax.grad(lml_safe)(t0)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gs),
+                               rtol=1e-4, atol=1e-5)
+    ts = jnp.stack([t0, t0 + 0.03])
+    gv = jax.vmap(jax.grad(lml_t))(ts)          # vmap-of-grad
+    gvs = jax.vmap(jax.grad(lml_safe))(ts)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gvs),
+                               rtol=1e-4, atol=1e-5)
