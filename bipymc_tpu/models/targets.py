@@ -30,7 +30,13 @@ def correlated_gaussian(mean, cov):
 
     def log_prob(theta):
         r = theta - mean
-        return -0.5 * (r @ inv @ r + log_det + d * jnp.log(2.0 * jnp.pi))
+        # quadratic form as matvec + lane reduce, NOT (r @ inv) @ r: the
+        # second @ is a vector-vector dot that vmap turns into a batched
+        # dot_general Mosaic cannot lower — inside the fused Pallas
+        # engines (ops/fused_rw_chunk.py et al.) the target must stay on
+        # matmul + elementwise ops (ops/fused_chunk.block_logp_from_scalar)
+        q = jnp.sum((r @ inv) * r, axis=-1)
+        return -0.5 * (q + log_det + d * jnp.log(2.0 * jnp.pi))
 
     return log_prob
 
