@@ -86,13 +86,15 @@ def micro(best_of=5):
             # data-dependent index chain defeats CSE across reps
             def body(c, _):
                 out = g(buf, jnp.bitwise_xor(idx, c))
-                return jnp.bitwise_and(
-                    out[0, 0, 0].astype(jnp.int32), 0), out
-            c, outs = jax.lax.scan(body, jnp.int32(0), None, length=reps)
+                c_new = jnp.asarray(
+                    out[0, 0, 0, 0], jnp.int32) & jnp.asarray(0, jnp.int32)
+                return c_new, out
+            c, outs = jax.lax.scan(
+                body, jnp.asarray(0, jnp.int32), None, length=reps)
             return outs[-1]
 
         arms = {"xla": jax.jit(lambda: chain(lambda b, i: b[i]))}
-        for g in (8, 32, 128):
+        for g in (8, 32, 128, 512):
             arms[f"pallas_g{g}"] = jax.jit(
                 lambda _g=g: chain(lambda b, i: gather_rows_pallas(
                     b, i, rows_per_cell=_g)))

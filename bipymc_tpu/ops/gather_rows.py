@@ -65,6 +65,16 @@ def gather_rows_pallas(buf, row_idx, *, rows_per_cell: int = 32,
     r = flat.shape[0]
     if r == 0:                      # zero-length grid is not expressible
         return jnp.zeros((*shape, d), buf.dtype)
+    # the HBM-side row slice must be tile-aligned in the minor dim
+    # (Mosaic: "Slice shape along dimension 1 must be aligned to tiling
+    # (128)") — lane-pad the buffer when d is ragged. One [cap, d_pad]
+    # copy per call; callers amortising over a chunk (fused engine: one
+    # gather per archive_thin generations) still come out ahead, and
+    # the A/B (benchmarks/profile_gather_mode.py) prices it.
+    d_true = d
+    if d % 128:                     # minor-dim tiling is 128 lanes
+        d = -(-d // 128) * 128
+        buf = jnp.pad(buf, ((0, 0), (0, d - d_true)))
     # XLA's gather clamps out-of-range indices; the row DMA would read
     # whatever HBM sits past the buffer — clamp for identical semantics
     flat = jnp.clip(flat, 0, cap - 1)
@@ -85,4 +95,4 @@ def gather_rows_pallas(buf, row_idx, *, rows_per_cell: int = 32,
         out_shape=jax.ShapeDtypeStruct((rp, d), buf.dtype),
         interpret=interpret,
     )(flat, buf)
-    return out[:r].reshape(*shape, d)
+    return out[:r, :d_true].reshape(*shape, d_true)
