@@ -94,7 +94,7 @@ def micro(best_of=5):
             return outs[-1]
 
         arms = {"xla": jax.jit(lambda: chain(lambda b, i: b[i]))}
-        for g in (8, 32, 128, 512):
+        for g in (8, 32, 128):
             arms[f"pallas_g{g}"] = jax.jit(
                 lambda _g=g: chain(lambda b, i: gather_rows_pallas(
                     b, i, rows_per_cell=_g)))

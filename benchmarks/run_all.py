@@ -54,7 +54,10 @@ def config1(quick):
     n = 20000 if not quick else 4000
     log_prob = correlated_gaussian(mean, cov)
 
-    s2 = bp.Dram(log_prob, seed=1, n_chains=1)
+    # fused=True: K=adapt_interval steps per Pallas kernel — measured
+    # 9.1x the per-step engine at 1 chain (docs/ROUND3.md §10); same
+    # algorithm, trajectories equal to float re-association
+    s2 = bp.Dram(log_prob, seed=1, n_chains=1, fused=True)
     s2.run_mcmc(n, jnp.zeros(2), cov_est=jnp.eye(2))      # compile + warm
     t0 = time.time()
     s2.run_mcmc(n)                                        # continuation
@@ -73,6 +76,7 @@ def config1(quick):
 
     return {
         "name": "1: 2D Gaussian / DRAM (1 chain)",
+        "engine": "fused",
         "steps_per_sec": n / elapsed,
         "ess_per_sec": eps,
         "ref_steps_per_sec": n / ref_elapsed,

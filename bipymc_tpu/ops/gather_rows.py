@@ -1,21 +1,23 @@
 """Capacity-independent archive row gather (HBM -> VMEM DMA kernel).
 
-``archive.buf[row_idx]`` is the one op in the fused DREAM-zs chunk whose
-XLA lowering can depend on the *capacity* of the archive rather than the
-number of rows fetched: on TPU a dynamic row gather may lower to a
-one-hot ``dot`` against the whole ``[capacity, d]`` buffer, making the
-gather cost ``O(capacity · R · d)`` instead of the ``O(R · d)`` bytes the
-fetch actually needs (measured: the fused ``run_mcmc_until`` path slowed
-~2x when auto-capacity grew 8192 -> 65536 with identical work per
-generation; see docs/ROUND3.md §14).
+Built on the conjecture that XLA lowers ``archive.buf[row_idx]`` to a
+one-hot ``dot`` whose cost scales with the archive *capacity*. The
+hardware A/B (docs/ROUND3.md §14, benchmarks/profile_gather_mode.py)
+REFUTED that: XLA's gather measured capacity-independent (~152 µs for
+15k rows at both 8192 and 65536 rows), while this kernel is
+latency-bound at ~25 ns/row (scattered 400-byte DMAs) — 2.5× slower.
+The ``run_mcmc_until`` slowdown that motivated it was the carried-ring
+size in the until-while_loop, fixed by capping the API's auto archive
+capacity. The kernel ships OFF-default as a recorded negative (like
+ops/pallas_chol.py) so the measurement stays reproducible.
 
-This kernel is the speed-of-light lowering: the buffer stays in HBM
-(``memory_space=ANY``), the flattened row indices ride scalar prefetch so
-they are available before the body runs, and each grid cell issues
-``rows_per_cell`` independent async DMAs — one ``[1, d]`` row each,
-HBM -> the cell's VMEM output block — then waits for them all. Cost is
-``R`` row-sized DMAs regardless of capacity; Mosaic double-buffers the
-output blocks so cells overlap.
+Mechanics: the buffer stays in HBM (``memory_space=ANY``), the
+flattened row indices ride scalar prefetch so they are available before
+the body runs, and each grid cell issues ``rows_per_cell`` independent
+async DMAs — one ``[1, d]`` row each, HBM -> the cell's VMEM output
+block — then waits for them all. Cost is ``R`` row-sized DMAs
+regardless of capacity; Mosaic double-buffers the output blocks so
+cells overlap.
 
 Exact by construction (a copy is a copy): equivalence with ``buf[idx]``
 is pinned in interpret mode and on hardware (tests/test_gather_rows.py).

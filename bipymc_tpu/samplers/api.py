@@ -889,7 +889,8 @@ class DreamZs(McmcSampler):
                 collect_fn=collect)
         return self._pool_obj
 
-    def _ensure_state(self, theta_0, spread, n_gens_hint):
+    def _ensure_state(self, theta_0, spread, n_gens_hint,
+                      auto_capacity_cap=65536):
         key = jax.random.key(self.seed)
         k_init, k_z, k_run = jax.random.split(key, 3)
         if self._continuing(theta_0, spread=spread):
@@ -899,7 +900,7 @@ class DreamZs(McmcSampler):
         if capacity is None:
             appended = self.n_chains * (
                 n_gens_hint // self.cfg.archive_thin + 1)
-            capacity = int(min(max(256, appended), 65536))
+            capacity = int(min(max(256, appended), auto_capacity_cap, 65536))
         if self.cfg.shard_archive and self.mesh is not None:
             # block layout needs equal blocks per device; only round the
             # AUTO-computed capacity — silently changing an explicit one
@@ -1021,8 +1022,17 @@ class DreamZs(McmcSampler):
                         gather_mode=self.fused_gather)
                 chunk_runner = self._fused_runner_local
                 fused_after = self.cfg.burnin_gens
-        state, k_run = self._ensure_state(theta_0, spread,
-                                          chunk * max_chunks)
+        # auto capacity for an R̂-stopped run: chunk·max_chunks is a
+        # worst-case bound the typical run never approaches, and sizing
+        # the ring for it balloons the while_loop's carried archive —
+        # measured 1.65× the north-star wall at 65536 vs 8192 rows for
+        # identical work (docs/ROUND3.md §14; the gather lowering was
+        # ruled out by the controlled A/B). Cap the AUTO ring at 32
+        # population snapshots (bench.py pins the same 8192 for 256
+        # chains); archive_capacity= overrides explicitly.
+        state, k_run = self._ensure_state(
+            theta_0, spread, chunk * max_chunks,
+            auto_capacity_cap=max(8192, 32 * self.n_chains))
         final_state, info = self._pool().run_until(
             state, k_run, rhat_tol=rhat_tol, chunk=chunk,
             max_chunks=max_chunks, warmup_chunks=warmup_chunks,

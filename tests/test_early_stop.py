@@ -230,6 +230,23 @@ def test_rhat_merge_matches_block_fold():
                                np.asarray(rc_b.m2), rtol=1e-6)
 
 
+def test_run_until_auto_capacity_is_capped():
+    """run_mcmc_until's auto archive ring is capped at 32 population
+    snapshots (max(8192, 32·n_chains) rows): the worst-case
+    chunk·max_chunks hint always clamped to 65536, and carrying a 26 MB
+    ring through the until-while_loop measured 1.65× the north-star
+    wall for identical work (docs/ROUND3.md §14). archive_capacity=
+    still overrides."""
+    lp = correlated_gaussian(MEAN, COV)
+    s = DreamZs(lp, n_chains=8, seed=0, burnin_gens=4, archive_thin=2)
+    s.run_mcmc_until(jnp.zeros(2), rhat_tol=3.0, chunk=4, max_chunks=50000)
+    assert s.final_state.archive.buf.shape[0] == 8192
+    s2 = DreamZs(lp, n_chains=8, seed=0, burnin_gens=4, archive_thin=2,
+                 archive_capacity=16384)
+    s2.run_mcmc_until(jnp.zeros(2), rhat_tol=3.0, chunk=4, max_chunks=8)
+    assert s2.final_state.archive.buf.shape[0] == 16384
+
+
 def test_single_chain_run_until_raises():
     """m=1 makes B/W = 0/0: R-hat is NaN and every tol comparison is
     False, so the loop would exit right after warmup looking converged —
