@@ -29,7 +29,14 @@ if os.environ.get("JAX_PLATFORMS"):
     # honour an explicit env override (CPU smoke runs) the same way
     # run_all.py does
     import jax
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    _plats = os.environ["JAX_PLATFORMS"]
+    if "cpu" not in _plats.split(","):
+        # keep the host CPU backend registered next to the primary
+        # platform: diagnostics pin GB-scale host histories to it
+        # (utils.diagnostics.host_compute) instead of round-tripping
+        # them through the device tunnel
+        _plats += ",cpu"
+    jax.config.update("jax_platforms", _plats)
 
 # The device tunnel FLAPS (multi-hour outages, sometimes seconds after a
 # successful probe — observed repeatedly in round 3). A hung device call
@@ -173,8 +180,9 @@ def run_tpu():
     # Pinned to the host CPU backend: the default device would pull the
     # ~1GB history back through the device tunnel just to argmin a
     # distance matrix.
-    from bipymc_tpu.utils.diagnostics import mode_hops, mode_occupancy
-    with jax.default_device(jax.devices("cpu")[0]):
+    from bipymc_tpu.utils.diagnostics import (host_compute, mode_hops,
+                                              mode_occupancy)
+    with host_compute():
         occ = np.asarray(mode_occupancy(chains[:, -1, :], means))
         _, hops_rate = mode_hops(chains, means)
         hops_rate = float(hops_rate)

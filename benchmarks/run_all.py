@@ -19,7 +19,10 @@ import time
 
 if os.environ.get("JAX_PLATFORMS"):
     import jax
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    _plats = os.environ["JAX_PLATFORMS"]
+    if "cpu" not in _plats.split(","):
+        _plats += ",cpu"       # keep host-side diagnostics off the tunnel
+    jax.config.update("jax_platforms", _plats)
 
 import numpy as np
 import jax
@@ -178,7 +181,8 @@ def config3(quick):
     # device tunnel to argmin a distance matrix)
     from bipymc_tpu.utils.diagnostics import (gelman_rubin, mode_hops,
                                               mode_occupancy)
-    with jax.default_device(jax.devices("cpu")[0]):
+    from bipymc_tpu.utils.diagnostics import host_compute
+    with host_compute():
         occ = np.asarray(mode_occupancy(kept[:, -1, :], means))
         _, hop_rate = mode_hops(kept, means)
         hop_rate = float(hop_rate)

@@ -22,6 +22,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from jax import custom_batching
@@ -231,17 +232,35 @@ class GpRegressor:
                                                 grad_safe=True))
 
     # ---- pure implementations -------------------------------------------
-    def _diag_shift(self, params):
+    def _diag_shift(self, params, n=None):
         """Noise + jitter added to the Gram diagonal (shared with the
-        row-sharded build in gp.sharded)."""
+        row-sharded build in gp.sharded).
+
+        The jitter is floored at ``4·n·ε(dtype)``: an SE Gram over n
+        clustered points has eigenvalues below the dtype's round-off
+        scale (≈ n·ε·σ_f²), so a FIXED jitter that is safe at n=64 is
+        below the floor at n=256 — measured on hardware: as ``optimize``
+        drives σ_n → 0, the TPU f32 Cholesky of K + (σ_n² + 1e-5·σ_f²)I
+        went non-finite at n=256 while the CPU build survived by one ulp
+        of rounding luck, and a 2·n·ε floor still tipped over inside the
+        compiled Adam scan (different fusion rounding than the eager
+        loop); 4·n·ε survives the full 300-step scan (docs/ROUND3.md
+        §17). LML gains below this floor fit the dtype's rounding noise,
+        not data. Static (Python) arithmetic — n and dtype are
+        trace-time constants."""
         sn2 = jnp.exp(2.0 * params["log_sigma_n"])
         sf2 = jnp.exp(2.0 * params["log_sigma_f"])
-        return sn2 + self.jitter * sf2
+        jitter = self.jitter
+        if n is not None:
+            eps = float(np.finfo(
+                np.dtype(params["log_sigma_f"].dtype)).eps)
+            jitter = max(jitter, 4.0 * n * eps)
+        return sn2 + jitter * sf2
 
     def _gram(self, params, x):
         n = x.shape[0]
         k = self.kernel(params, x)
-        return k + self._diag_shift(params) * jnp.eye(n, dtype=k.dtype)
+        return k + self._diag_shift(params, n) * jnp.eye(n, dtype=k.dtype)
 
     def _normalize(self, y):
         if self.normalize_y:
@@ -373,9 +392,26 @@ class GpRegressor:
             def step(carry, _):
                 p, opt_state = carry
                 loss, g = loss_grad(p)
-                updates, opt_state = opt.update(g, opt_state)
-                p = optax.apply_updates(p, updates)
-                return (p, opt_state), loss
+                # reject non-finite steps instead of poisoning the whole
+                # scan: near the f32 Cholesky cliff (σ_n → 0 against a
+                # near-singular Gram) a single Adam overshoot returns
+                # NaN loss/grads, and optax would propagate NaN into the
+                # params forever — measured on TPU hardware, where the
+                # compiled scan rounds differently from the eager loop
+                # and tips over when the eager loop survives
+                # (docs/ROUND3.md §17). Keeping (p, opt_state) on a bad
+                # step is the scan-safe analogue of a rejected line
+                # search; progress resumes from the last good iterate.
+                ok = jnp.isfinite(loss) & jnp.asarray(
+                    jax.tree_util.tree_reduce(
+                        lambda a, b: a & b,
+                        jax.tree_util.tree_map(
+                            lambda v: jnp.all(jnp.isfinite(v)), g)))
+                updates, opt_state_new = opt.update(g, opt_state)
+                p_new = optax.apply_updates(p, updates)
+                keep = lambda new, old: jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(ok, a, b), new, old)
+                return (keep(p_new, p), keep(opt_state_new, opt_state)), loss
             (p, _), losses = jax.lax.scan(
                 step, (p0, opt.init(p0)), None, length=steps)
             return p, -loss_grad(p)[0]

@@ -52,7 +52,7 @@ def sharded_gram(gp, params, x, mesh: Mesh, axis: str = CHAIN_AXIS):
         out_specs=P(axis, None)))(xp, xp)
     k = gram_padded[:n, :n]
     # same noise/jitter diagonal as the dense build (gp._diag_shift)
-    return k + gp._diag_shift(params) * jnp.eye(n, dtype=k.dtype)
+    return k + gp._diag_shift(params, n) * jnp.eye(n, dtype=k.dtype)
 
 
 def fit_sharded(gp, x, y, mesh: Mesh, params=None, axis: str = CHAIN_AXIS):

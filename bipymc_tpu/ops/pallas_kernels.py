@@ -55,9 +55,14 @@ def _sqdist_pallas_bwd(res, g):
     # r2_ij = Σ_k (A_ik − B_jk)²  ⇒
     #   dA = 2 (A ⊙ Σ_j g_ij − g B),   dB = 2 (B ⊙ Σ_i g_ij − gᵀ A)
     # — matmul-heavy, so the backward pass rides the MXU via XLA.
+    # HIGHEST for the same reason as the forward: the TPU-default bf16
+    # passes put ~1e-2 relative noise into hyperopt gradients.
     A, B = res
-    dA = 2.0 * (A * jnp.sum(g, axis=1)[:, None] - g @ B)
-    dB = 2.0 * (B * jnp.sum(g, axis=0)[:, None] - g.T @ A)
+    hi = jax.lax.Precision.HIGHEST
+    dA = 2.0 * (A * jnp.sum(g, axis=1)[:, None]
+                - jnp.matmul(g, B, precision=hi))
+    dB = 2.0 * (B * jnp.sum(g, axis=0)[:, None]
+                - jnp.matmul(g.T, A, precision=hi))
     return dA.astype(A.dtype), dB.astype(B.dtype)
 
 

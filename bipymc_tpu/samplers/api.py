@@ -132,15 +132,11 @@ class McmcSampler:
 
     @staticmethod
     def _host_compute():
-        """Context placing post-run diagnostics on the host CPU backend:
-        the history is already host NumPy, and shipping ~GB of it back
-        through the (possibly remote, ~30ms/call) device link to compute
-        a summary is the round-trip the rest of the harness avoids."""
-        try:
-            return jax.default_device(jax.local_devices(backend="cpu")[0])
-        except RuntimeError:
-            import contextlib
-            return contextlib.nullcontext()
+        """Post-run diagnostics on the host CPU backend (the history is
+        already host NumPy — don't round-trip it through the device
+        link); no-op when no CPU backend exists."""
+        from bipymc_tpu.utils.diagnostics import host_compute
+        return host_compute()
 
     def summary(self, discard=0, as_text=False):
         """Per-dimension posterior summary of the kept history:

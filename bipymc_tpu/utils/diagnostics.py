@@ -242,8 +242,23 @@ def ess_rate(chains, gens_per_sec, window=ESS_WINDOW_GENS, c=5.0):
     w = min(int(window), n)
     chains = chains[:, n - w:, ...]
     if isinstance(chains, np.ndarray):
-        with jax.default_device(jax.devices("cpu")[0]):
+        with host_compute():
             ess = float(effective_sample_size(_promote(chains), c=c))
     else:
         ess = float(effective_sample_size(_promote(chains), c=c))
     return ess, ess * float(gens_per_sec) / w
+
+
+def host_compute():
+    """Context placing host-NumPy diagnostics on the CPU backend.
+
+    Benchmark harnesses hand diagnostics ~GB-scale assembled histories;
+    promoting them to a remote default device would push the whole
+    array through the device tunnel just to FFT/argmin a window of it.
+    Falls back to a no-op when no CPU backend exists (e.g. a process
+    that pinned ``jax_platforms`` to the TPU plugin alone)."""
+    try:
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        import contextlib
+        return contextlib.nullcontext()

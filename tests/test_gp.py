@@ -231,3 +231,31 @@ def test_optimize_all_nonfinite_raises():
         assert "non-finite" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_optimize_noiseless_scores_near_f32_cliff():
+    """BASELINE config-5-shaped fit: n=256 clustered inputs, noiseless
+    (deterministic) scores, f32. optimize() drives sigma_n toward zero
+    and the Gram's smallest eigenvalues sit below f32 round-off — on TPU
+    hardware the compiled Adam scan went NaN at the old fixed 1e-5
+    jitter (the CPU build survived by one ulp of luck). The n-aware
+    4*n*eps jitter floor + the non-finite step rejection keep the run
+    finite on every backend (docs/ROUND3.md §17)."""
+    rng = np.random.default_rng(11)
+    t_grid = np.linspace(0, 1, 8)
+
+    def fwd(th):
+        return th[0] * np.exp(-2 * t_grid) + th[1] * t_grid ** 2
+
+    y_obs = fwd(np.array([1.2, -0.7], np.float32))
+    design = rng.uniform(-2, 2, (256, 2)).astype(np.float32)
+    scores = np.array(
+        [-0.5 * float((fwd(t) - y_obs) @ (fwd(t) - y_obs)) / 0.05 ** 2
+         for t in design], dtype=np.float32)
+    gp = GpRegressor(normalize_y=True)
+    params, ml = gp.optimize(design, scores, steps=300, lr=0.05)
+    assert np.isfinite(float(ml))
+    fit = gp.fit(design, scores, params=params)
+    mu = gp.predict(fit, design[:16], return_var=False)
+    # near-interpolation of the training scores (they span ~1e3)
+    np.testing.assert_allclose(np.asarray(mu), scores[:16], atol=25.0)
