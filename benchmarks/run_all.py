@@ -62,10 +62,18 @@ def config1(quick):
     # algorithm, trajectories equal to float re-association
     s2 = bp.Dram(log_prob, seed=1, n_chains=1, fused=True)
     s2.run_mcmc(n, jnp.zeros(2), cov_est=jnp.eye(2))      # compile + warm
+    # warm the CONTINUATION shape too — the first continuation call pays
+    # a secondary compile/relayout (measured 2.5s on the axon backend
+    # for config 2's shape) that would otherwise land in the timed call
+    s2.run_mcmc(n)
+    np.asarray(s2.final_state.theta)     # hard barrier (value fetch):
+    # block_until_ready can return early while an axon remote compile
+    # is still in flight, letting the timed call absorb its tail
     t0 = time.time()
     s2.run_mcmc(n)                                        # continuation
+    np.asarray(s2.final_state.theta)
     elapsed = time.time() - t0
-    ess, eps = ess_per_sec(s2, n + n // 4, elapsed, n)
+    ess, eps = ess_per_sec(s2, 2 * n + n // 4, elapsed, n)
 
     from reference_numpy import NumpyDram
     def np_lp(th):
@@ -97,12 +105,20 @@ def config2(quick):
     # config 3, which needs an extra warm call for its burn-in split)
     s2 = bp.DeMcZ(log_prob, n_chains=8, seed=1, fused=True)
     s2.run_mcmc(n, jnp.zeros(2), spread=3.0)              # compile + warm
+    # warm the CONTINUATION shape too: the first continuation call pays
+    # a secondary compile/relayout (measured 2.5s — 28x the run itself —
+    # on the axon backend) that the timed call must not absorb; the
+    # value fetch is the hard barrier (block_until_ready can return
+    # early while an axon remote compile is in flight)
+    s2.run_mcmc(n)
+    np.asarray(s2.final_state.x)
     t0 = time.time()
     s2.run_mcmc(n)                                        # continuation
+    np.asarray(s2.final_state.x)
     elapsed = time.time() - t0
-    ess, eps = ess_per_sec(s2, n + n // 3, elapsed, n)
+    ess, eps = ess_per_sec(s2, 2 * n + n // 3, elapsed, n)
     rhat = float(np.max(np.asarray(
-        bp.gelman_rubin(s2.get_chain(discard=n)))))
+        bp.gelman_rubin(s2.get_chain(discard=2 * n)))))
 
     # reference-semantics NumPy DREAM-zs on the same target/population;
     # same per-generation statistical efficiency (same algorithm), so the
@@ -171,8 +187,10 @@ def config3(quick):
     # static scan lengths, different executables (same recompile class
     # the round-2 verdict flagged for run_until)
     s2.run_mcmc(n)
+    np.asarray(s2.final_state.x)         # hard barrier (see config 1/2)
     t0 = time.time()
     s2.run_mcmc(n)                                        # continuation
+    np.asarray(s2.final_state.x)
     elapsed = time.time() - t0
     ess, eps = ess_per_sec(s2, n, elapsed, n)
     kept = s2.get_chain(discard=n)
@@ -247,6 +265,15 @@ def config3(quick):
         "ref_ess_per_sec_1proc": ref_eps,
         "speedup_ess_vs_1proc": eps / ref_eps,
         "speedup_ess_vs_perfect_mpi": eps / (ref_eps * (os.cpu_count() or 1)),
+        # the NumPy reference's growing archive makes its per-gen cost
+        # run-length dependent: this 100-gen measurement (small archive)
+        # is an UPPER bound on reference speed, so the speedups above are
+        # conservative; bench.py's cached 2100-gen baseline
+        # (benchmarks/cpu_baseline.json) is the long-run denominator and
+        # yields a larger ratio for the same TPU numerator
+        "ref_note": "100-gen NumPy run (growing archive still small) — "
+                    "conservative denominator vs cpu_baseline.json's "
+                    "2100-gen long-run measurement",
     }
 
 
@@ -464,7 +491,9 @@ def main():
         lines.append("")
         for k, v in r.items():
             if isinstance(v, float):
-                v = f"{v:,.2f}"
+                # small rates (e.g. hops/chain/gen ~1e-5) would render
+                # as 0.00 under fixed-point
+                v = f"{v:.3g}" if 0 < abs(v) < 0.01 else f"{v:,.2f}"
             lines.append(f"- {k}: {v}")
         lines.append("")
     if smoke:
