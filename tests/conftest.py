@@ -8,9 +8,21 @@ collectives. Must run before jax is imported anywhere.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# BIPYMC_TPU_TESTS=1: leave the real backend in place so the
+# TPU-hardware-gated tests (tests/test_tpu_hardware.py and the
+# skipif(backend != "tpu") cases) actually run on the chip:
+#   BIPYMC_TPU_TESTS=1 python -m pytest tests/test_tpu_hardware.py -q
+# Round 3 found four bugs the CPU/interpret suite could not see
+# (Mosaic-unsupported expm1 and batched vv-dot, HBM slice alignment,
+# an f32 Cholesky cliff only the TPU's rounding fell off) — this hatch
+# is how those paths get exercised without a separate harness
+# (docs/ROUND3.md §§10, 17, 19).
+_TPU_TESTS = os.environ.get("BIPYMC_TPU_TESTS") == "1"
+
+if not _TPU_TESTS:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _TPU_TESTS and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
@@ -18,7 +30,8 @@ import jax  # noqa: E402
 
 # The axon TPU harness force-sets jax_platforms via sitecustomize; env vars
 # alone don't win. Re-pin to CPU before any backend initialisation.
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_TESTS:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # This box exposes ONE cpu: the XLA CPU client's async dispatch pool has a
 # single thread, and interpret-mode Pallas calls occasionally deadlock
