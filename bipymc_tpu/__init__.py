@@ -27,6 +27,8 @@ from bipymc_tpu.samplers.api import (
     DeMcZ,
     Dream,
     EnsembleSampler,
+    Hmc,
+    Mala,
     ParallelTempering,
     DreamZs,
 )
@@ -51,6 +53,8 @@ __all__ = [
     "DeMcZ",
     "Dream",
     "EnsembleSampler",
+    "Hmc",
+    "Mala",
     "ParallelTempering",
     "DreamZs",
     "var_ball",

@@ -7,6 +7,8 @@ from bipymc_tpu.samplers.api import (
     DeMcZ,
     Dream,
     EnsembleSampler,
+    Hmc,
+    Mala,
     ParallelTempering,
     DreamZs,
 )

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bipymc_tpu.core.scan import run_scan_thinned
-from bipymc_tpu.samplers import rw, demc, dream, stretch, tempering
+from bipymc_tpu.samplers import rw, demc, dream, hmc, stretch, tempering
 from bipymc_tpu.parallel.pool import ChainPool
 from bipymc_tpu.utils.init import var_ball
 from bipymc_tpu.utils.diagnostics import acceptance_fraction
@@ -664,6 +664,72 @@ class DeMc(McmcSampler):
         self._final_state = jax.block_until_ready(final_state)
         self._steps_run += int(info["steps"])
         return {k: np.asarray(v) for k, v in info.items()}
+
+
+class Hmc(McmcSampler):
+    """Hamiltonian Monte Carlo with dual-averaging step-size and diagonal
+    mass adaptation — beyond-reference extra (samplers/hmc.py; the
+    reference zoo has no gradient sampler). Needs a differentiable
+    ``log_like_fn`` (``jax.grad``-able; the GP surrogate likelihood
+    qualifies). Chains are fully independent, so ``mesh=`` shards with
+    zero in-step collectives."""
+
+    _make_config = staticmethod(hmc.hmc_config)
+
+    def __init__(self, log_like_fn, n_chains=8, seed=0, dtype=jnp.float32,
+                 mesh=None, inv_mass0=None, **config_kw):
+        super().__init__(log_like_fn, seed=seed, dtype=dtype)
+        self.n_chains = int(n_chains)
+        self.cfg = self._make_config(**config_kw)
+        self.mesh = mesh
+        self.inv_mass0 = inv_mass0
+        _check_mesh_chains(mesh, self.n_chains)
+
+    def _ensure(self, theta_0, spread):
+        return self._ensure_population(
+            theta_0, spread,
+            init_fn=lambda x0: hmc.init(x0, self.log_like_fn, self.cfg,
+                                        inv_mass0=self.inv_mass0),
+            step_factory=lambda axis: hmc.make_step(
+                self.log_like_fn, self.cfg, axis_name=axis),
+            sharded_fields=hmc.SHARDED_FIELDS)
+
+    def run_mcmc(self, n_samples, theta_0=None, thin=1, spread=1.0,
+                 progress_every=None):
+        state, k_run = self._ensure(theta_0, spread)
+        final_state, history = self._pool_obj.run(
+            state, k_run, n_samples, thin=thin, t0=self._steps_run,
+            progress_every=progress_every)
+        self._store(final_state, history, n_samples, thin=thin)
+        return self
+
+    def run_mcmc_until(self, theta_0=None, rhat_tol=1.05, chunk=100,
+                       max_chunks=200, warmup_chunks=2, spread=1.0):
+        if self.n_chains < 2:
+            raise ValueError("R-hat early stop needs n_chains >= 2")
+        state, k_run = self._ensure(theta_0, spread)
+        final_state, info = self._pool_obj.run_until(
+            state, k_run, rhat_tol=rhat_tol, chunk=chunk,
+            max_chunks=max_chunks, warmup_chunks=warmup_chunks,
+            t0=self._steps_run)
+        self._final_state = jax.block_until_ready(final_state)
+        self._steps_run += int(info["steps"])
+        return {k: np.asarray(v) for k, v in info.items()}
+
+    @property
+    def step_size(self):
+        """Per-chain ε after the last run (ε̄ once warmup has frozen)."""
+        s = self.final_state
+        t = self._steps_run
+        frozen = t >= self.cfg.adapt_gens
+        return np.asarray(jnp.exp(s.log_eps_bar if frozen else s.log_eps))
+
+
+class Mala(Hmc):
+    """Metropolis-adjusted Langevin — HMC with one leapfrog step
+    (samplers/hmc.mala_config; 0.574 optimal-scaling accept target)."""
+
+    _make_config = staticmethod(hmc.mala_config)
 
 
 def _check_fused_dtype(dtype):
