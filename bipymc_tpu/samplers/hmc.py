@@ -38,6 +38,7 @@ the Langevin Metropolis–Hastings ratio. ``mala_config`` pins L=1,
 jitter off, and the 0.574 optimal-scaling target.
 """
 
+import math
 from typing import Callable, NamedTuple
 
 import jax
@@ -110,7 +111,7 @@ def init(x0: jax.Array, log_prob: Callable, cfg: HmcConfig,
     n, d = x0.shape
     dtype = x0.dtype
     logp, glogp = jax.vmap(jax.value_and_grad(log_prob))(x0)
-    log_e0 = jnp.full((n,), jnp.log(cfg.step_size), dtype)
+    log_e0 = jnp.full((n,), math.log(cfg.step_size), dtype)
     if inv_mass0 is None:
         inv_mass = jnp.ones((n, d), dtype)
     else:
@@ -140,7 +141,9 @@ def make_step(log_prob: Callable, cfg: HmcConfig, axis_name=None,
     L_max = int(cfg.n_leapfrog)
     if L_max < 1:
         raise ValueError("n_leapfrog must be >= 1")
-    mu = float(jnp.log(10.0 * cfg.step_size))   # HG dual-averaging anchor
+    # host-side math: make_step must not issue device calls (the axon
+    # device link is remote; see __graft_entry__'s device-free audit)
+    mu = math.log(10.0 * cfg.step_size)         # HG dual-averaging anchor
 
     def _default_draws(key, t, d, dtype):
         # one bits block per chain: [z(d) | u_accept | u_L] (launch
