@@ -29,6 +29,7 @@ from bipymc_tpu.samplers.api import (
     EnsembleSampler,
     Hmc,
     Mala,
+    Nuts,
     ParallelTempering,
     DreamZs,
 )
@@ -55,6 +56,7 @@ __all__ = [
     "EnsembleSampler",
     "Hmc",
     "Mala",
+    "Nuts",
     "ParallelTempering",
     "DreamZs",
     "var_ball",

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from bipymc_tpu.core.scan import run_scan_thinned
-from bipymc_tpu.samplers import rw, demc, dream, hmc, stretch, tempering
+from bipymc_tpu.samplers import (rw, demc, dream, hmc, nuts, stretch,
+                                 tempering)
 from bipymc_tpu.parallel.pool import ChainPool
 from bipymc_tpu.utils.init import var_ball
 from bipymc_tpu.utils.diagnostics import acceptance_fraction
@@ -672,7 +673,8 @@ class Hmc(McmcSampler):
     reference zoo has no gradient sampler). Needs a differentiable
     ``log_like_fn`` (``jax.grad``-able; the GP surrogate likelihood
     qualifies). Chains are fully independent, so ``mesh=`` shards with
-    zero in-step collectives."""
+    zero in-step collectives (sharding-equivalence contract: see the
+    samplers/hmc.py module docstring)."""
 
     _make_config = staticmethod(hmc.hmc_config)
 
@@ -730,6 +732,29 @@ class Mala(Hmc):
     (samplers/hmc.mala_config; 0.574 optimal-scaling accept target)."""
 
     _make_config = staticmethod(hmc.mala_config)
+
+
+class Nuts(Hmc):
+    """No-U-Turn Sampler (multinomial NUTS, iterative checkpoint
+    formulation — samplers/nuts.py). Beyond-reference extra: HMC with
+    the trajectory length self-tuned by the no-U-turn criterion;
+    ``max_depth`` bounds a trajectory at 2^max_depth − 1 leapfrog
+    steps. Needs a differentiable ``log_like_fn``. Chains are fully
+    independent, so ``mesh=`` shards with zero in-step collectives;
+    per-generation cost is the max tree size across the batch (the
+    while_loop frees finished chains' lanes only at the generation
+    boundary)."""
+
+    _make_config = staticmethod(nuts.nuts_config)
+
+    def _ensure(self, theta_0, spread):
+        return self._ensure_population(
+            theta_0, spread,
+            init_fn=lambda x0: nuts.init(x0, self.log_like_fn, self.cfg,
+                                         inv_mass0=self.inv_mass0),
+            step_factory=lambda axis: nuts.make_step(
+                self.log_like_fn, self.cfg, axis_name=axis),
+            sharded_fields=nuts.SHARDED_FIELDS)
 
 
 def _check_fused_dtype(dtype):

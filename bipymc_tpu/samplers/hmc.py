@@ -13,6 +13,17 @@ GLOBAL chain index so the vmap and shard_map paths consume identical
 streams. Chains are fully independent — the mesh path needs NO in-step
 collectives, so HMC shards with zero ICI traffic outside diagnostics.
 
+Sharding-equivalence contract: the mesh and vmap paths consume identical
+RNG streams and run identical math, and are bit-identical whenever XLA
+emits the same rounding for the local program (pinned at 16 chains / 8
+devices in tests/test_hmc.py). When the per-device batch shape changes
+the compiled code can differ by ~1 ulp per generation (FMA/fusion
+choices — the same floor as the DE family, docs/ROUND3.md §11), and
+unlike the RW family a Hamiltonian trajectory amplifies ulp differences
+chaotically, so cross-shape runs agree bit-exactly only for the first
+generations and distributionally thereafter
+(tests/test_hmc.py::test_mesh_one_chain_per_device_ulp_contract).
+
 Algorithm (Neal 2011; Hoffman & Gelman 2014 for the adaptation):
 
 - momentum p ~ N(0, M), M diagonal; H(x, p) = −ℓ(x) + ½ pᵀ M⁻¹ p.
@@ -129,6 +140,49 @@ def init(x0: jax.Array, log_prob: Callable, cfg: HmcConfig,
         inv_mass=inv_mass)
 
 
+def dual_averaging_update(s, alpha, t, warm, cfg, mu, dtype):
+    """One Hoffman–Gelman (2014, Alg. 5) dual-averaging step, gated on
+    ``warm``. Shared by HMC/MALA and NUTS (samplers/nuts.py) — both
+    carry the same (log_eps, log_eps_bar, hbar) fields. Returns
+    (hbar, log_eps, log_eps_bar), frozen copies when not warm."""
+    m = (t + 1).astype(dtype)
+    w_h = 1.0 / (m + cfg.da_t0)
+    hbar_n = (1.0 - w_h) * s.hbar + w_h * (cfg.target_accept - alpha)
+    log_eps_n = mu - jnp.sqrt(m) / cfg.da_gamma * hbar_n
+    w_b = m ** (-cfg.da_kappa)
+    log_eps_bar_n = w_b * log_eps_n + (1.0 - w_b) * s.log_eps_bar
+    return (jnp.where(warm, hbar_n, s.hbar),
+            jnp.where(warm, log_eps_n, s.log_eps),
+            jnp.where(warm, log_eps_bar_n, s.log_eps_bar))
+
+
+def mass_welford_update(s, x_new, t, warm, cfg, dtype):
+    """Welford running variance of visited states + Stan-style shrunk
+    diagonal inverse-mass refresh on ``mass_interval`` during warmup.
+    Shared by HMC/MALA and NUTS. Returns (mean, m2, count, inv_mass)."""
+    if not cfg.adapt_mass:
+        return s.mean, s.m2, s.count, s.inv_mass
+    upd = warm
+    n = s.count + jnp.where(upd, 1, 0)
+    nf = n.astype(dtype)
+    delta = x_new - s.mean
+    mean_n = s.mean + delta / nf
+    m2_n = s.m2 + delta * (x_new - mean_n)
+    mean_new = jnp.where(upd, mean_n, s.mean)
+    m2_new = jnp.where(upd, m2_n, s.m2)
+    refresh = (upd & (t >= cfg.t0_mass)
+               & ((t + 1) % cfg.mass_interval == 0))
+    denom = jnp.maximum(nf - 1.0, 1.0)
+    var = m2_new / denom
+    # Stan's shrinkage toward unit scale keeps the estimate SPD and
+    # bounded while n is small
+    shrunk = (denom / (denom + 5.0)) * var \
+        + 1e-3 * (5.0 / (denom + 5.0))
+    ok = jnp.all(jnp.isfinite(shrunk)) & jnp.all(shrunk > 0)
+    inv_mass_new = jnp.where(refresh & ok, shrunk, s.inv_mass)
+    return mean_new, m2_new, n, inv_mass_new
+
+
 def make_step(log_prob: Callable, cfg: HmcConfig, axis_name=None,
               draws_fn: Callable | None = None) -> Callable:
     """Build the batched ``step(state, key, t)`` (chains on axis 0).
@@ -202,39 +256,12 @@ def make_step(log_prob: Callable, cfg: HmcConfig, axis_name=None,
         glogp_new = jnp.where(acc, g1, s.glogp)
 
         # ---- dual averaging (HG 2014 Alg. 5), frozen post-warmup -------
-        m = (t + 1).astype(dtype)
-        w_h = 1.0 / (m + cfg.da_t0)
-        hbar_n = (1.0 - w_h) * s.hbar + w_h * (cfg.target_accept - alpha)
-        log_eps_n = mu - jnp.sqrt(m) / cfg.da_gamma * hbar_n
-        w_b = m ** (-cfg.da_kappa)
-        log_eps_bar_n = w_b * log_eps_n + (1.0 - w_b) * s.log_eps_bar
-        hbar_new = jnp.where(warm, hbar_n, s.hbar)
-        log_eps_new = jnp.where(warm, log_eps_n, s.log_eps)
-        log_eps_bar_new = jnp.where(warm, log_eps_bar_n, s.log_eps_bar)
+        hbar_new, log_eps_new, log_eps_bar_new = dual_averaging_update(
+            s, alpha, t, warm, cfg, mu, dtype)
 
         # ---- diagonal mass adaptation (Welford + shrinkage) ------------
-        if cfg.adapt_mass:
-            upd = warm
-            n = s.count + jnp.where(upd, 1, 0)
-            nf = n.astype(dtype)
-            delta = x_new - s.mean
-            mean_n = s.mean + delta / nf
-            m2_n = s.m2 + delta * (x_new - mean_n)
-            mean_new = jnp.where(upd, mean_n, s.mean)
-            m2_new = jnp.where(upd, m2_n, s.m2)
-            refresh = (upd & (t >= cfg.t0_mass)
-                       & ((t + 1) % cfg.mass_interval == 0))
-            denom = jnp.maximum(nf - 1.0, 1.0)
-            var = m2_new / denom
-            # Stan's shrinkage toward unit scale keeps the estimate SPD
-            # and bounded while n is small
-            shrunk = (denom / (denom + 5.0)) * var \
-                + 1e-3 * (5.0 / (denom + 5.0))
-            ok = jnp.all(jnp.isfinite(shrunk)) & jnp.all(shrunk > 0)
-            inv_mass_new = jnp.where(refresh & ok, shrunk, s.inv_mass)
-        else:
-            mean_new, m2_new, n, inv_mass_new = (
-                s.mean, s.m2, s.count, s.inv_mass)
+        mean_new, m2_new, n, inv_mass_new = mass_welford_update(
+            s, x_new, t, warm, cfg, dtype)
 
         new_state = HmcState(
             x=x_new, logp=logp_new, glogp=glogp_new,
