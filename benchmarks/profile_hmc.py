@@ -62,12 +62,14 @@ def run_arm(name, state, runner, k_run):
     log(f"{name}: compile + {WARM_GENS} warm/adapt gens "
         f"{time.time() - t0:.1f}s")
     # timed: async chunks, value-fetch barrier at the end (§18)
-    hists = []
+    hists, extras = [], []
     t0 = time.time()
     for c in range(CHUNKS):
         state, h = runner(state, jax.random.fold_in(k_run, 1 + c),
                           jnp.int32(WARM_GENS + c * CHUNK))
         hists.append(h["x"])
+        if "nlf" in h:
+            extras.append(h["nlf"])
     jax.block_until_ready(hists)
     np.asarray(hists[-1][-1, 0])
     dt = time.time() - t0
@@ -77,8 +79,17 @@ def run_arm(name, state, runner, k_run):
     gps = n_gens / dt
     ess, eps = ess_rate(chains, gps)
     log(f"{name}: {gps:,.0f} gens/s, ESS {ess:,.0f}, {eps:,.0f} ESS/s")
-    return {"gens_per_sec": gps, "ess": float(ess), "ess_per_sec": eps,
-            "us_per_gen": 1e6 * dt / n_gens}
+    out = {"gens_per_sec": gps, "ess": float(ess), "ess_per_sec": eps,
+           "us_per_gen": 1e6 * dt / n_gens}
+    if extras:
+        nlf = np.concatenate([np.asarray(e) for e in extras], axis=0)
+        # per-generation device cost tracks the batch MAX (lockstep
+        # while_loop); the mean is the statistical work per chain
+        out["leapfrog_mean"] = float(nlf.mean())
+        out["leapfrog_batch_max_mean"] = float(nlf.max(axis=1).mean())
+        log(f"{name}: leapfrog/gen mean {out['leapfrog_mean']:.1f}, "
+            f"batch-max mean {out['leapfrog_batch_max_mean']:.1f}")
+    return out
 
 
 def run_hmc(seed=0):
@@ -99,6 +110,31 @@ def run_hmc(seed=0):
         return runners[n](s, key, t)
 
     return run_arm("hmc", state, runner, kr)
+
+
+def run_nuts(seed=0):
+    from bipymc_tpu.samplers import nuts
+    cfg = nuts.NutsConfig(max_depth=7,
+                          adapt_gens=800 if not SMOKE else 40,
+                          mass_interval=100, t0_mass=100)
+    kx, kr = jax.random.split(jax.random.key(seed))
+    x0 = jax.random.normal(kx, (N_CHAINS, D)) * jnp.asarray(SCALES)
+    state = nuts.init(x0, log_prob, cfg)
+    step = nuts.make_step(log_prob, cfg)
+    # record per-generation leapfrog counts: NUTS's cost is
+    # data-dependent (max tree across the batch per while_loop), so
+    # µs/gen alone under-describes the arm
+    collect = lambda s, i: {"x": s.x, "nlf": i.n_leapfrog}
+    runners = {}
+
+    def runner(s, key, t):
+        n = WARM_GENS if int(t) == 0 else CHUNK
+        if n not in runners:
+            runners[n] = jax.jit(lambda s_, k_, t_, _n=n: run_scan_thinned(
+                step, s_, k_, _n, thin=1, collect_fn=collect, t0=t_))
+        return runners[n](s, key, t)
+
+    return run_arm("nuts", state, runner, kr)
 
 
 def run_dram(seed=0):
@@ -133,9 +169,11 @@ def main():
     out = {"config": {"d": D, "n_chains": N_CHAINS, "target":
                       "gaussian scales 1..10 (cond 100)",
                       "timed_gens": CHUNKS * CHUNK},
-           "hmc": run_hmc(), "dram": run_dram()}
+           "hmc": run_hmc(), "nuts": run_nuts(), "dram": run_dram()}
     out["ess_per_sec_ratio_hmc_over_dram"] = round(
         out["hmc"]["ess_per_sec"] / out["dram"]["ess_per_sec"], 2)
+    out["ess_per_sec_ratio_nuts_over_dram"] = round(
+        out["nuts"]["ess_per_sec"] / out["dram"]["ess_per_sec"], 2)
     path = os.path.join(HERE, "hmc_ab.json")
     if SMOKE:
         path = path.replace(".json", "_smoke.json")
@@ -143,13 +181,14 @@ def main():
         json.dump(out, f, indent=1)
     print("| arm | gens/s | µs/gen | ESS (window) | ESS/s |")
     print("|---|---|---|---|---|")
-    for arm in ("hmc", "dram"):
+    for arm in ("hmc", "nuts", "dram"):
         r = out[arm]
         print(f"| {arm} | {r['gens_per_sec']:,.0f} | "
               f"{r['us_per_gen']:.1f} | {r['ess']:,.0f} | "
               f"{r['ess_per_sec']:,.0f} |")
     print(f"\nESS/s ratio (hmc/dram): "
-          f"{out['ess_per_sec_ratio_hmc_over_dram']}")
+          f"{out['ess_per_sec_ratio_hmc_over_dram']}, (nuts/dram): "
+          f"{out['ess_per_sec_ratio_nuts_over_dram']}")
 
 
 if __name__ == "__main__":
