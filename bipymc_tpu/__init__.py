@@ -30,6 +30,7 @@ from bipymc_tpu.samplers.api import (
     Hmc,
     Mala,
     Nuts,
+    Smc,
     ParallelTempering,
     DreamZs,
 )
@@ -57,6 +58,7 @@ __all__ = [
     "Hmc",
     "Mala",
     "Nuts",
+    "Smc",
     "ParallelTempering",
     "DreamZs",
     "var_ball",

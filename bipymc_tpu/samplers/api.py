@@ -1163,3 +1163,189 @@ class Dream(DreamZs):
                 f"population-DREAM draws max(2*delta_max, 3) distinct "
                 f"chains ≠ i per proposal: need n_chains ≥ {need}, got "
                 f"{self.n_chains}")
+
+
+class Smc:
+    """Adaptive tempered Sequential Monte Carlo (samplers/smc.py) —
+    beyond-reference extra. Anneals ``n_particles`` from a reference
+    density to the target along the geometric path with ESS-adaptive
+    β-increments, systematic resampling, and adapted random-walk
+    rejuvenation. Delivers what the MCMC zoo cannot on well-separated
+    multimodal targets: correct mode *weights* and a log-evidence
+    estimate (see the smc.py module docstring for the design and the
+    honesty caveats). ``kernel="rw"`` (default) needs nothing beyond a
+    callable target; ``kernel="hmc"`` rejuvenates with leapfrog
+    trajectories (needs a differentiable target) and is the measured
+    difference between working and collapsing on high-dimensional
+    separated-mode targets (docs/ROUND3.md §21).
+
+    The reference density is a **normalised** diagonal Gaussian given by
+    ``ref_mean``/``ref_var`` (log-evidence is then the target's true log
+    normalising constant), or a custom ``(log_ref, sample_ref)`` pair —
+    ``log_ref(x scalar-per-row)`` must be normalised for the evidence to
+    be meaningful, and ``sample_ref(key, n) -> [n, d]`` must draw from
+    it. ``mesh=`` shards the particle axis; cross-particle reductions
+    follow the gather-then-reduce rule (docs/ROUND3.md §11), so the β
+    ladder, resample decisions, stage count and log-evidence are
+    bit-identical to the vmap run; particle positions agree to the ~1-ulp
+    compiler floor (batch-shape-dependent FMA contraction in the local
+    move programs). Pinned in tests/test_smc.py.
+    """
+
+    def __init__(self, log_like_fn, n_particles=1024, seed=0,
+                 dtype=jnp.float32, mesh=None, ref_mean=None, ref_var=None,
+                 log_ref=None, sample_ref=None, **config_kw):
+        from bipymc_tpu.samplers import smc as _smc
+        from bipymc_tpu.parallel.mesh import CHAIN_AXIS
+        from bipymc_tpu.parallel.pool import _state_specs
+
+        self.log_like_fn = log_like_fn
+        self.seed = int(seed)
+        self.dtype = dtype
+        self.mesh = mesh
+        self.cfg = _smc.smc_config(n_particles=int(n_particles),
+                                   **config_kw)
+        _check_mesh_chains(mesh, self.cfg.n_particles)
+
+        if (log_ref is None) != (sample_ref is None):
+            raise ValueError(
+                "pass log_ref and sample_ref together (a normalised "
+                "density and its sampler), or neither")
+        if log_ref is None:
+            if ref_mean is None or ref_var is None:
+                raise ValueError(
+                    "Smc needs a reference density: pass ref_mean and "
+                    "ref_var (diagonal Gaussian) or a custom "
+                    "(log_ref, sample_ref) pair")
+            m = jnp.asarray(ref_mean, dtype)
+            v = jnp.asarray(ref_var, dtype)
+            if m.ndim != 1 or v.shape != m.shape:
+                raise ValueError("ref_mean/ref_var must be 1-D and "
+                                 "matching shapes")
+            log2pi = float(np.log(2.0 * np.pi))
+
+            def log_ref(x, _m=m, _v=v):
+                return -0.5 * jnp.sum((x - _m) ** 2 / _v
+                                      + jnp.log(_v) + log2pi)
+
+            def sample_ref(key, n, _m=m, _v=v):
+                z = jax.random.normal(key, (n, _m.shape[0]), dtype)
+                return _m + z * jnp.sqrt(_v)
+
+        self._log_ref = log_ref
+        self._sample_ref = sample_ref
+        self._smc = _smc
+        self._result = None
+
+        if mesh is None:
+            self._runner = jax.jit(
+                _smc.make_runner(log_ref, self.log_like_fn, self.cfg,
+                                 axis_name=None))
+            self._shard = lambda s: s
+        else:
+            axis = CHAIN_AXIS
+            run_local = _smc.make_runner(log_ref, self.log_like_fn,
+                                         self.cfg, axis_name=axis)
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            def specs_of(state):
+                return _state_specs(state, _smc.SHARDED_FIELDS, axis)
+
+            def make(state):
+                state_specs = specs_of(state)
+                result_specs = self._smc.SmcResult(
+                    x=P(), lw=P(), log_evidence=P(), n_stages=P(),
+                    reached_one=P(), beta_hist=P(), ess_hist=P(),
+                    acc_hist=P())
+                return jax.jit(jax.shard_map(
+                    run_local, mesh=mesh,
+                    in_specs=(state_specs, P()),
+                    out_specs=(state_specs, result_specs),
+                    check_vma=False))
+
+            self._make_sharded = make
+            self._runner = None
+
+            def shard(state):
+                specs = specs_of(state)
+                shardings = jax.tree_util.tree_map(
+                    lambda sp: NamedSharding(mesh, sp), specs,
+                    is_leaf=lambda x: isinstance(x, P))
+                return jax.device_put(state, shardings)
+
+            self._shard = shard
+
+    def run(self, theta_0=None):
+        """Run the annealing pass. theta_0: optional [n_particles, d]
+        reference draws (defaults to ``sample_ref`` draws — pass your own
+        only if they come from the SAME reference density, e.g. replayed
+        from a previous run). Returns an info dict; particles /
+        log_weights / log_evidence are exposed as properties."""
+        key = jax.random.key(self.seed)
+        k_init, k_run = jax.random.split(key)
+        if theta_0 is None:
+            x0 = self._sample_ref(k_init, self.cfg.n_particles)
+        else:
+            x0 = jnp.asarray(theta_0, self.dtype)
+            if x0.shape[0] != self.cfg.n_particles:
+                raise ValueError(
+                    f"theta_0 has {x0.shape[0]} rows but "
+                    f"n_particles={self.cfg.n_particles}")
+        state = self._smc.init(x0, self._log_ref, self.log_like_fn,
+                               self.cfg)
+        state = self._shard(state)
+        if self._runner is None:
+            self._runner = self._make_sharded(state)
+        final, result = self._runner(state, k_run)
+        if not bool(result.reached_one):
+            warnings.warn(
+                f"SMC hit max_stages={self.cfg.max_stages} at "
+                f"beta={float(final.beta):.4f} < 1 — raise max_stages or "
+                "ess_alpha; results are for the tempered density, not "
+                "the target", stacklevel=2)
+        self._result = result
+        n = int(result.n_stages)
+        return {
+            "n_stages": n,
+            "log_evidence": float(result.log_evidence),
+            "reached_one": bool(result.reached_one),
+            "beta_ladder": np.asarray(result.beta_hist[:n]),
+            "ess": np.asarray(result.ess_hist[:n]),
+            "acceptance": np.asarray(result.acc_hist[:n]),
+        }
+
+    def _require_run(self):
+        if self._result is None:
+            raise RuntimeError("call run() first")
+
+    @property
+    def particles(self):
+        """[n_particles, d] final particles (host NumPy). Weighted —
+        pair with ``log_weights`` or use ``resample()``."""
+        self._require_run()
+        return np.asarray(self._result.x)
+
+    @property
+    def log_weights(self):
+        self._require_run()
+        return np.asarray(self._result.lw)
+
+    @property
+    def log_evidence(self):
+        self._require_run()
+        return float(self._result.log_evidence)
+
+    def resample(self, n=None, seed=None):
+        """Equal-weight posterior draws via systematic resampling of the
+        final weighted population ([n, d] host NumPy)."""
+        self._require_run()
+        n = int(n) if n is not None else self.cfg.n_particles
+        rng = np.random.default_rng(self.seed + 1 if seed is None
+                                    else seed)
+        w = np.exp(np.asarray(self._result.lw, np.float64))
+        w = w / w.sum()
+        cdf = np.cumsum(w)
+        pts = (np.arange(n) + rng.uniform()) / n
+        idx = np.clip(np.searchsorted(cdf, pts), 0, w.size - 1)
+        return self.particles[idx]
