@@ -1185,11 +1185,13 @@ class Smc:
     ``log_ref(x scalar-per-row)`` must be normalised for the evidence to
     be meaningful, and ``sample_ref(key, n) -> [n, d]`` must draw from
     it. ``mesh=`` shards the particle axis; cross-particle reductions
-    follow the gather-then-reduce rule (docs/ROUND3.md §11), so the β
-    ladder, resample decisions, stage count and log-evidence are
-    bit-identical to the vmap run; particle positions agree to the ~1-ulp
-    compiler floor (batch-shape-dependent FMA contraction in the local
-    move programs). Pinned in tests/test_smc.py.
+    follow the gather-then-reduce rule (docs/ROUND3.md §11): the
+    decision math (β ladder, resample, evidence) is identical on both
+    paths and bit-identical GIVEN bit-identical particles, but the
+    sharded move programs round ~1 ulp differently per move
+    (batch-shape FMA contraction), so across shapes the contract is
+    equal stage counts with ladder/evidence at float tolerance and
+    positions at the ulp floor. Pinned in tests/test_smc.py.
     """
 
     def __init__(self, log_like_fn, n_particles=1024, seed=0,

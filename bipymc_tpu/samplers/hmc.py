@@ -244,10 +244,17 @@ def make_step(log_prob: Callable, cfg: HmcConfig, axis_name=None,
             jnp.arange(L_max, dtype=jnp.int32))
 
         K1 = 0.5 * jnp.sum(p1 * p1 * s.inv_mass)
-        log_alpha = (l1 - K1) - (s.logp - K0)
-        finite = jnp.isfinite(log_alpha) & jnp.all(jnp.isfinite(x1))
-        log_alpha = jnp.where(finite, jnp.minimum(0.0, log_alpha),
+        # sanitize the PROPOSAL side only (repo-wide policy, matching
+        # demc/stretch/dream/smc): a finite proposal from an out-of-
+        # support start (s.logp = -inf) must escape-accept — guarding
+        # isfinite(log_alpha) instead would treat the +inf escape ratio
+        # as a divergence and freeze the chain at its start forever
+        prop_ok = jnp.isfinite(l1 - K1) & jnp.all(jnp.isfinite(x1))
+        log_alpha = jnp.where(prop_ok, (l1 - K1) - (s.logp - K0),
                               -jnp.inf)
+        # -inf - -inf = NaN (both sides out of support): reject
+        log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf,
+                              jnp.minimum(0.0, log_alpha))
         acc = jnp.log(u_acc) < log_alpha
         alpha = jnp.exp(log_alpha)          # exact E[accept] for dual avg
 
@@ -270,7 +277,7 @@ def make_step(log_prob: Callable, cfg: HmcConfig, axis_name=None,
             inv_mass=inv_mass_new)
         info = HmcInfo(accepted=acc, logp=logp_new, accept_prob=alpha,
                        step_size=eps, n_leapfrog=L_t,
-                       diverged=jnp.logical_not(finite))
+                       diverged=jnp.logical_not(prop_ok))
         return new_state, info
 
     def step(state: HmcState, key: jax.Array, t: jax.Array):

@@ -152,6 +152,20 @@ def make_step(log_prob: Callable, cfg: NutsConfig, axis_name=None,
         p0 = z * lax.rsqrt(inv_mass)
         K0 = 0.5 * jnp.sum(p0 * p0 * inv_mass)
         H0 = s.logp - K0                      # joint log-density at start
+        # Out-of-support start (logp = -inf): escape mode (same policy
+        # as hmc.py / the RW family — the pre-support transient is not
+        # part of the stationary regime, so the kernel may do anything
+        # that eventually enters support). H0 gets a finite floor so an
+        # in-support leaf gets a huge-but-finite weight (with H0 = -inf
+        # every leaf's log_w is +inf -> flagged divergent, freezing the
+        # chain at its start forever), and -inf leaves count as ZERO
+        # WEIGHT rather than divergences (see div_now below) so the
+        # trajectory can drift across the -inf plateau instead of
+        # aborting at its first leapfrog step.
+        start_bad = jnp.logical_not(jnp.isfinite(H0))
+        H0 = jnp.where(start_bad,
+                       jnp.asarray(-2.0 * cfg.max_delta_energy, dtype),
+                       H0)
 
         # while_loop carry: integrator endpoint states + proposals +
         # checkpoint stack, all fixed shapes. Momenta are stored as
@@ -197,10 +211,15 @@ def make_step(log_prob: Callable, cfg: NutsConfig, axis_name=None,
             pn = ph + (0.5 * ve) * gn
             Kn = 0.5 * jnp.sum(pn * pn * inv_mass)
             log_w = (ln - Kn) - H0
-            finite = jnp.isfinite(log_w) & jnp.all(jnp.isfinite(xn))
+            pos_ok = jnp.all(jnp.isfinite(xn))
+            finite = jnp.isfinite(log_w) & pos_ok
             log_w = jnp.where(finite, log_w, neg_inf)
-            div_now = jnp.logical_not(finite) | (
-                log_w < -cfg.max_delta_energy)
+            cliff = finite & (log_w < -cfg.max_delta_energy)
+            # escape mode (start_bad): only non-finite POSITIONS abort;
+            # -inf leaves ride along with zero weight so the tree keeps
+            # extending across the plateau
+            div_now = jnp.where(start_bad, jnp.logical_not(pos_ok),
+                                jnp.logical_not(finite) | cliff)
 
             # HG accept statistic: min{1, e^{ℓ̃−ℓ̃₀}} over every leapfrog
             # state, rejected subtrees included (Stan's convention)

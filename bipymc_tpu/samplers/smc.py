@@ -42,8 +42,12 @@ TPU-native design:
   all_gathered once per stage and the *identical* full-axis math runs
   replicated on every shard (weights, bisection, resample indices,
   covariance), so mesh and vmap paths consume identical streams and
-  make identical resample/β decisions. The only sharded compute is the
-  embarrassingly-parallel move loop.
+  run identical decision logic — bit-identical decisions GIVEN
+  bit-identical particles. The move loop is the only sharded compute,
+  and its local batch shape rounds ~1 ulp differently per move
+  (compiler FMA contraction), which from stage 2 on can flip a low
+  bisection bit: the cross-shape contract is equal stage counts with
+  ladder/evidence at float tolerance (tests/test_smc.py).
 - RNG: one ``fold_in`` tree per stage; move keys fold by GLOBAL
   particle index (mesh-invariant, like every other sampler here).
 
@@ -182,8 +186,19 @@ def init(x0: jax.Array, log_ref: Callable, log_target: Callable,
     """
     n, _ = x0.shape
     dtype = x0.dtype
-    lr = jax.vmap(log_ref)(x0)
-    lt = jax.vmap(log_target)(x0)
+    # sanitizer policy: clamp NaN densities so a single poisoned particle
+    # dies instead of NaN-ing the whole run — a NaN in dl = lt - lr makes
+    # every CESS comparison False (beta creeps by min_delta_beta until
+    # max_stages) and NaNs the evidence with only a misleading
+    # max_stages warning. lt enters weights positively -> NaN/+inf
+    # clamp to -inf; lr enters negatively -> NaN/-inf clamp to +inf
+    # (a zero/broken reference density at one of its OWN draws is a
+    # support violation; killing that particle is the conservative
+    # resolution). Genuine -inf lt (out-of-support draw) stays.
+    lr = jnp.nan_to_num(jax.vmap(log_ref)(x0), nan=jnp.inf,
+                        neginf=jnp.inf)
+    lt = jnp.nan_to_num(jax.vmap(log_target)(x0), nan=-jnp.inf,
+                        posinf=-jnp.inf)
     z = jnp.zeros((cfg.max_stages,), dtype)
     return SmcState(
         x=x0, lr=lr, lt=lt,
@@ -202,13 +217,17 @@ def make_runner(log_ref: Callable, log_target: Callable, cfg: SmcConfig,
     lse = jax.scipy.special.logsumexp
 
     def tempered(lr, lt, beta):
-        return (1.0 - beta) * lr + beta * lt
+        # select lt outright at beta == 1: (1-1)*(-inf) is NaN, which
+        # would hard-reject every final-stage move into target regions
+        # outside a compact-support custom reference — biasing the
+        # beta=1 rejuvenation toward the reference's support
+        return jnp.where(beta >= 1.0, lt, (1.0 - beta) * lr + beta * lt)
 
     def stage_body(s: SmcState) -> SmcState:
         n_local, d = s.x.shape
         dtype = s.x.dtype
         k_stage = jax.random.fold_in(s.key, s.stage)
-        k_beta, k_res, k_move = jax.random.split(k_stage, 3)
+        k_res, k_move = jax.random.split(k_stage)
 
         # ---- gather-then-reduce (ROUND3 §11): assemble the GLOBAL
         # population once; all cross-particle float math below runs
@@ -310,34 +329,33 @@ def make_runner(log_ref: Callable, log_target: Callable, cfg: SmcConfig,
                     jnp.where(acc, ltp, lti),
                     acc)
 
-        def hmc_particle(xi, lri, lti, k):
+        def tempered_vg(x):
+            def tl(x_):
+                return tempered(log_ref(x_), log_target(x_), beta_new)
+
+            return jax.value_and_grad(tl)(x)
+
+        def hmc_particle(xi, lri, lti, gi, k):
             # one leapfrog trajectory on the tempered density; diagonal
             # inverse-mass = var_w (population-scaled momenta, the same
-            # convention as samplers/hmc.py)
+            # convention as samplers/hmc.py). gi: carried gradient at xi
+            # (recomputing it here would add one value_and_grad per
+            # particle per move — ~10% extra gradient work at L=10)
             k1, k2 = jax.random.split(k)
-
-            def vg(x):
-                def tl(x_):
-                    return tempered(log_ref(x_), log_target(x_),
-                                    beta_new)
-
-                return jax.value_and_grad(tl)(x)
-
             z = jax.random.normal(k1, (d,), dtype)
             p0 = z * lax.rsqrt(var_w)
             logp0 = tempered(lri, lti, beta_new)
-            _, g0 = vg(xi)
 
             def leap(carry, _):
                 x, p, g = carry
                 ph = p + (0.5 * eps_hmc) * g
                 xn = x + eps_hmc * (var_w * ph)
-                _, gn = vg(xn)
+                _, gn = tempered_vg(xn)
                 pn = ph + (0.5 * eps_hmc) * gn
                 return (xn, pn, gn), None
 
-            (xp, pn, _), _ = lax.scan(leap, (xi, p0, g0), None,
-                                      length=cfg.n_leapfrog)
+            (xp, pn, gp), _ = lax.scan(leap, (xi, p0, gi), None,
+                                       length=cfg.n_leapfrog)
             lrp = log_ref(xp)
             ltp = log_target(xp)
             logp1 = tempered(lrp, ltp, beta_new)
@@ -349,21 +367,38 @@ def make_runner(log_ref: Callable, log_target: Callable, cfg: SmcConfig,
             return (jnp.where(acc, xp, xi),
                     jnp.where(acc, lrp, lri),
                     jnp.where(acc, ltp, lti),
+                    jnp.where(acc, gp, gi),
                     acc)
 
-        per_particle = rw_particle if cfg.kernel == "rw" else hmc_particle
-
-        def move_one(carry, m):
-            x, lr_c, lt_c = carry
-            keys = jax.vmap(lambda g: jax.random.fold_in(
+        def move_keys(m):
+            return jax.vmap(lambda g: jax.random.fold_in(
                 jax.random.fold_in(k_move, m), g))(gids)
-            x2, lr2, lt2, acc = jax.vmap(per_particle)(x, lr_c, lt_c,
-                                                       keys)
-            return (x2, lr2, lt2), acc
 
-        (x_f, lr_f, lt_f), accs = lax.scan(
-            move_one, (x_l, lr_l, lt_l),
-            jnp.arange(cfg.n_moves, dtype=jnp.int32))
+        if cfg.kernel == "rw":
+
+            def move_one(carry, m):
+                x, lr_c, lt_c = carry
+                x2, lr2, lt2, acc = jax.vmap(rw_particle)(
+                    x, lr_c, lt_c, move_keys(m))
+                return (x2, lr2, lt2), acc
+
+            (x_f, lr_f, lt_f), accs = lax.scan(
+                move_one, (x_l, lr_l, lt_l),
+                jnp.arange(cfg.n_moves, dtype=jnp.int32))
+        else:
+            # gradient at the (possibly resampled) start points, once;
+            # thereafter carried through the move scan
+            _, g_l = jax.vmap(tempered_vg)(x_l)
+
+            def move_one(carry, m):
+                x, lr_c, lt_c, g_c = carry
+                x2, lr2, lt2, g2, acc = jax.vmap(hmc_particle)(
+                    x, lr_c, lt_c, g_c, move_keys(m))
+                return (x2, lr2, lt2, g2), acc
+
+            (x_f, lr_f, lt_f, _), accs = lax.scan(
+                move_one, (x_l, lr_l, lt_l, g_l),
+                jnp.arange(cfg.n_moves, dtype=jnp.int32))
         # acceptance diagnostic: gather-then-reduce for mesh==vmap value
         # (accs is [n_moves, n_local]; the particle axis must lead)
         acc_g = all_gather_chains(accs.T.astype(dtype), axis_name)

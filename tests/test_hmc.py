@@ -277,3 +277,20 @@ def test_injected_draws_override():
     np.testing.assert_array_equal(np.asarray(s1.x), np.asarray(s2.x))
     # tiny momentum + small ε ⇒ |ΔH| ≈ 0 ⇒ α ≈ 1 > log(0.999) accept
     assert bool(i1.accepted[0])
+
+
+def test_escape_accept_from_out_of_support_start():
+    """Review finding (ROUND3 §22): guarding isfinite(log_alpha) treated
+    the +inf escape ratio from a logp=-inf start as a divergence and
+    froze the chain forever. Policy (matching the RW/DE families):
+    sanitize the PROPOSAL side only — a finite proposal escape-accepts."""
+    lp = lambda th: jnp.where(jnp.all(jnp.abs(th) < 2.0),
+                              -0.5 * jnp.sum(th * th), -jnp.inf)
+    x0 = jnp.full((8, 2), 5.0)               # far outside support
+    # adapt_gens=0: dual averaging sees alpha=0 during the transient
+    # and would collapse eps before the drift escapes
+    s = bp.Hmc(lp, n_chains=8, seed=0, n_leapfrog=8, step_size=0.5,
+               adapt_gens=0)
+    s.run_mcmc(300, x0)
+    final = s.super_chain[:, -1, :]
+    assert np.all(np.abs(final) < 2.0), final   # every chain escaped

@@ -302,3 +302,17 @@ def test_continuation_matches_single_run():
     b = bp.Nuts(lp, n_chains=4, seed=9, max_depth=4)
     b.run_mcmc(100, jnp.zeros(2))
     np.testing.assert_array_equal(a.super_chain, b.super_chain)
+
+
+def test_escape_accept_from_out_of_support_start():
+    """Same policy as HMC (review finding): H0=-inf made every leaf
+    +inf-weight -> flagged divergent -> frozen at the start forever.
+    The finite H0 floor lets the first in-support leaf escape-accept."""
+    lp = lambda th: jnp.where(jnp.all(jnp.abs(th) < 2.0),
+                              -0.5 * jnp.sum(th * th), -jnp.inf)
+    x0 = jnp.full((8, 2), 5.0)
+    s = bp.Nuts(lp, n_chains=8, seed=0, max_depth=6, step_size=0.5,
+                adapt_gens=0)
+    s.run_mcmc(300, x0)
+    final = s.super_chain[:, -1, :]
+    assert np.all(np.abs(final) < 2.0), final

@@ -89,9 +89,15 @@ def test_mixture_mode_weights_recovered():
 
 
 def test_mesh_decisions_bit_identical_positions_ulp():
-    """Gather-then-reduce (ROUND3 §11): ladder/stages/evidence are
-    bit-identical mesh vs vmap; positions agree to the compiler's
-    ~1-ulp FMA-contraction floor (local batch shape differs)."""
+    """Gather-then-reduce (ROUND3 §11): the decision MATH is identical
+    mesh vs vmap, so given bit-identical particles every decision is
+    bit-identical. Particles themselves drift by ~1 ulp per move
+    (batch-shape FMA contraction in the local programs), and from stage
+    2 on that can flip a low bisection bit — the honest cross-shape
+    contract is stage-count equality, ladder/evidence to float
+    tolerance, positions at the ulp floor. (This config happens to stay
+    bit-exact for the rw kernel; the hmc-kernel test below is the one
+    that measurably drifts.)"""
     d = 3
     kw = dict(n_particles=512, seed=0, ref_mean=np.zeros(d),
               ref_var=np.full(d, 4.0), n_moves=3)
@@ -101,8 +107,10 @@ def test_mesh_decisions_bit_identical_positions_ulp():
     b = bp.Smc(tgt, mesh=chain_mesh(), **kw)
     ib = b.run()
     assert ia["n_stages"] == ib["n_stages"]
-    np.testing.assert_array_equal(ia["beta_ladder"], ib["beta_ladder"])
-    assert ia["log_evidence"] == ib["log_evidence"]
+    np.testing.assert_allclose(ia["beta_ladder"], ib["beta_ladder"],
+                               rtol=3e-6, atol=0)
+    np.testing.assert_allclose(ia["log_evidence"], ib["log_evidence"],
+                               rtol=0, atol=1e-4)
     np.testing.assert_allclose(a.particles, b.particles,
                                rtol=0, atol=3e-6)
 
@@ -208,23 +216,77 @@ def test_hmc_kernel_survives_d48_mixture():
 
 
 def test_hmc_kernel_mesh_decisions_match_vmap():
+    """Cross-shape contract for the gradient kernel: positions drift at
+    the ulp floor per move AND any threshold decision (resample fires at
+    ess < threshold on ulp-different inputs) can flip, which reshuffles
+    particles wholesale — so particle identity is distributional across
+    shapes; the schedule and evidence stay at float tolerance."""
     d = 4
-    tgt = _gauss_target([1.0, -1.0, 0.5, 0.0], 0.25)
-    kw = dict(n_particles=256, seed=3, ref_mean=np.zeros(d),
+    m = np.array([1.0, -1.0, 0.5, 0.0])
+    tgt = _gauss_target(m, 0.25)
+    kw = dict(n_particles=512, seed=3, ref_mean=np.zeros(d),
               ref_var=np.full(d, 4.0), n_moves=3, kernel="hmc")
     a = bp.Smc(tgt, **kw)
     ia = a.run()
     b = bp.Smc(tgt, mesh=chain_mesh(), **kw)
     ib = b.run()
     assert ia["n_stages"] == ib["n_stages"]
-    np.testing.assert_array_equal(ia["beta_ladder"], ib["beta_ladder"])
-    # leapfrog compounds the per-op ulp floor over L steps per move:
-    # slightly looser than the RW kernel's bound
-    np.testing.assert_allclose(a.particles, b.particles,
-                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(ia["beta_ladder"], ib["beta_ladder"],
+                               rtol=3e-6, atol=0)
+    np.testing.assert_allclose(ia["log_evidence"], ib["log_evidence"],
+                               rtol=0, atol=2e-3)
+    xa, xb = a.resample(), b.resample()
+    assert np.abs(xa.mean(0) - xb.mean(0)).max() < 0.1
+    assert np.abs(xa.var(0) - xb.var(0)).max() < 0.1
 
 
 def test_kernel_validation():
     with pytest.raises(ValueError, match="kernel"):
         bp.Smc(_gauss_target([0.0], 1.0), ref_mean=np.zeros(1),
                ref_var=np.ones(1), kernel="nuts")
+
+
+def test_nan_target_at_init_dies_cleanly():
+    """Review finding (ROUND3 §22): a single NaN log-target value at an
+    auto-drawn reference particle must kill THAT particle, not NaN the
+    β-solve/evidence and burn max_stages."""
+    d = 2
+
+    def nan_tail(x):
+        # NaN outside a ball (sqrt of a negative), clean inside
+        r2 = jnp.sum(x * x)
+        return jnp.where(r2 < 9.0, -0.5 * r2 / 0.25,
+                         jnp.sqrt(4.0 - r2))      # NaN when r2 > 9 > 4
+
+    sampler = bp.Smc(nan_tail, n_particles=512, seed=0,
+                     ref_mean=np.zeros(d), ref_var=np.full(d, 4.0))
+    info = sampler.run()
+    assert info["reached_one"]
+    assert np.isfinite(info["log_evidence"])
+    assert np.all(np.isfinite(sampler.particles))
+
+
+def test_beta_one_moves_escape_compact_reference():
+    """Review finding: (1-β)·(-inf) at β=1 was NaN — final-stage moves
+    hard-rejected everything outside a compact reference's support,
+    biasing the posterior toward the reference. With the fix, mass
+    correctly concentrates where the TARGET puts it, outside the
+    reference box."""
+    d = 1
+
+    def log_ref(x):
+        # uniform on [-1, 1] (normalised)
+        inside = jnp.all(jnp.abs(x) <= 1.0)
+        return jnp.where(inside, -np.log(2.0) * d, -jnp.inf)
+
+    def sample_ref(key, n):
+        return jax.random.uniform(key, (n, d), jnp.float32, -1.0, 1.0)
+
+    # target centred at 1.5 — most of its mass OUTSIDE the reference box
+    tgt = _gauss_target([1.5], 0.04)
+    sampler = bp.Smc(tgt, n_particles=1024, seed=2, log_ref=log_ref,
+                     sample_ref=sample_ref, n_moves=20)
+    sampler.run()
+    xr = sampler.resample()
+    assert float((xr[:, 0] > 1.0).mean()) > 0.5
+    assert abs(float(xr[:, 0].mean()) - 1.5) < 0.15
