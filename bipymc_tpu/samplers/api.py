@@ -218,7 +218,7 @@ class McmcSampler:
         return True
 
     def _ensure_population(self, theta_0, spread, init_fn, step_factory,
-                           sharded_fields):
+                           sharded_fields, collect_fn=None):
         """Shared population-sampler setup: resolve the start state
         (fresh init or continuation) and lazily build the ChainPool.
         Returns (state, run_key)."""
@@ -232,7 +232,8 @@ class McmcSampler:
         if getattr(self, "_pool_obj", None) is None:
             self._pool_obj = ChainPool(step_factory=step_factory,
                                        sharded_fields=sharded_fields,
-                                       mesh=self.mesh)
+                                       mesh=self.mesh,
+                                       collect_fn=collect_fn)
         return state, k_run
 
     def _store(self, final_state, history, n_steps, thin=1):
@@ -734,6 +735,18 @@ class Mala(Hmc):
     _make_config = staticmethod(hmc.mala_config)
 
 
+def _nuts_collect(state, info):
+    """NUTS history keeps the tree telemetry next to the defaults:
+    ``tree_depth``/``n_leapfrog`` are the self-tuning diagnostics (depth
+    0-1 = step size too large; pinned at max_depth = too small or
+    pathological geometry), ``diverged`` flags energy-cliff trajectories
+    (Stan's divergence diagnostic). Module-level for a stable pool-cache
+    identity (see _default_position's lesson, parallel/pool.py)."""
+    return {"x": state.x, "logp": info.logp, "accepted": info.accepted,
+            "tree_depth": info.tree_depth, "n_leapfrog": info.n_leapfrog,
+            "diverged": info.diverged}
+
+
 class Nuts(Hmc):
     """No-U-Turn Sampler (multinomial NUTS, iterative checkpoint
     formulation — samplers/nuts.py). Beyond-reference extra: HMC with
@@ -754,7 +767,8 @@ class Nuts(Hmc):
                                          inv_mass0=self.inv_mass0),
             step_factory=lambda axis: nuts.make_step(
                 self.log_like_fn, self.cfg, axis_name=axis),
-            sharded_fields=nuts.SHARDED_FIELDS)
+            sharded_fields=nuts.SHARDED_FIELDS,
+            collect_fn=_nuts_collect)
 
 
 def _check_fused_dtype(dtype):
