@@ -140,47 +140,55 @@ def init(x0: jax.Array, log_prob: Callable, cfg: HmcConfig,
         inv_mass=inv_mass)
 
 
-def dual_averaging_update(s, alpha, t, warm, cfg, mu, dtype):
-    """One Hoffman–Gelman (2014, Alg. 5) dual-averaging step, gated on
-    ``warm``. Shared by HMC/MALA and NUTS (samplers/nuts.py) — both
-    carry the same (log_eps, log_eps_bar, hbar) fields. Returns
-    (hbar, log_eps, log_eps_bar), frozen copies when not warm."""
+def apply_warmup_adaptation(state: HmcState, x_new, alpha, t, cfg, mu):
+    """Batched warmup adaptation (chains on axis 0): Hoffman–Gelman
+    (2014, Alg. 5) dual averaging of log ε plus the Welford/
+    Stan-shrinkage diagonal inverse-mass refresh, gated on
+    ``warm = t < adapt_gens`` via ``jnp.where``.
+
+    Measured negative worth keeping (design.md §11): putting this block
+    behind a REAL batch-level ``lax.cond`` — so post-warmup generations
+    skip it instead of computing-and-discarding — cost ~23 µs/gen at
+    256×100 while the adaptation it skips costs only ~11 µs/gen: the
+    TPU cond boundary materialises the operand/result pytrees
+    (3×[256,100] + 4×[256]) and splits the fusion graph, which is more
+    expensive than just doing the arithmetic. So: where-gating, always.
+    Shared by HMC/MALA and NUTS (samplers/nuts.py). Returns the updated
+    (hbar, log_eps, log_eps_bar, mean, m2, count, inv_mass); values are
+    bit-identical to the pre-round-3-late per-chain form.
+    """
+    dtype = x_new.dtype
+    warm = t < cfg.adapt_gens
     m = (t + 1).astype(dtype)
     w_h = 1.0 / (m + cfg.da_t0)
-    hbar_n = (1.0 - w_h) * s.hbar + w_h * (cfg.target_accept - alpha)
+    hbar_n = (1.0 - w_h) * state.hbar + w_h * (cfg.target_accept - alpha)
     log_eps_n = mu - jnp.sqrt(m) / cfg.da_gamma * hbar_n
     w_b = m ** (-cfg.da_kappa)
-    log_eps_bar_n = w_b * log_eps_n + (1.0 - w_b) * s.log_eps_bar
-    return (jnp.where(warm, hbar_n, s.hbar),
-            jnp.where(warm, log_eps_n, s.log_eps),
-            jnp.where(warm, log_eps_bar_n, s.log_eps_bar))
-
-
-def mass_welford_update(s, x_new, t, warm, cfg, dtype):
-    """Welford running variance of visited states + Stan-style shrunk
-    diagonal inverse-mass refresh on ``mass_interval`` during warmup.
-    Shared by HMC/MALA and NUTS. Returns (mean, m2, count, inv_mass)."""
+    log_eps_bar_n = w_b * log_eps_n + (1.0 - w_b) * state.log_eps_bar
+    hbar = jnp.where(warm, hbar_n, state.hbar)
+    log_eps = jnp.where(warm, log_eps_n, state.log_eps)
+    log_eps_bar = jnp.where(warm, log_eps_bar_n, state.log_eps_bar)
     if not cfg.adapt_mass:
-        return s.mean, s.m2, s.count, s.inv_mass
-    upd = warm
-    n = s.count + jnp.where(upd, 1, 0)
-    nf = n.astype(dtype)
-    delta = x_new - s.mean
-    mean_n = s.mean + delta / nf
-    m2_n = s.m2 + delta * (x_new - mean_n)
-    mean_new = jnp.where(upd, mean_n, s.mean)
-    m2_new = jnp.where(upd, m2_n, s.m2)
-    refresh = (upd & (t >= cfg.t0_mass)
+        return (hbar, log_eps, log_eps_bar, state.mean, state.m2,
+                state.count, state.inv_mass)
+    n = state.count + jnp.where(warm, 1, 0)
+    nf = n.astype(dtype)[:, None]
+    delta = x_new - state.mean
+    mean_n = state.mean + delta / nf
+    m2_n = state.m2 + delta * (x_new - mean_n)
+    mean = jnp.where(warm, mean_n, state.mean)
+    m2 = jnp.where(warm, m2_n, state.m2)
+    refresh = (warm & (t >= cfg.t0_mass)
                & ((t + 1) % cfg.mass_interval == 0))
     denom = jnp.maximum(nf - 1.0, 1.0)
-    var = m2_new / denom
+    var = m2 / denom
     # Stan's shrinkage toward unit scale keeps the estimate SPD and
     # bounded while n is small
-    shrunk = (denom / (denom + 5.0)) * var \
-        + 1e-3 * (5.0 / (denom + 5.0))
-    ok = jnp.all(jnp.isfinite(shrunk)) & jnp.all(shrunk > 0)
-    inv_mass_new = jnp.where(refresh & ok, shrunk, s.inv_mass)
-    return mean_new, m2_new, n, inv_mass_new
+    shrunk = (denom / (denom + 5.0)) * var + 1e-3 * (5.0 / (denom + 5.0))
+    ok = (jnp.all(jnp.isfinite(shrunk), axis=-1, keepdims=True)
+          & jnp.all(shrunk > 0, axis=-1, keepdims=True))
+    inv_mass = jnp.where(refresh & ok, shrunk, state.inv_mass)
+    return (hbar, log_eps, log_eps_bar, mean, m2, n, inv_mass)
 
 
 def make_step(log_prob: Callable, cfg: HmcConfig, axis_name=None,
@@ -262,30 +270,28 @@ def make_step(log_prob: Callable, cfg: HmcConfig, axis_name=None,
         logp_new = jnp.where(acc, l1, s.logp)
         glogp_new = jnp.where(acc, g1, s.glogp)
 
-        # ---- dual averaging (HG 2014 Alg. 5), frozen post-warmup -------
-        hbar_new, log_eps_new, log_eps_bar_new = dual_averaging_update(
-            s, alpha, t, warm, cfg, mu, dtype)
-
-        # ---- diagonal mass adaptation (Welford + shrinkage) ------------
-        mean_new, m2_new, n, inv_mass_new = mass_welford_update(
-            s, x_new, t, warm, cfg, dtype)
-
-        new_state = HmcState(
-            x=x_new, logp=logp_new, glogp=glogp_new,
-            log_eps=log_eps_new, log_eps_bar=log_eps_bar_new,
-            hbar=hbar_new, mean=mean_new, m2=m2_new, count=n,
-            inv_mass=inv_mass_new)
-        info = HmcInfo(accepted=acc, logp=logp_new, accept_prob=alpha,
-                       step_size=eps, n_leapfrog=L_t,
-                       diverged=jnp.logical_not(prop_ok))
-        return new_state, info
+        return (x_new, logp_new, glogp_new, acc, alpha, eps, L_t,
+                jnp.logical_not(prop_ok))
 
     def step(state: HmcState, key: jax.Array, t: jax.Array):
         n_local = state.x.shape[0]
         offset = chain_offset(n_local, axis_name)
         idx = offset + jnp.arange(n_local, dtype=jnp.int32)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
-        return jax.vmap(step_one, in_axes=(0, 0, None))(state, keys, t)
+        (x_new, logp_new, glogp_new, acc, alpha, eps, L_t, div) = \
+            jax.vmap(step_one, in_axes=(0, 0, None))(state, keys, t)
+        # batched warmup adaptation, where-gated (a real cond measured
+        # SLOWER than the arithmetic it skips — docstring above)
+        (hbar, log_eps, log_eps_bar, mean, m2, count, inv_mass) = \
+            apply_warmup_adaptation(state, x_new, alpha, t, cfg, mu)
+        new_state = HmcState(
+            x=x_new, logp=logp_new, glogp=glogp_new,
+            log_eps=log_eps, log_eps_bar=log_eps_bar,
+            hbar=hbar, mean=mean, m2=m2, count=count,
+            inv_mass=inv_mass)
+        info = HmcInfo(accepted=acc, logp=logp_new, accept_prob=alpha,
+                       step_size=eps, n_leapfrog=L_t, diverged=div)
+        return new_state, info
 
     return step
 

@@ -63,8 +63,7 @@ from jax import lax
 from bipymc_tpu.core.rng import bits_to_uniform, uniform_to_normal
 from bipymc_tpu.parallel.collectives import chain_offset
 from bipymc_tpu.samplers.hmc import (
-    HmcState, init as _hmc_init, dual_averaging_update,
-    mass_welford_update)
+    HmcState, init as _hmc_init, apply_warmup_adaptation)
 
 import math
 
@@ -306,29 +305,32 @@ def make_step(log_prob: Callable, cfg: NutsConfig, axis_name=None,
         x_new, logp_new, glogp_new = c["x_prop"], c["lp_prop"], c["g_prop"]
         n_lf = c["n"]
         alpha = c["sum_alpha"] / jnp.maximum(n_lf, 1).astype(dtype)
-
-        hbar_new, log_eps_new, log_eps_bar_new = dual_averaging_update(
-            s, alpha, t, warm, cfg, mu, dtype)
-        mean_new, m2_new, n_cnt, inv_mass_new = mass_welford_update(
-            s, x_new, t, warm, cfg, dtype)
-
-        new_state = NutsState(
-            x=x_new, logp=logp_new, glogp=glogp_new,
-            log_eps=log_eps_new, log_eps_bar=log_eps_bar_new,
-            hbar=hbar_new, mean=mean_new, m2=m2_new, count=n_cnt,
-            inv_mass=inv_mass_new)
-        info = NutsInfo(accepted=c["moved"], logp=logp_new,
-                        accept_prob=alpha, step_size=eps,
-                        n_leapfrog=n_lf, tree_depth=c["depth"],
-                        diverged=c["diverged"])
-        return new_state, info
+        return (x_new, logp_new, glogp_new, c["moved"], alpha, eps,
+                n_lf, c["depth"], c["diverged"])
 
     def step(state: NutsState, key: jax.Array, t: jax.Array):
         n_local = state.x.shape[0]
         offset = chain_offset(n_local, axis_name)
         idx = offset + jnp.arange(n_local, dtype=jnp.int32)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
-        return jax.vmap(step_one, in_axes=(0, 0, None))(state, keys, t)
+        (x_new, logp_new, glogp_new, moved, alpha, eps, n_lf, depth,
+         diverged) = jax.vmap(step_one, in_axes=(0, 0, None))(
+            state, keys, t)
+        # batched warmup adaptation, where-gated (a real cond measured
+        # SLOWER than the arithmetic it skips — see
+        # hmc.apply_warmup_adaptation's docstring)
+        (hbar, log_eps, log_eps_bar, mean, m2, count, inv_mass) = \
+            apply_warmup_adaptation(state, x_new, alpha, t, cfg, mu)
+        new_state = NutsState(
+            x=x_new, logp=logp_new, glogp=glogp_new,
+            log_eps=log_eps, log_eps_bar=log_eps_bar,
+            hbar=hbar, mean=mean, m2=m2, count=count,
+            inv_mass=inv_mass)
+        info = NutsInfo(accepted=moved, logp=logp_new,
+                        accept_prob=alpha, step_size=eps,
+                        n_leapfrog=n_lf, tree_depth=depth,
+                        diverged=diverged)
+        return new_state, info
 
     return step
 
