@@ -36,7 +36,7 @@ def _rw_position(s):
 
 def _pt_cold_position(s):
     """Cold-replica positions for ParallelTempering's run_until."""
-    return s.kernel.theta[0]
+    return tempering.positions(s.kernel)[0]
 
 
 def _check_mesh_chains(mesh, n_chains):
@@ -461,15 +461,25 @@ class Dram(_RwSampler):
 # ===========================================================================
 
 class ParallelTempering(McmcSampler):
-    """Replica-exchange MCMC over the RW family (beyond-reference extra,
+    """Replica-exchange MCMC (beyond-reference extra,
     samplers/tempering.py): ``n_temps`` tempered replicas of ``n_chains``
     chains each, adjacent-pair swaps every ``swap_interval`` steps.
+    ``kind`` picks the within-temperature kernel: the RW family
+    ("mh"/"am"/"dr"/"dram") or — round 3 — the gradient family
+    ("hmc"/"mala", tempered leapfrog kernels with per-replica dual
+    averaging and mass adaptation; needs a differentiable target).
     History exposes the cold (β=1) replica. ``mesh=`` shards the CHAIN
     axis over devices (every shard keeps the full temperature ladder, so
-    swaps stay local; trajectories are bit-identical to the vmap path)."""
+    swaps stay local; trajectories are bit-identical to the vmap path
+    for the RW family, and follow the gradient family's equivalence
+    contract — hmc.py docstring — for "hmc"/"mala")."""
 
     _KINDS = {"mh": rw.metropolis_config, "am": rw.adaptive_metropolis_config,
-              "dr": rw.dr_metropolis_config, "dram": rw.dram_config}
+              "dr": rw.dr_metropolis_config, "dram": rw.dram_config,
+              # gradient kernels (round 3): tempered leapfrog replicas —
+              # needs a jax.grad-able target; cov_est's diagonal seeds
+              # the inverse mass
+              "hmc": hmc.hmc_config, "mala": hmc.mala_config}
 
     def __init__(self, log_like_fn, n_temps=8, n_chains=4, betas=None,
                  beta_min=0.05, swap_interval=10, kind="dram", seed=0,
@@ -520,7 +530,8 @@ class ParallelTempering(McmcSampler):
                 # temperature) — chains moved to the leading axis so the
                 # pool's history sharding (chains at dim 1 of [T, ...])
                 # holds for every leaf
-                return {"x": state.kernel.theta[0], "logp": info.logp[0],
+                return {"x": tempering.positions(state.kernel)[0],
+                        "logp": info.logp[0],
                         "accepted": info.accepted[0],
                         "swapped": info.swapped[0],
                         "pair_swap": jnp.swapaxes(info.pair_swap, 0, 1)}

@@ -29,13 +29,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bipymc_tpu.samplers import rw
+from bipymc_tpu.samplers import hmc, rw
 
 
 class PtConfig(NamedTuple):
+    """``kernel`` selects the within-temperature move family STATICALLY
+    by config type: ``rw.RwConfig`` (MH/AM/DR/DRAM — the original) or
+    ``hmc.HmcConfig`` (HMC/MALA — round 3: tempered leapfrog kernels,
+    marrying gradient moves with replica exchange). Swaps exchange the
+    CONFIGURATION (position + tempered logp + — for gradient kernels —
+    the stored gradient, rescaled by β_k/β_partner since
+    ∇(β·ℓ) = β·∇ℓ); per-temperature adaptation state (AM covariance /
+    dual-averaged ε / mass) stays with the SLOT, the standard PT
+    convention."""
+
     betas: tuple               # static, descending, betas[0] == 1.0
     swap_interval: int = 10
-    kernel: rw.RwConfig = rw.RwConfig()
+    kernel: NamedTuple = rw.RwConfig()
+
+
+def _is_gradient_kernel(cfg: "PtConfig") -> bool:
+    return isinstance(cfg.kernel, hmc.HmcConfig)
+
+
+def positions(kern) -> jax.Array:
+    """[K, M, d] positions of a stacked kernel state, either family."""
+    return kern.x if isinstance(kern, hmc.HmcState) else kern.theta
 
 
 class PtState(NamedTuple):
@@ -98,6 +117,8 @@ def make_step(log_like: Callable, cfg: PtConfig,
     betas = np.asarray(cfg.betas, np.float32)
     n_temps = len(cfg.betas)
 
+    grad_kernel = _is_gradient_kernel(cfg)
+
     def tempered_kernel(state, key, t, beta):
         step = rw.make_step(lambda th: beta * log_like(th), cfg.kernel)
         return step(state, key, t)
@@ -109,16 +130,25 @@ def make_step(log_like: Callable, cfg: PtConfig,
 
     # temps × chains double vmap; key folded by (temp, chain) GLOBAL index
     def advance(state, key, t):
-        n_local = state.theta.shape[1]
+        n_local = positions(state).shape[1]
         n_global = n_local * axis_size(axis_name)
         gids = _gids(n_local)
 
-        def per_temp(state_k, k_idx, beta):
-            keys = jax.vmap(lambda g: jax.random.fold_in(
-                key, k_idx * n_global + g))(gids)
-            return jax.vmap(tempered_kernel,
-                            in_axes=(0, 0, None, None))(
-                state_k, keys, t, beta)
+        if grad_kernel:
+            # hmc.make_step is already batched over chains with its own
+            # global-chain key folding; fold the temp index on top so
+            # replicas draw distinct streams
+            def per_temp(state_k, k_idx, beta):
+                step = hmc.make_step(lambda th: beta * log_like(th),
+                                     cfg.kernel, axis_name=axis_name)
+                return step(state_k, jax.random.fold_in(key, k_idx), t)
+        else:
+            def per_temp(state_k, k_idx, beta):
+                keys = jax.vmap(lambda g: jax.random.fold_in(
+                    key, k_idx * n_global + g))(gids)
+                return jax.vmap(tempered_kernel,
+                                in_axes=(0, 0, None, None))(
+                    state_k, keys, t, beta)
 
         return jax.vmap(per_temp)(state, jnp.arange(n_temps), betas)
 
@@ -126,7 +156,7 @@ def make_step(log_like: Callable, cfg: PtConfig,
         """DEO adjacent swaps: even pairs on even swap rounds, odd else."""
         b = jnp.asarray(betas)                    # host const -> traced view
         kern = state.kernel
-        theta = kern.theta                        # [K, M, d]
+        theta = positions(kern)                   # [K, M, d]
         logp = kern.logp                          # [K, M] = β_k·ℓ
         ell = logp / b[:, None]                   # unscaled ℓ per replica
 
@@ -157,7 +187,14 @@ def make_step(log_like: Callable, cfg: PtConfig,
         theta_new = jnp.where(acc[..., None], theta[partner], theta)
         # received configuration re-tempered to this replica's β
         logp_new = jnp.where(acc, b[:, None] * ell[partner], logp)
-        kern = kern._replace(theta=theta_new, logp=logp_new)
+        if grad_kernel:
+            # the stored gradient is β_p·∇ℓ(x): rescale to this slot's β
+            g_scale = (b / b[partner])[:, None, None]
+            g_new = jnp.where(acc[..., None],
+                              g_scale * kern.glogp[partner], kern.glogp)
+            kern = kern._replace(x=theta_new, logp=logp_new, glogp=g_new)
+        else:
+            kern = kern._replace(theta=theta_new, logp=logp_new)
 
         # walker direction travels with the configuration; endpoints flip
         # it and the cold endpoint counts completed round trips
@@ -195,13 +232,25 @@ def make_step(log_like: Callable, cfg: PtConfig,
 
 def init(theta0: jax.Array, log_like: Callable, cfg: PtConfig,
          cov0: jax.Array) -> PtState:
-    """theta0 [n_temps, n_chains, d] → :class:`PtState`."""
+    """theta0 [n_temps, n_chains, d] → :class:`PtState`.
+
+    cov0: RW-family proposal covariance; for a gradient kernel its
+    DIAGONAL seeds the inverse mass (both are posterior-scale
+    estimates).
+    """
     betas = np.asarray(cfg.betas, np.float32)
     n_temps, n_chains = theta0.shape[0], theta0.shape[1]
 
-    def init_one(th, beta):
-        return jax.vmap(lambda x: rw.init(
-            x, lambda t: beta * log_like(t), cov0))(th)
+    if _is_gradient_kernel(cfg):
+        inv_mass0 = jnp.diag(jnp.asarray(cov0))
+
+        def init_one(th, beta):
+            return hmc.init(th, lambda t: beta * log_like(t), cfg.kernel,
+                            inv_mass0=inv_mass0)
+    else:
+        def init_one(th, beta):
+            return jax.vmap(lambda x: rw.init(
+                x, lambda t: beta * log_like(t), cov0))(th)
 
     kernel = jax.vmap(init_one)(theta0, jnp.asarray(betas))
     return PtState(

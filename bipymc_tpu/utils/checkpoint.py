@@ -155,8 +155,9 @@ def restore_sampler(path, sampler):
     """
     state, step = load_state(path)
     n_ck = getattr(state, "x", getattr(state, "theta", None))
-    if n_ck is None:  # tempered: positions live on state.kernel.theta
-        n_ck = getattr(getattr(state, "kernel", None), "theta", None)
+    if n_ck is None:  # tempered: positions live on state.kernel
+        kern = getattr(state, "kernel", None)
+        n_ck = getattr(kern, "theta", getattr(kern, "x", None))
     # leading axes: [n_chains, d], or [n_temps, n_chains, d] for tempered
     want = (getattr(sampler, "n_temps", None), sampler.n_chains) \
         if hasattr(sampler, "n_temps") else (sampler.n_chains,)
