@@ -31,6 +31,7 @@ from bipymc_tpu.samplers.api import (
     Mala,
     Nuts,
     Smc,
+    Svgd,
     ParallelTempering,
     DreamZs,
 )
@@ -59,6 +60,7 @@ __all__ = [
     "Mala",
     "Nuts",
     "Smc",
+    "Svgd",
     "ParallelTempering",
     "DreamZs",
     "var_ball",

@@ -1376,3 +1376,119 @@ class Smc:
         pts = (np.arange(n) + rng.uniform()) / n
         idx = np.clip(np.searchsorted(cdf, pts), 0, w.size - 1)
         return self.particles[idx]
+
+
+class Svgd:
+    """Stein variational gradient descent (samplers/svgd.py) —
+    beyond-reference extra. Deterministic particle transport toward the
+    posterior: one RBF kernel-matrix build plus two [N,N]×[N,d] MXU
+    contractions and a batch of target gradients per step, no
+    accept/reject, no RNG after init. Use it for fast approximate
+    posteriors, warm-start populations for the MCMC families, or as a
+    mode-finding swarm; see the svgd.py module docstring for the honesty
+    notes (far-separated mode weights freeze; high-d variance
+    underestimation). ``mesh=`` shards the particle axis — gradients
+    evaluate shard-locally (the dominant cost for expensive targets such
+    as the GP surrogate), kernel/bandwidth decision math runs replicated
+    on gathered positions (gather-then-reduce, docs/ROUND3.md §11).
+    """
+
+    def __init__(self, log_like_fn, n_particles=256, seed=0,
+                 dtype=jnp.float32, mesh=None, **config_kw):
+        from bipymc_tpu.samplers import svgd as _svgd
+        from bipymc_tpu.parallel.mesh import CHAIN_AXIS
+        from bipymc_tpu.parallel.pool import _state_specs
+
+        self.log_like_fn = log_like_fn
+        self.seed = int(seed)
+        self.dtype = dtype
+        self.mesh = mesh
+        self.cfg = _svgd.svgd_config(n_particles=int(n_particles),
+                                     **config_kw)
+        _check_mesh_chains(mesh, self.cfg.n_particles)
+        self._svgd = _svgd
+        self._axis = None if mesh is None else CHAIN_AXIS
+        self._state_specs = _state_specs
+        self._state = None
+        self._info = None
+        self._runners = {}
+
+    def _get_runner(self, n_steps, state):
+        key = int(n_steps)
+        if key in self._runners:
+            return self._runners[key]
+        run_local = self._svgd.make_runner(
+            self.log_like_fn, self.cfg, n_steps, axis_name=self._axis)
+        if self.mesh is None:
+            runner = jax.jit(run_local)
+        else:
+            from jax.sharding import PartitionSpec as P
+            specs = self._state_specs(state, self._svgd.SHARDED_FIELDS,
+                                      self._axis)
+            info_specs = self._svgd.SvgdInfo(P(), P(), P())
+            runner = jax.jit(jax.shard_map(
+                run_local, mesh=self.mesh, in_specs=(specs,),
+                out_specs=(specs, info_specs), check_vma=False))
+        self._runners[key] = runner
+        return runner
+
+    def run(self, n_steps, theta_0=None, spread=1.0):
+        """Run ``n_steps`` SVGD updates. First call requires ``theta_0``
+        ([n_particles, d] positions, or [d] center dispersed in a
+        ``spread``-std ball); later calls continue from the current
+        particles (the continuation contract — start-only args warn)."""
+        n_steps = int(n_steps)
+        if n_steps < 1:
+            raise ValueError("n_steps must be >= 1")
+        if self._state is None:
+            if theta_0 is None:
+                raise ValueError("first run() needs theta_0")
+            key = jax.random.key(self.seed)
+            x0 = _as_2d_theta0(theta_0, self.cfg.n_particles, key,
+                               spread, self.dtype)
+            state = self._svgd.init(x0)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+                specs = self._state_specs(
+                    state, self._svgd.SHARDED_FIELDS, self._axis)
+                shardings = jax.tree_util.tree_map(
+                    lambda sp: NamedSharding(self.mesh, sp), specs,
+                    is_leaf=lambda x: isinstance(x, P))
+                state = jax.device_put(state, shardings)
+            self._state = state
+        elif theta_0 is not None:
+            warnings.warn(
+                "theta_0 ignored: this Svgd continues from its current "
+                "particles (construct a new Svgd or call reset() to "
+                "restart)", stacklevel=2)
+        runner = self._get_runner(n_steps, self._state)
+        self._state, info = runner(self._state)
+        self._info = info
+        return {
+            "steps_run": n_steps,
+            "phi_rms": float(info.phi_rms[-1]),
+            "bandwidth": float(info.bandwidth[-1]),
+            "phi_rms_history": np.asarray(info.phi_rms),
+            "bandwidth_history": np.asarray(info.bandwidth),
+            "grad_rms_history": np.asarray(info.grad_rms),
+        }
+
+    def reset(self):
+        """Forget the particle state (the next run() is a fresh start)."""
+        self._state = None
+        self._info = None
+
+    @property
+    def particles(self):
+        """[n_particles, d] current particles (host NumPy; unweighted —
+        SVGD particles are equal-weight by construction)."""
+        if self._state is None:
+            raise RuntimeError("call run() first")
+        return np.asarray(self._state.x)
+
+    @property
+    def final_state(self):
+        if self._state is None:
+            raise RuntimeError("call run() first")
+        return self._state
