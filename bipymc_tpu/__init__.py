@@ -32,6 +32,7 @@ from bipymc_tpu.samplers.api import (
     Nuts,
     Smc,
     Svgd,
+    Advi,
     ParallelTempering,
     DreamZs,
 )
@@ -61,6 +62,7 @@ __all__ = [
     "Nuts",
     "Smc",
     "Svgd",
+    "Advi",
     "ParallelTempering",
     "DreamZs",
     "var_ball",

@@ -1492,3 +1492,127 @@ class Svgd:
         if self._state is None:
             raise RuntimeError("call run() first")
         return self._state
+
+
+class Advi:
+    """Automatic differentiation variational inference
+    (samplers/advi.py) — beyond-reference extra. Fits a Gaussian
+    q = N(μ, Σ) to the posterior by Adam ascent on the reparameterized
+    ELBO (mean-field or ``full_rank=True``); ``n_restarts`` independent
+    fits run as one vmapped program and the best final ELBO wins. The
+    cheapest posterior approximation in the zoo — exact only for
+    Gaussian posteriors; its (μ, Σ) is a variance-aware
+    ``theta_0``/``cov_est`` pair for the MCMC families (``init_pair()``)
+    and the restart-ELBO spread is a multimodality diagnostic. See the
+    advi.py module docstring for design and honesty notes.
+    """
+
+    def __init__(self, log_like_fn, n_restarts=4, seed=0,
+                 dtype=jnp.float32, **config_kw):
+        from bipymc_tpu.samplers import advi as _advi
+
+        self.log_like_fn = log_like_fn
+        self.n_restarts = int(n_restarts)
+        if self.n_restarts < 1:
+            raise ValueError("n_restarts must be >= 1")
+        self.seed = int(seed)
+        self.dtype = dtype
+        self.cfg = _advi.advi_config(**config_kw)
+        self._advi = _advi
+        self._state = None
+        self._elbo_hist = []
+        self._runners = {}
+
+    def _get_runner(self, n_steps):
+        key = int(n_steps)
+        if key not in self._runners:
+            run_one = self._advi.make_runner(self.log_like_fn, self.cfg,
+                                             n_steps)
+            self._runners[key] = jax.jit(jax.vmap(run_one))
+        return self._runners[key]
+
+    def run(self, n_steps=1000, theta_0=None, spread=1.0):
+        """Fit for ``n_steps`` Adam steps (continuation contract: later
+        calls continue; start-only args warn). ``theta_0``: [d] center
+        (restart means dispersed in a ``spread``-std ball) or
+        [n_restarts, d] explicit starts."""
+        n_steps = int(n_steps)
+        if n_steps < 1:
+            raise ValueError("n_steps must be >= 1")
+        key = jax.random.key(self.seed)
+        k_init, k_run = jax.random.split(key)
+        if self._state is None:
+            if theta_0 is None:
+                raise ValueError("first run() needs theta_0")
+            mu0 = _as_2d_theta0(theta_0, self.n_restarts, k_init,
+                                spread, self.dtype)
+            self._state = jax.vmap(
+                lambda m: self._advi.init(m, self.cfg))(mu0)
+        elif theta_0 is not None:
+            warnings.warn(
+                "theta_0 ignored: this Advi continues from its current "
+                "fit (construct a new Advi or call reset() to restart)",
+                stacklevel=2)
+        # distinct stream per segment: fold the step offset
+        t0 = int(self._state.t.reshape(-1)[0])
+        k_seg = jax.random.fold_in(k_run, t0)
+        keys = jax.vmap(lambda i: jax.random.fold_in(k_seg, i))(
+            jnp.arange(self.n_restarts, dtype=jnp.int32))
+        self._state, info = self._get_runner(n_steps)(self._state, keys)
+        elbo = np.asarray(info.elbo)               # [n_restarts, n_steps]
+        self._elbo_hist.append(elbo)
+        # rank restarts on the MC-noise-smoothed tail
+        # f64 accumulate: the non-finite penalty (~finfo.min/4) overflows
+        # an f32 sum over the window
+        tail = elbo[:, -min(50, n_steps):].astype(np.float64).mean(axis=1)
+        self._best = int(np.argmax(tail))
+        return {
+            "steps_run": n_steps,
+            "elbo": float(tail[self._best]),
+            "best_restart": self._best,
+            "elbo_by_restart": tail,
+            "elbo_history": np.concatenate(self._elbo_hist, axis=1),
+        }
+
+    def reset(self):
+        self._state = None
+        self._elbo_hist = []
+
+    def _require_run(self):
+        if self._state is None:
+            raise RuntimeError("call run() first")
+
+    def _best_params(self):
+        self._require_run()
+        mu = self._state.mu[self._best]
+        omega = self._state.omega[self._best]
+        C, _ = self._advi._chol_of(omega, self.cfg.full_rank)
+        return mu, C
+
+    @property
+    def mean(self):
+        """[d] variational mean of the best restart (host NumPy)."""
+        return np.asarray(self._best_params()[0])
+
+    @property
+    def cov(self):
+        """[d, d] variational covariance of the best restart."""
+        mu, C = self._best_params()
+        if self.cfg.full_rank:
+            return np.asarray(C @ C.T)
+        return np.asarray(jnp.diag(C * C))
+
+    def sample(self, n, seed=None):
+        """[n, d] draws from the best restart's q (host NumPy)."""
+        mu, C = self._best_params()
+        k = jax.random.key(self.seed + 1 if seed is None else int(seed))
+        z = jax.random.normal(k, (int(n), mu.shape[-1]), self.dtype)
+        x = mu + (z @ C.T if self.cfg.full_rank else z * C)
+        return np.asarray(x)
+
+    def init_pair(self):
+        """(theta_0, cov_est) for the MCMC families — the variational
+        analogue of ``bp.map_laplace``'s output pair."""
+        mu, C = self._best_params()
+        cov = C @ C.T if self.cfg.full_rank else jnp.diag(C * C)
+        return mu, cov
