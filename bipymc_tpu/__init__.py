@@ -44,6 +44,7 @@ from bipymc_tpu.utils.diagnostics import (gelman_rubin,
                                           summary)
 from bipymc_tpu.utils.external import external_log_like
 from bipymc_tpu.utils.laplace import map_estimate, laplace_cov, map_laplace
+from bipymc_tpu.utils.transforms import constrain, transform_log_prob
 from bipymc_tpu.models.targets import stratified_mode_init
 
 __version__ = "0.3.0"
@@ -77,4 +78,6 @@ __all__ = [
     "map_estimate",
     "laplace_cov",
     "map_laplace",
+    "constrain",
+    "transform_log_prob",
 ]
