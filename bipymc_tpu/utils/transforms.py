@@ -90,7 +90,10 @@ def constrain(lower=None, upper=None, d=None) -> Transform:
     def forward(u):
         u = jnp.asarray(u)
         anc, sg, w, _, m_free, m_one, m_box = _consts(u.dtype)
-        th_one = anc + sg * jnp.exp(u)
+        # guard exp's argument on dims where the map doesn't apply: a
+        # FREE dim with |u| > 88 would otherwise overflow exp to inf in
+        # f32 and 0·inf = NaN leaks through the mask arithmetic
+        th_one = anc + sg * jnp.exp(jnp.where(m_one > 0, u, 0.0))
         th_box = anc + w * jax.nn.sigmoid(u)
         return m_free * u + m_one * th_one + m_box * th_box
 

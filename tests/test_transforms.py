@@ -51,9 +51,12 @@ def test_batch_broadcasting():
 
 
 def test_tail_stability():
-    # extreme u must not produce nan/inf in forward or log_det
-    u = jnp.array([[50.0, -50.0, 40.0, -40.0],
-                   [-50.0, 30.0, -30.0, 35.0]])
+    # extreme u must not produce nan/inf in forward or log_det; the
+    # free dim goes past exp's f32 overflow point (|u| > 88) — a free
+    # parameter of magnitude 200 is perfectly legal and must not NaN
+    # through the masked one-sided map (0·inf)
+    u = jnp.array([[200.0, -50.0, 40.0, -40.0],
+                   [-200.0, 30.0, -30.0, 35.0]])
     th = T_ALL.forward(u)
     ld = T_ALL.log_det(u)
     assert np.all(np.isfinite(np.asarray(th)))
