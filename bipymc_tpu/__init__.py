@@ -45,6 +45,7 @@ from bipymc_tpu.utils.diagnostics import (gelman_rubin,
 from bipymc_tpu.utils.external import external_log_like
 from bipymc_tpu.utils.laplace import map_estimate, laplace_cov, map_laplace
 from bipymc_tpu.utils.transforms import constrain, transform_log_prob
+from bipymc_tpu.utils.sbc import sbc_ranks, sbc_uniformity
 from bipymc_tpu.models.targets import stratified_mode_init
 
 __version__ = "0.3.0"
@@ -80,4 +81,6 @@ __all__ = [
     "map_laplace",
     "constrain",
     "transform_log_prob",
+    "sbc_ranks",
+    "sbc_uniformity",
 ]

@@ -9,3 +9,4 @@ from bipymc_tpu.utils.debug import validate_log_prob
 from bipymc_tpu.utils.laplace import map_estimate, laplace_cov, map_laplace
 from bipymc_tpu.utils.profiling import time_fn
 from bipymc_tpu.utils.transforms import Transform, constrain, transform_log_prob
+from bipymc_tpu.utils.sbc import sbc_ranks, sbc_uniformity

@@ -1,0 +1,77 @@
+"""Simulation-based calibration harness (utils/sbc.py): rank uniformity
+on a conjugate normal-normal model for the fixed-kernel RW family and
+HMC, and — the money test — detection of a deliberately biased sampler
+(tempered posterior) that moment checks would pass near-enough."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bipymc_tpu.utils.sbc import sbc_ranks, sbc_uniformity
+
+D = 2
+SIGMA = 1.0
+N_OBS = 3
+# posterior variance = 1/(1 + n/σ²) = 1/4 per dim
+
+
+def prior_sample(key):
+    return jax.random.normal(key, (D,))
+
+
+def simulate(key, theta):
+    return theta + SIGMA * jax.random.normal(key, (N_OBS, D))
+
+
+def log_post(theta, y):
+    return (-0.5 * jnp.sum(theta**2)
+            - 0.5 * jnp.sum((y - theta) ** 2) / SIGMA**2)
+
+
+def _tempered(beta):
+    def lp(theta, y):
+        return beta * log_post(theta, y)
+    return lp
+
+
+def test_dram_ranks_uniform():
+    cov = (2.38**2 / D) * 0.25 * jnp.eye(D)   # posterior-scaled proposal
+    ranks = sbc_ranks(prior_sample, simulate, log_post, sampler="dram",
+                      n_repl=256, n_draws=127, thin=8, burn=300,
+                      cov=cov, seed=0)
+    assert ranks.shape == (256, D)
+    r = np.asarray(ranks)
+    assert r.min() >= 0 and r.max() <= 127
+    stat, thresh = sbc_uniformity(ranks, n_bins=8, n_draws=127)
+    assert np.all(stat < thresh), (stat, thresh)
+
+
+def test_hmc_ranks_uniform():
+    ranks = sbc_ranks(prior_sample, simulate, log_post, sampler="hmc",
+                      n_repl=256, n_draws=127, thin=2, burn=300,
+                      step_size=0.25, n_leapfrog=8, seed=1)
+    stat, thresh = sbc_uniformity(ranks, n_bins=8, n_draws=127)
+    assert np.all(stat < thresh), (stat, thresh)
+
+
+def test_detects_tempered_posterior():
+    # sampling p(θ|y)^0.5 instead of p(θ|y): the sampled variance is 2×
+    # the true posterior's (same mean!), θ̃ ranks pile in the middle,
+    # and the χ² statistic explodes — exactly the class of bias a
+    # moment-on-the-mean test would shrug at. Power note (measured):
+    # at K=256 the statistic is ~(49, 34) for β=0.5 but only ~(17, 12)
+    # for β=0.7 against the 24.5 threshold — milder biases need more
+    # replications, which is what the vmapped harness makes cheap.
+    cov = (2.38**2 / D) * 0.25 * jnp.eye(D)
+    ranks = sbc_ranks(prior_sample, simulate, _tempered(0.5),
+                      sampler="dram", n_repl=256, n_draws=127, thin=8,
+                      burn=300, cov=cov, seed=2)
+    stat, thresh = sbc_uniformity(ranks, n_bins=8, n_draws=127)
+    assert np.all(stat > thresh), (stat, thresh)
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="unknown sampler"):
+        sbc_ranks(prior_sample, simulate, log_post, sampler="nope",
+                  n_repl=4, n_draws=7, burn=10)
