@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from bipymc_tpu.samplers import dream as _dream
 from bipymc_tpu.samplers import hmc as _hmc
 from bipymc_tpu.samplers import rw as _rw
 
@@ -56,14 +57,21 @@ def sbc_ranks(prior_sample: Callable, simulate: Callable,
               log_post: Callable, *, sampler: str = "dram",
               n_repl: int = 128, n_draws: int = 127, thin: int = 5,
               burn: int = 300, cov=None, step_size: float = 0.3,
-              n_leapfrog: int = 8, seed: int = 0):
+              n_leapfrog: int = 8, n_chains: int = 8,
+              spread: float = 1.0, seed: int = 0):
     """Rank statistics [n_repl, d] for the kernel under test.
 
     prior_sample: ``key -> theta [d]`` — one prior draw.
     simulate:     ``key, theta -> data`` (any pytree) — one dataset.
     log_post:     ``theta, data -> []`` — unnormalized log-posterior.
-    sampler:      "mh" | "dr" | "dram" (fixed-covariance RW family) or
-                  "hmc" | "mala" (fixed ε after a ``burn``-long warmup).
+    sampler:      "mh" | "dr" | "dram" (fixed-covariance RW family),
+                  "hmc" | "mala" (fixed ε after a ``burn``-long warmup),
+                  or "demcz" (an ``n_chains`` DE-MC-z population per
+                  replication, CR/outlier adaptation off; ranks come
+                  from chain 0 so the M draws are marginally posterior
+                  and thinned to near-independence — note the archive
+                  still grows, so this validates the PRACTICAL
+                  diminishing-adaptation sampler, which is the point).
     cov:          RW proposal covariance ([d] diag or [d,d]); default
                   2.38²/d × prior covariance estimated from 256 draws.
     n_draws:      M posterior draws per replication — ranks live on
@@ -87,6 +95,10 @@ def sbc_ranks(prior_sample: Callable, simulate: Callable,
         base = _hmc.mala_config() if sampler == "mala" else \
             _hmc.hmc_config(n_leapfrog=n_leapfrog)
         cfg = base._replace(step_size=step_size, adapt_gens=burn)
+    elif sampler == "demcz":
+        cfg = _dream.demcz_config(n_chains)._replace(
+            burnin_gens=0, adapt_cr=False, outlier_detect=False,
+            pallas_proposal=False)
     else:
         raise ValueError(f"unknown sampler kind {sampler!r}")
 
@@ -100,6 +112,20 @@ def sbc_ranks(prior_sample: Callable, simulate: Callable,
             state = _rw.init(theta_t, lp, jnp.asarray(cov, theta_t.dtype))
             step = _rw.make_step(lp, cfg)
             position = lambda s: s.theta
+        elif sampler == "demcz":
+            # fold index past any step index t — t stays < 2^31
+            k_pop, k_arch = jax.random.split(
+                jax.random.fold_in(k_run, jnp.uint32(2**32 - 1)))
+            x0 = theta_t + spread * jax.random.normal(
+                k_pop, (n_chains,) + theta_t.shape, theta_t.dtype)
+            n_z0 = 2 * cfg.delta_max + 2
+            z0 = theta_t + spread * jax.random.normal(
+                k_arch, (n_z0,) + theta_t.shape, theta_t.dtype)
+            capacity = n_z0 + n_chains * (
+                (burn + n_draws * thin) // cfg.archive_thin + 1)
+            state = _dream.init(x0, lp, cfg, capacity, z0)
+            step = _dream.make_step(lp, cfg)
+            position = lambda s: s.x[0]
         else:
             state = jax.tree_util.tree_map(
                 lambda a: a[0], _hmc.init(theta_t[None], lp, cfg))

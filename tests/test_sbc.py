@@ -55,6 +55,17 @@ def test_hmc_ranks_uniform():
     assert np.all(stat < thresh), (stat, thresh)
 
 
+def test_demcz_ranks_uniform():
+    # the flagship ensemble family: an 8-chain DE-MC-z population per
+    # replication (adaptation off, archive growing — the PRACTICAL
+    # sampler), ranks from chain 0
+    ranks = sbc_ranks(prior_sample, simulate, log_post, sampler="demcz",
+                      n_repl=128, n_draws=63, thin=10, burn=400,
+                      n_chains=8, spread=0.5, seed=0)
+    stat, thresh = sbc_uniformity(ranks, n_bins=8, n_draws=63)
+    assert np.all(stat < thresh), (stat, thresh)
+
+
 def test_detects_tempered_posterior():
     # sampling p(θ|y)^0.5 instead of p(θ|y): the sampled variance is 2×
     # the true posterior's (same mean!), θ̃ ranks pile in the middle,
