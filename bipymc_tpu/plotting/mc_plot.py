@@ -166,3 +166,37 @@ def plot_mode_occupancy(history, means, path=None):
     if path:
         fig.savefig(path, dpi=120)
     return fig
+
+
+def plot_sbc_ranks(ranks, n_draws=None, n_bins=8, labels=None, path=None):
+    """SBC rank histograms with a 99% uniform band (utils/sbc.py,
+    docs/ROUND3.md §27): calibrated kernels fill the band flat; a ∪
+    shape means the sampled posterior is too narrow, a ∩ shape too wide,
+    a slope means biased location.
+
+    ranks: [K, d] from ``sbc_ranks``; pass the study's ``n_draws`` so
+    the support {0..M} bins exactly.
+    """
+    plt = _mpl()
+    ranks = np.asarray(ranks)
+    K, d = ranks.shape
+    m = (int(n_draws) if n_draws is not None else int(ranks.max())) + 1
+    edges = np.linspace(0, m, n_bins + 1)
+    expected = K / n_bins
+    # pointwise 99% band for a Binomial(K, 1/n_bins) bin count (normal
+    # approximation — the same envelope Talts et al. draw)
+    half = 2.576 * np.sqrt(K * (1 / n_bins) * (1 - 1 / n_bins))
+    fig, axes = plt.subplots(1, d, figsize=(3.0 * d, 2.8), squeeze=False)
+    for j in range(d):
+        ax = axes[0, j]
+        ax.hist(ranks[:, j], bins=edges, color="C0", alpha=0.85)
+        ax.axhspan(expected - half, expected + half, color="k", alpha=0.12,
+                   label="99% band" if j == 0 else None)
+        ax.axhline(expected, color="k", lw=0.8, ls="--")
+        ax.set_xlabel(labels[j] if labels else f"θ{j} rank")
+        if j == 0:
+            ax.set_ylabel(f"count / {K} repl")
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=120)
+    return fig

@@ -61,6 +61,15 @@ def test_plots_smoke(tmp_path):
         assert (tmp_path / f).stat().st_size > 1000
 
 
+def test_sbc_rank_plot_smoke(tmp_path):
+    from bipymc_tpu.plotting import plot_sbc_ranks
+    rng = np.random.default_rng(0)
+    ranks = rng.integers(0, 128, size=(256, 3))
+    fig = plot_sbc_ranks(ranks, n_draws=127, path=tmp_path / "sbc.png")
+    assert fig is not None
+    assert (tmp_path / "sbc.png").stat().st_size > 1000
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path):
     import jax
     import numpy as np
