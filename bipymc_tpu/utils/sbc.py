@@ -50,6 +50,10 @@ _RW_KINDS = {
     # SBC runs fixed kernels — "dram" here means the DR proposal shape
     # with the user-supplied covariance (adaptation off; see module doc)
     "dram": dict(adapt=False, delayed=True),
+    # the PRACTICAL headline kernel: Haario AM adaptation live through
+    # the ranked draws (diminishing adaptation — same argument as the
+    # demcz arm: SBC then validates the sampler users actually run)
+    "dram-adaptive": dict(adapt=True, delayed=True),
 }
 
 
@@ -65,6 +69,8 @@ def sbc_ranks(prior_sample: Callable, simulate: Callable,
     simulate:     ``key, theta -> data`` (any pytree) — one dataset.
     log_post:     ``theta, data -> []`` — unnormalized log-posterior.
     sampler:      "mh" | "dr" | "dram" (fixed-covariance RW family),
+                  "dram-adaptive" (AM covariance adaptation live —
+                  validates the practical diminishing-adaptation chain),
                   "hmc" | "mala" (fixed ε after a ``burn``-long warmup),
                   or "demcz" (an ``n_chains`` DE-MC-z population per
                   replication, CR/outlier adaptation off; ranks come

@@ -55,6 +55,18 @@ def test_hmc_ranks_uniform():
     assert np.all(stat < thresh), (stat, thresh)
 
 
+def test_adaptive_dram_ranks_uniform():
+    # the PRACTICAL headline kernel: Haario adaptation live through the
+    # ranked draws, starting from a deliberately mis-scaled covariance
+    # (4x the posterior's) that adaptation must fix — the
+    # diminishing-adaptation chain stays calibrated
+    ranks = sbc_ranks(prior_sample, simulate, log_post,
+                      sampler="dram-adaptive", n_repl=256, n_draws=127,
+                      thin=8, burn=400, cov=jnp.eye(D), seed=4)
+    stat, thresh = sbc_uniformity(ranks, n_bins=8, n_draws=127)
+    assert np.all(stat < thresh), (stat, thresh)
+
+
 def test_demcz_ranks_uniform():
     # the flagship ensemble family: an 8-chain DE-MC-z population per
     # replication (adaptation off, archive growing — the PRACTICAL
