@@ -40,6 +40,7 @@ from bipymc_tpu.utils.init import var_ball
 from bipymc_tpu.utils.diagnostics import (gelman_rubin,
                                           effective_sample_size,
                                           rank_normalized_rhat,
+                                          ess_bulk, ess_tail,
                                           mode_occupancy, mode_hops,
                                           summary)
 from bipymc_tpu.utils.external import external_log_like
@@ -71,6 +72,8 @@ __all__ = [
     "gelman_rubin",
     "effective_sample_size",
     "rank_normalized_rhat",
+    "ess_bulk",
+    "ess_tail",
     "summary",
     "mode_occupancy",
     "mode_hops",

@@ -4,6 +4,8 @@ from bipymc_tpu.utils.diagnostics import (
     effective_sample_size,
     integrated_autocorr_time,
     acceptance_fraction,
+    ess_bulk,
+    ess_tail,
 )
 from bipymc_tpu.utils.debug import validate_log_prob
 from bipymc_tpu.utils.laplace import map_estimate, laplace_cov, map_laplace

@@ -60,6 +60,22 @@ def gelman_rubin(chains, split=True):
     return jnp.sqrt(v_hat / w)
 
 
+def _ranks_to_z(x):
+    """Rank-normalise pooled draws [M,N,d] → standard-normal scores.
+
+    Rank via scatter of the argsort order; Blom-style fractional ranks
+    through the inverse-erf transform (Vehtari et al. 2021 eq. 14)."""
+    m, n, d = x.shape
+    flat = x.reshape(m * n, d)
+    order = jnp.argsort(flat, axis=0)
+    ranks = jnp.zeros_like(order).at[
+        order, jnp.arange(d)[None, :]].set(
+        jnp.arange(m * n)[:, None].astype(order.dtype) + 1)
+    frac = (ranks.astype(x.dtype) - 0.375) / (m * n + 0.25)
+    z = jnp.sqrt(2.0) * jax.scipy.special.erfinv(2.0 * frac - 1.0)
+    return z.reshape(m, n, d)
+
+
 def rank_normalized_rhat(chains):
     """Rank-normalised split-R̂ (Vehtari, Gelman, Simpson, Carpenter &
     Bürkner 2021) — beyond-reference diagnostics upgrade.
@@ -74,19 +90,6 @@ def rank_normalized_rhat(chains):
     quantiles via the inverse-erf transform of the fractional ranks).
     """
     chains = _promote(chains)
-
-    def _ranks_to_z(x):
-        m, n, d = x.shape
-        flat = x.reshape(m * n, d)
-        order = jnp.argsort(flat, axis=0)
-        ranks = jnp.zeros_like(order).at[
-            order, jnp.arange(d)[None, :]].set(
-            jnp.arange(m * n)[:, None].astype(order.dtype) + 1)
-        # Blom-style fractional ranks → standard normal quantiles
-        frac = (ranks.astype(x.dtype) - 0.375) / (m * n + 0.25)
-        z = jnp.sqrt(2.0) * jax.scipy.special.erfinv(2.0 * frac - 1.0)
-        return z.reshape(m, n, d)
-
     bulk = gelman_rubin(_ranks_to_z(chains), split=True)
     folded = jnp.abs(chains - jnp.median(chains, axis=(0, 1)))
     tail = gelman_rubin(_ranks_to_z(folded), split=True)
@@ -144,6 +147,39 @@ def effective_sample_size(chains, c=5.0, per_dim=False):
     return m * n / tau
 
 
+def ess_bulk(chains, c=5.0):
+    """Bulk-ESS (Vehtari et al. 2021): per-dimension ESS of the
+    rank-normalised draws — a location-sensitive sampling-efficiency
+    measure that is robust to heavy tails (an infinite-variance marginal
+    still gets a meaningful number). chains: [M, N, d] → [d]."""
+    chains = _promote(chains)
+    m, n, _ = chains.shape
+    tau = integrated_autocorr_time(_ranks_to_z(chains), c=c, per_dim=True)
+    return m * n / tau
+
+
+def ess_tail(chains, c=5.0, quantiles=(0.05, 0.95)):
+    """Tail-ESS (Vehtari et al. 2021): the minimum over the two tail
+    quantiles of the ESS of the indicator sequence I(x ≤ q) — how well
+    the chains resolve tail probabilities, which bulk measures miss
+    (a sampler mixing fast in the centre but sticky in the tails shows
+    healthy ess_bulk and collapsed ess_tail). chains: [M, N, d] → [d].
+
+    Degenerate case: if every pooled draw falls on one side of q the
+    indicator has zero variance and the ACF guard yields τ=1 (ESS=MN);
+    with the default 5%/95% pooled quantiles this cannot occur."""
+    chains = _promote(chains)
+    m, n, d = chains.shape
+    flat = chains.reshape(m * n, d)
+    esss = []
+    for q in quantiles:
+        thresh = jnp.quantile(flat, q, axis=0)               # [d]
+        ind = (chains <= thresh).astype(chains.dtype)        # [M, N, d]
+        tau = integrated_autocorr_time(ind, c=c, per_dim=True)
+        esss.append(m * n / tau)
+    return jnp.minimum(*esss)
+
+
 def acceptance_fraction(accepted):
     """Mean acceptance per chain. accepted: [..., N] bool → [...]."""
     return jnp.mean(jnp.asarray(accepted, jnp.float32), axis=-1)
@@ -154,7 +190,8 @@ def summary(chains, c=5.0):
 
     chains: [M, N, d]. Returns a dict of [d] arrays: ``mean``, ``sd``,
     ``q05``/``q50``/``q95``, rank-normalised ``rhat`` (Vehtari et al.
-    2021) and per-dimension ``ess`` (emcee-style auto-windowed τ). The
+    2021), per-dimension ``ess`` (emcee-style auto-windowed τ on the raw
+    draws) plus the Vehtari-2021 ``ess_bulk``/``ess_tail`` pair. The
     one-call analogue of the reference's post-run inspection loop
     (SURVEY.md §5.5); ``McmcSampler.summary()`` wraps it on the kept
     history.
@@ -170,6 +207,8 @@ def summary(chains, c=5.0):
         "q05": q[0], "q50": q[1], "q95": q[2],
         "rhat": rank_normalized_rhat(chains),
         "ess": m * n / tau,
+        "ess_bulk": ess_bulk(chains, c=c),
+        "ess_tail": ess_tail(chains, c=c),
     }
 
 

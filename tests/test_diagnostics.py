@@ -186,7 +186,8 @@ def test_summary_api():
     s = bp.DreamZs(correlated_gaussian(mean, cov), n_chains=16, seed=0)
     s.run_mcmc(1500, mean, spread=2.0)
     out = s.summary(discard=500)
-    assert set(out) == {"mean", "sd", "q05", "q50", "q95", "rhat", "ess"}
+    assert set(out) == {"mean", "sd", "q05", "q50", "q95", "rhat",
+                        "ess", "ess_bulk", "ess_tail"}
     np.testing.assert_allclose(out["mean"], np.asarray(mean), atol=0.3)
     np.testing.assert_allclose(out["sd"], np.sqrt(np.diag(cov)), atol=0.3)
     assert np.all(out["q05"] < out["q50"]) and np.all(out["q50"] < out["q95"])
@@ -199,3 +200,44 @@ def test_summary_api():
     arr = np.random.default_rng(0).normal(size=(4, 400, 3)).astype(np.float32)
     out2 = summary(jnp.asarray(arr))
     assert out2["mean"].shape == (3,)
+
+
+def test_ess_bulk_tail_iid():
+    from bipymc_tpu.utils.diagnostics import ess_bulk, ess_tail
+    rng = np.random.default_rng(3)
+    chains = jnp.asarray(rng.standard_normal((8, 500, 2)).astype(np.float32))
+    mn = 8 * 500
+    eb = np.asarray(ess_bulk(chains))
+    et = np.asarray(ess_tail(chains))
+    assert eb.shape == (2,) and et.shape == (2,)
+    assert np.all(eb > 0.5 * mn) and np.all(eb < 1.6 * mn), eb
+    assert np.all(et > 0.4 * mn) and np.all(et < 1.6 * mn), et
+
+
+def test_ess_bulk_monotone_invariant():
+    """Ranks are invariant to monotone transforms — ess_bulk must be
+    EXACTLY equal on x and exp(x) (the property raw-draw ESS lacks)."""
+    from bipymc_tpu.utils.diagnostics import ess_bulk
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((4, 300, 1)).astype(np.float32))
+    a = np.asarray(ess_bulk(x))
+    b = np.asarray(ess_bulk(jnp.exp(x)))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_ess_bulk_tail_ar1_discount():
+    from bipymc_tpu.utils.diagnostics import ess_bulk, ess_tail
+    rng = np.random.default_rng(7)
+    rho, m, n = 0.9, 8, 2000
+    x = np.zeros((m, n), np.float32)
+    x[:, 0] = rng.standard_normal(m)
+    for t in range(1, n):
+        x[:, t] = rho * x[:, t - 1] + np.sqrt(1 - rho ** 2) * \
+            rng.standard_normal(m)
+    chains = jnp.asarray(x)
+    mn = m * n
+    # theoretical ESS factor (1-rho)/(1+rho) ≈ 0.0526
+    eb = float(ess_bulk(chains)[0])
+    et = float(ess_tail(chains)[0])
+    assert 0.02 * mn < eb < 0.15 * mn, eb
+    assert et < 0.3 * mn, et
