@@ -47,6 +47,7 @@ from bipymc_tpu.utils.external import external_log_like
 from bipymc_tpu.utils.laplace import map_estimate, laplace_cov, map_laplace
 from bipymc_tpu.utils.transforms import constrain, transform_log_prob
 from bipymc_tpu.utils.sbc import sbc_ranks, sbc_uniformity
+from bipymc_tpu.utils.psis import psis, surrogate_reweight, importance_resample
 from bipymc_tpu.models.targets import stratified_mode_init
 
 __version__ = "0.3.0"
@@ -85,5 +86,8 @@ __all__ = [
     "constrain",
     "transform_log_prob",
     "sbc_ranks",
+    "psis",
+    "surrogate_reweight",
+    "importance_resample",
     "sbc_uniformity",
 ]

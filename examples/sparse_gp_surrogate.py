@@ -82,6 +82,30 @@ def main():
     assert info["rhat"].max() < 1.1
     assert np.all(np.abs(post_mean - TRUE_THETA) < 0.2)
 
+    # --- PSIS correction: surrogate posterior → exact posterior ----------
+    # The chains sampled the GP's approximation of the log-likelihood.
+    # Importance-reweight the kept draws to the EXACT posterior; the
+    # Pareto-k̂ certifies whether the surrogate was good enough.
+    sampler.run_mcmc(300)          # continuation: collect a kept history
+    draws = sampler.get_chain(discard=50, flat=True)[::64]    # thin
+    y_obs_j = jnp.asarray(y_obs, jnp.float32)
+    t_j = jnp.linspace(0.0, 1.0, 8, dtype=jnp.float32)
+
+    def exact_log_post(theta):
+        pred = theta[0] * jnp.exp(-2.0 * t_j) + theta[1] * t_j ** 2
+        r = pred - y_obs_j
+        return (-0.5 * jnp.sum(r * r) / sigma_obs ** 2
+                - 0.5 * jnp.sum((theta / 2.0) ** 4))
+
+    out = bp.surrogate_reweight(jnp.asarray(draws), exact_log_post,
+                                log_post)
+    print(f"PSIS: k-hat = {float(out['khat']):.3f} "
+          f"(reliable: {bool(out['reliable'])}), "
+          f"IS-ESS = {float(out['ess']):.0f} of {draws.shape[0]}, "
+          f"exact-posterior mean = {np.round(np.asarray(out['mean']), 3)}")
+    assert bool(out["reliable"]), float(out["khat"])
+    assert np.all(np.abs(np.asarray(out["mean"]) - TRUE_THETA) < 0.2)
+
 
 if __name__ == "__main__":
     main()
