@@ -23,6 +23,7 @@ from bipymc_tpu.samplers.api import (
     AdaptiveMetropolis,
     DrMetropolis,
     Dram,
+    DelayedAcceptance,
     DeMc,
     DeMcZ,
     Dream,
@@ -43,7 +44,8 @@ from bipymc_tpu.utils.diagnostics import (gelman_rubin,
                                           ess_bulk, ess_tail,
                                           mode_occupancy, mode_hops,
                                           summary)
-from bipymc_tpu.utils.external import external_log_like
+from bipymc_tpu.utils.external import (external_log_like,
+                                       external_log_like_masked)
 from bipymc_tpu.utils.laplace import map_estimate, laplace_cov, map_laplace
 from bipymc_tpu.utils.transforms import constrain, transform_log_prob
 from bipymc_tpu.utils.sbc import sbc_ranks, sbc_uniformity
@@ -57,6 +59,7 @@ __all__ = [
     "AdaptiveMetropolis",
     "DrMetropolis",
     "Dram",
+    "DelayedAcceptance",
     "DeMc",
     "DeMcZ",
     "Dream",
@@ -80,6 +83,7 @@ __all__ = [
     "mode_hops",
     "stratified_mode_init",
     "external_log_like",
+    "external_log_like_masked",
     "map_estimate",
     "laplace_cov",
     "map_laplace",

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bipymc_tpu.core.scan import run_scan_thinned
-from bipymc_tpu.samplers import (rw, demc, dream, hmc, nuts, stretch,
+from bipymc_tpu.samplers import (rw, da, demc, dream, hmc, nuts, stretch,
                                  tempering)
 from bipymc_tpu.parallel.pool import ChainPool
 from bipymc_tpu.utils.init import var_ball
@@ -289,6 +289,11 @@ class _RwSampler(McmcSampler):
     def _fused_K(self):
         return int(self.cfg.adapt_interval) if self.cfg.adapt else 100
 
+    @staticmethod
+    def _collect(state, info):
+        return {"x": state.theta, "logp": info.logp,
+                "accepted": info.accepted}
+
     def _ensure_rw_fused_runner(self):
         if self._rw_fused_runner is None:
             from bipymc_tpu.samplers.rw_fused import make_rw_chunk_runner
@@ -345,10 +350,7 @@ class _RwSampler(McmcSampler):
         mean acceptance; off by default — callbacks serialise the stream).
         """
         state, batched_step, k_run = self._prepare(theta_0, cov_est, spread)
-
-        def collect(state, info):
-            return {"x": state.theta, "logp": info.logp,
-                    "accepted": info.accepted}
+        collect = self._collect
 
         use_fused = (self.fused and thin == 1 and progress_every is None)
         if use_fused:
@@ -455,6 +457,70 @@ class DrMetropolis(_RwSampler):
 class Dram(_RwSampler):
     """DRAM = delayed rejection ⊗ adaptive Metropolis (SURVEY.md §4.4)."""
     _make_config = staticmethod(rw.dram_config)
+
+
+class DelayedAcceptance(_RwSampler):
+    """Delayed-acceptance Metropolis (Christen & Fox 2005; samplers/da.py)
+    — beyond-reference. A cheap surrogate log-likelihood pre-screens every
+    proposal; only surrogate-promoted proposals evaluate the EXACT
+    likelihood, and the chain targets the exact posterior (zero surrogate
+    bias, unlike sampling the surrogate directly). Stage-1 proposal
+    adapts with Haario AM by default (``adapt=False`` to disable).
+
+    masked_exact=True: ``log_like_fn(theta, promoted_mask)`` — pair with
+    ``utils.external.external_log_like_masked`` so a host-side simulator
+    is only invoked on the promoted rows of each vmapped step.
+    """
+    _make_config = staticmethod(da.da_config)
+
+    def __init__(self, log_like_fn, surrogate_log_like_fn, seed=0,
+                 n_chains=1, dtype=jnp.float32, masked_exact=False,
+                 **config_kw):
+        super().__init__(log_like_fn, seed=seed, n_chains=n_chains,
+                         dtype=dtype, **config_kw)
+        self.surrogate_log_like_fn = surrogate_log_like_fn
+        self.masked_exact = bool(masked_exact)
+
+    @staticmethod
+    def _collect(state, info):
+        return {"x": state.theta, "logp": info.logp,
+                "accepted": info.accepted, "promoted": info.promoted}
+
+    def _prepare(self, theta_0, cov_est, spread):
+        key = jax.random.key(self.seed)
+        k_init, k_run = jax.random.split(key)
+        if self._continuing(theta_0, cov_est, spread):
+            state = self._final_state
+        else:
+            theta0 = _as_2d_theta0(theta_0, self.n_chains, k_init, spread,
+                                   self.dtype)
+            d = theta0.shape[-1]
+            if cov_est is None:
+                cov_est = jnp.eye(d, dtype=self.dtype) * spread ** 2
+            cov_est = jnp.asarray(cov_est, dtype=self.dtype)
+            state = jax.vmap(lambda t: da.init(
+                t, self.log_like_fn, self.surrogate_log_like_fn, cov_est,
+                masked=self.masked_exact))(theta0)
+
+        if self._batched_step is None:
+            step = da.make_step(self.log_like_fn, self.surrogate_log_like_fn,
+                                self.cfg, masked=self.masked_exact)
+
+            def batched_step(state, key, t):
+                keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                    jnp.arange(self.n_chains))
+                return jax.vmap(step, in_axes=(0, 0, None))(state, keys, t)
+
+            self._batched_step = batched_step
+        return state, self._batched_step, k_run
+
+    @property
+    def promotion_fraction(self):
+        """Per-chain fraction of steps whose proposal was promoted to an
+        exact-likelihood evaluation (= the exact-call rate DA saves you
+        down from 1.0)."""
+        pro = np.swapaxes(self._history["promoted"], 0, 1)
+        return np.asarray(acceptance_fraction(pro))
 
 
 # ===========================================================================

@@ -96,6 +96,59 @@ def init(theta0: jax.Array, log_prob: Callable, cov0: jax.Array) -> RwState:
     )
 
 
+def adapt_update(cfg, sd, mean, m2, count, chol, theta_new, t):
+    """Haario AM update of the per-chain (mean, scatter, count, Cholesky)
+    tuple (§4.2) — the shared recursion behind the RW family's step AND
+    the delayed-acceptance sampler (samplers/da.py). Returns the four
+    fields updated per ``cfg``; identity when ``cfg.adapt`` is off."""
+    d = theta_new.shape[-1]
+    dtype = theta_new.dtype
+    if cfg.adapt and cfg.adapt_interval == 1:
+        # ---- every-step rank-1 Cholesky adaptation (§4.2) -----------
+        # Welford scatter update m2 += (n-1)/n · δδᵀ expressed directly
+        # on the factor: O(d²)/step instead of O(d³) refactorisation.
+        # ``m2`` carries L_s = chol(scatter + ε·I) in this mode.
+        from bipymc_tpu.ops.linalg import chol_rank1_update
+
+        n = count + 1
+        delta = theta_new - mean
+        mean_new = mean + delta / n.astype(dtype)
+        nf = n.astype(dtype)
+        # seed the factor on first use (scatter starts at ε·I)
+        L_s = jnp.where(count == 1,
+                        jnp.sqrt(jnp.asarray(cfg.eps, dtype))
+                        * jnp.eye(d, dtype=dtype),
+                        m2)
+        m2_new = chol_rank1_update(L_s, delta, alpha=(nf - 1.0) / nf)
+        scale = jnp.sqrt(jnp.asarray(sd, dtype) / (nf - 1.0))
+        chol_new = jnp.where(t >= cfg.t0, scale * m2_new, chol)
+    elif cfg.adapt:
+        # ---- Haario recursion (§4.2), Welford form ------------------
+        n = count + 1
+        delta = theta_new - mean
+        mean_new = mean + delta / n.astype(dtype)
+        delta2 = theta_new - mean_new
+        m2_new = m2 + jnp.outer(delta, delta2)
+
+        do_refresh = jnp.logical_and(
+            t >= cfg.t0, (t + 1) % cfg.adapt_interval == 0
+        )
+
+        def refresh(_):
+            cov = sd * (m2_new / (n - 1).astype(dtype)
+                        + cfg.eps * jnp.eye(d, dtype=dtype))
+            c = jnp.linalg.cholesky(cov)
+            # keep the old factor if the adapted cov is not (yet) SPD
+            ok = jnp.all(jnp.isfinite(c))
+            return jnp.where(ok, c, chol)
+
+        chol_new = lax.cond(do_refresh, refresh,
+                            lambda _: chol, operand=None)
+    else:
+        return mean, m2, count, chol
+    return mean_new, m2_new, n, chol_new
+
+
 def make_step(log_prob: Callable, cfg: RwConfig,
               draws_fn: Callable | None = None) -> Callable:
     """Build ``step(state, key, t)`` for one chain. vmap for many chains.
@@ -164,50 +217,9 @@ def make_step(log_prob: Callable, cfg: RwConfig,
         logp_new = jnp.where(take1, l1, jnp.where(take2, l2, state.logp))
         stage = jnp.where(take1, 1, jnp.where(take2, 2, 0)).astype(jnp.int32)
 
-        if cfg.adapt and cfg.adapt_interval == 1:
-            # ---- every-step rank-1 Cholesky adaptation (§4.2) -----------
-            # Welford scatter update m2 += (n-1)/n · δδᵀ expressed directly
-            # on the factor: O(d²)/step instead of O(d³) refactorisation.
-            # state.m2 carries L_s = chol(scatter + ε·I) in this mode.
-            from bipymc_tpu.ops.linalg import chol_rank1_update
-
-            n = state.count + 1
-            delta = theta_new - state.mean
-            mean_new = state.mean + delta / n.astype(dtype)
-            nf = n.astype(dtype)
-            # seed the factor on first use (scatter starts at ε·I)
-            L_s = jnp.where(state.count == 1,
-                            jnp.sqrt(jnp.asarray(cfg.eps, dtype))
-                            * jnp.eye(d, dtype=dtype),
-                            state.m2)
-            m2_new = chol_rank1_update(L_s, delta, alpha=(nf - 1.0) / nf)
-            scale = jnp.sqrt(jnp.asarray(sd, dtype) / (nf - 1.0))
-            chol_new = jnp.where(t >= cfg.t0, scale * m2_new, state.chol)
-        elif cfg.adapt:
-            # ---- Haario recursion (§4.2), Welford form ------------------
-            n = state.count + 1
-            delta = theta_new - state.mean
-            mean_new = state.mean + delta / n.astype(dtype)
-            delta2 = theta_new - mean_new
-            m2_new = state.m2 + jnp.outer(delta, delta2)
-
-            do_refresh = jnp.logical_and(
-                t >= cfg.t0, (t + 1) % cfg.adapt_interval == 0
-            )
-
-            def refresh(_):
-                cov = sd * (m2_new / (n - 1).astype(dtype)
-                            + cfg.eps * jnp.eye(d, dtype=dtype))
-                c = jnp.linalg.cholesky(cov)
-                # keep the old factor if the adapted cov is not (yet) SPD
-                ok = jnp.all(jnp.isfinite(c))
-                return jnp.where(ok, c, state.chol)
-
-            chol_new = lax.cond(do_refresh, refresh,
-                                lambda _: state.chol, operand=None)
-        else:
-            mean_new, m2_new, n, chol_new = (
-                state.mean, state.m2, state.count, state.chol)
+        mean_new, m2_new, n, chol_new = adapt_update(
+            cfg, sd, state.mean, state.m2, state.count, state.chol,
+            theta_new, t)
 
         new_state = RwState(theta_new, logp_new, mean_new, m2_new, n, chol_new)
         info = RwInfo(accepted=jnp.logical_or(take1, take2),

@@ -56,3 +56,47 @@ def external_log_like(fn, batched: bool = False, dtype=None):
             theta, vmap_method="expand_dims")
 
     return log_like
+
+
+def external_log_like_masked(fn, batched: bool = False, dtype=None,
+                             fill: float = 0.0):
+    """Masked variant for delayed acceptance (samplers/da.py).
+
+    Returns ``log_like(theta, mask)``: the host only evaluates rows whose
+    ``mask`` is True — the point of DA is that stage-1-rejected proposals
+    never reach the expensive simulator. Masked-out rows return ``fill``
+    (their value is ignored by the DA accept rule). Same batching
+    contract as :func:`external_log_like`; under ``vmap`` the whole
+    population still costs ONE host callback per step, now touching only
+    the promoted subset.
+    """
+    def host_eval(theta_np, mask_np):
+        theta_np = np.asarray(theta_np)
+        # an unbatched-constant mask under vmap arrives with a size-1
+        # batch dim (expand_dims semantics) — broadcast it to the rows
+        mask_np = np.broadcast_to(np.asarray(mask_np).astype(bool),
+                                  theta_np.shape[:-1])
+        if theta_np.ndim == 1:
+            if not mask_np:
+                return np.asarray(fill)
+            if batched:
+                return np.asarray(fn(theta_np[None]))[0]
+            return np.asarray(fn(theta_np))
+        flat = theta_np.reshape(-1, theta_np.shape[-1])
+        mflat = mask_np.reshape(-1)
+        out = np.full(flat.shape[0], fill, dtype=np.result_type(flat))
+        if mflat.any():
+            if batched:
+                out[mflat] = np.asarray(fn(flat[mflat]))
+            else:
+                out[mflat] = [fn(row) for row in flat[mflat]]
+        return out.reshape(theta_np.shape[:-1])
+
+    def log_like(theta, mask):
+        out_dtype = dtype or theta.dtype
+        result_shape = jax.ShapeDtypeStruct(theta.shape[:-1], out_dtype)
+        return jax.pure_callback(
+            lambda th, mk: host_eval(th, mk).astype(out_dtype),
+            result_shape, theta, mask, vmap_method="expand_dims")
+
+    return log_like
