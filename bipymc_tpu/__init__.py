@@ -50,6 +50,7 @@ from bipymc_tpu.utils.laplace import map_estimate, laplace_cov, map_laplace
 from bipymc_tpu.utils.transforms import constrain, transform_log_prob
 from bipymc_tpu.utils.sbc import sbc_ranks, sbc_uniformity
 from bipymc_tpu.utils.psis import psis, surrogate_reweight, importance_resample
+from bipymc_tpu.utils.loo import loo, loo_compare, pointwise_loglik
 from bipymc_tpu.models.targets import stratified_mode_init
 
 __version__ = "0.3.0"
@@ -94,4 +95,7 @@ __all__ = [
     "surrogate_reweight",
     "importance_resample",
     "sbc_uniformity",
+    "loo",
+    "loo_compare",
+    "pointwise_loglik",
 ]

@@ -15,3 +15,4 @@ from bipymc_tpu.utils.sbc import sbc_ranks, sbc_uniformity
 from bipymc_tpu.utils.psis import (psis, gpd_fit, importance_ess,
                                    importance_resample, weighted_moments,
                                    surrogate_reweight)
+from bipymc_tpu.utils.loo import loo, loo_compare, pointwise_loglik, waic

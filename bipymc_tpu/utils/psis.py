@@ -55,10 +55,13 @@ def gpd_fit(y, prior_bs=3.0, prior_k=10.0):
     w = 1.0 / jnp.sum(jnp.exp(logl[None, :] - logl[:, None]), axis=1)
     b_post = jnp.sum(b * w) / jnp.sum(w)
     k_post = jnp.mean(jnp.log1p(-b_post * y))
-    # regularise towards 0.5 (Vehtari et al. 2024): keeps k̂ usable at
+    # σ from the RAW k (sign(k_raw) = −sign(b_post), so σ > 0 always);
+    # regularising first can flip k's sign near 0 and poison σ — seen as
+    # NaN elpd on real MCMC draws whose tail k̂ ≈ 0.
+    sigma = -k_post / b_post
+    # regularise k towards 0.5 (Vehtari et al. 2024): keeps k̂ usable at
     # small tail sizes where the raw MLE is noisy
     k_post = (n * k_post + prior_k * 0.5) / (n + prior_k)
-    sigma = -k_post / b_post
     return k_post, sigma
 
 
@@ -96,10 +99,17 @@ def psis(logw, tail_frac=0.2):
     cutoff_lw = sorted_lw[n - m_tail - 1]           # largest non-tail
     cutoff = jnp.exp(cutoff_lw)
     exceed = jnp.exp(sorted_lw[n - m_tail:]) - cutoff    # [M] ascending ≥ 0
-    khat, sigma = gpd_fit(exceed)
+    # Degenerate tail (all weights equal — e.g. a log-lik constant in θ):
+    # nothing to smooth, and gpd_fit would 1/0. Fit a dummy tail instead
+    # and select the untouched weights with k̂ = −inf ("no tail at all").
+    tail_span = exceed[-1]
+    dummy = jnp.arange(1, m_tail + 1, dtype=logw.dtype) / m_tail
+    khat, sigma = gpd_fit(jnp.where(tail_span > 0, exceed, dummy))
     p = (jnp.arange(1, m_tail + 1, dtype=logw.dtype) - 0.5) / m_tail
     smoothed = jnp.log(_gpd_quantile(p, khat, sigma) + cutoff)
     smoothed = jnp.minimum(smoothed, 0.0)           # cap at raw max (=0)
+    smoothed = jnp.where(tail_span > 0, smoothed, sorted_lw[n - m_tail:])
+    khat = jnp.where(tail_span > 0, khat, -jnp.inf)
     new_sorted = sorted_lw.at[n - m_tail:].set(smoothed)
     out = jnp.zeros_like(logw).at[order].set(new_sorted)
     return out, khat

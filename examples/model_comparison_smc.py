@@ -1,4 +1,4 @@
-"""Bayesian model comparison: Bayes factors from SMC evidence.
+"""Bayesian model comparison: SMC evidence AND PSIS-LOO, side by side.
 
 The capstone workflow the reference's inverse-problem stack cannot do:
 two candidate forward models explain the same data; sampling each
@@ -15,6 +15,14 @@ drops out of the same machinery that samples the posterior. Model A
 (a full quadratic polynomial, 3 parameters) both track the data
 visually; the Bayes factor resolves the choice and the printout
 decomposes it into best-fit difference vs Occam penalty.
+
+The second half answers the same question the other way: PSIS-LOO
+(`bp.loo` / `bp.loo_compare`) estimates each model's out-of-sample
+predictive density from the SAME posterior draws — no refits, no
+integration over the prior. Evidence and LOO can disagree (evidence
+charges prior spread, LOO only predictive skill); here they agree, and
+the paired-difference SE says whether the LOO gap is statistically
+real.
 
 A caveat learned the hard way (and why this example uses the exact
 likelihood): evidence through a GP SURROGATE of the log-likelihood is
@@ -103,8 +111,28 @@ def main():
                "positive" if log_bf > 1 else "inconclusive")
     print(f"log Bayes factor A vs B: {log_bf:.2f} ({verdict} for A)")
 
+    # --- PSIS-LOO on the same draws: predictive-performance comparison ---
+    def pointwise(forward, draws):
+        def ll(theta):
+            r = forward(theta) - y_obs
+            return -0.5 * (r * r / SIGMA ** 2
+                           + np.log(2 * np.pi * SIGMA ** 2))
+        return bp.pointwise_loglik(ll, draws)
+
+    table = bp.loo_compare({
+        "A (truth)": bp.loo(pointwise(model_a, draws_a)),
+        "B (quadratic)": bp.loo(pointwise(model_b, draws_b)),
+    })
+    for row in table:
+        print(f"  {row['name']:<15} elpd_loo {row['elpd_loo']:8.2f} "
+              f"± {row['se']:.2f}  p_loo {row['p_loo']:.2f}  "
+              f"Δelpd {row['d_elpd']:.2f} ± {row['d_se']:.2f}  "
+              f"bad k̂ {row['n_bad']}")
+
     assert np.abs(post_a - TRUE_THETA).max() < 0.15
     assert log_bf > 2.0, log_bf    # measured 3.5; margin for stream changes
+    assert table[0]["name"].startswith("A"), table    # LOO agrees with BF
+    assert all(r["n_bad"] == 0 for r in table), table # every point certified
     print("OK")
 
 

@@ -121,3 +121,36 @@ def test_psis_jits():
     b, k2 = psis(logw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     assert abs(float(k) - float(k2)) < 1e-6
+
+
+def test_gpd_sigma_positive_near_zero_k():
+    # Regression: light tails whose raw k̂ is slightly NEGATIVE while the
+    # prior-regularised k̂ is slightly positive. σ must come from the raw
+    # k (σ = −k_raw/b > 0 always); deriving it from the regularised k
+    # flipped its sign and produced NaN elpd on real MCMC draws.
+    rng = np.random.default_rng(8)
+    for trial in range(20):
+        y = rng.exponential(0.05, 150).astype(np.float32)  # k_true = 0
+        k, sigma = gpd_fit(jnp.asarray(np.sort(y)))
+        assert float(sigma) > 0.0, (trial, float(k), float(sigma))
+        assert np.isfinite(float(k))
+
+
+def test_psis_no_nan_on_exponential_tail():
+    # The end-to-end shape of the same regression: weights whose tail is
+    # near-exponential (k̂ ≈ 0) must smooth to finite values.
+    rng = np.random.default_rng(9)
+    for seed in range(10):
+        logw = jnp.asarray(np.random.default_rng(seed).normal(
+            0, 0.4, 2500).astype(np.float32))
+        lw, khat = psis(logw)
+        assert bool(jnp.isfinite(lw).all()), seed
+        assert np.isfinite(float(khat)), seed
+
+
+def test_psis_degenerate_constant_weights():
+    # All-equal weights (log-lik constant in θ): nothing to smooth,
+    # gpd_fit would divide by zero — guarded with k̂ = −inf, untouched w.
+    lw, khat = psis(jnp.zeros(64))
+    assert float(khat) == -np.inf
+    np.testing.assert_array_equal(np.asarray(lw), 0.0)
