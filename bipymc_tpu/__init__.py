@@ -29,6 +29,7 @@ from bipymc_tpu.samplers.api import (
     Dream,
     EnsembleSampler,
     Hmc,
+    EllipticalSlice,
     Mala,
     Nuts,
     Smc,
@@ -50,7 +51,7 @@ from bipymc_tpu.utils.laplace import map_estimate, laplace_cov, map_laplace
 from bipymc_tpu.utils.transforms import constrain, transform_log_prob
 from bipymc_tpu.utils.sbc import sbc_ranks, sbc_uniformity
 from bipymc_tpu.utils.psis import psis, surrogate_reweight, importance_resample
-from bipymc_tpu.utils.loo import loo, loo_compare, pointwise_loglik
+from bipymc_tpu.utils.loo import loo, loo_compare, pointwise_loglik, waic
 from bipymc_tpu.models.targets import stratified_mode_init
 
 __version__ = "0.3.0"
@@ -66,6 +67,7 @@ __all__ = [
     "Dream",
     "EnsembleSampler",
     "Hmc",
+    "EllipticalSlice",
     "Mala",
     "Nuts",
     "Smc",
@@ -98,4 +100,5 @@ __all__ = [
     "loo",
     "loo_compare",
     "pointwise_loglik",
+    "waic",
 ]

@@ -22,8 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from bipymc_tpu.core.scan import run_scan_thinned
-from bipymc_tpu.samplers import (rw, da, demc, dream, hmc, nuts, stretch,
-                                 tempering)
+from bipymc_tpu.samplers import (rw, da, demc, dream, eslice, hmc, nuts,
+                                 stretch, tempering)
 from bipymc_tpu.parallel.pool import ChainPool
 from bipymc_tpu.utils.init import var_ball
 from bipymc_tpu.utils.diagnostics import acceptance_fraction
@@ -847,6 +847,74 @@ class Nuts(Hmc):
                 self.log_like_fn, self.cfg, axis_name=axis),
             sharded_fields=nuts.SHARDED_FIELDS,
             collect_fn=_nuts_collect)
+
+
+def _eslice_collect(state, info):
+    """Elliptical-slice history: ``logp`` is the FULL log-posterior
+    (likelihood + Gaussian prior); ``loglike``/``n_shrink`` are the
+    family's own diagnostics (mean n_shrink ≈ ellipse difficulty).
+    Module-level for a stable pool-cache identity."""
+    return {"x": state.x, "logp": info.logp, "accepted": info.accepted,
+            "loglike": info.loglike, "n_shrink": info.n_shrink}
+
+
+class EllipticalSlice(McmcSampler):
+    """Elliptical slice sampling (Murray, Adams & MacKay 2010) —
+    beyond-reference extra (samplers/eslice.py) for targets factored as
+    N(μ, Σ)·L(x): latent-GP models and Gaussian-prior inverse problems.
+
+    UNLIKE every other sampler here, ``log_like_fn`` is the NON-Gaussian
+    likelihood factor ONLY — the N(``prior_mean``, Σ) prior enters
+    exactly through the ellipse (pass Σ's lower Cholesky as
+    ``prior_chol``, a [d,d] matrix or [d]/scalar diagonal of √Σ).
+    Rejection-free and tuning-free; perfect prior conditioning at any
+    condition number. Chains are fully independent, so ``mesh=`` shards
+    with zero in-step collectives; per-generation cost is the batch-max
+    shrink count (data-dependent while_loop, like NUTS)."""
+
+    _make_config = staticmethod(eslice.eslice_config)
+
+    def __init__(self, log_like_fn, prior_mean, prior_chol, n_chains=8,
+                 seed=0, dtype=jnp.float32, mesh=None, **config_kw):
+        super().__init__(log_like_fn, seed=seed, dtype=dtype)
+        self.n_chains = int(n_chains)
+        self.prior_mean = prior_mean
+        self.prior_chol = prior_chol
+        self.cfg = self._make_config(**config_kw)
+        self.mesh = mesh
+        _check_mesh_chains(mesh, self.n_chains)
+
+    def _ensure(self, theta_0, spread):
+        return self._ensure_population(
+            theta_0, spread,
+            init_fn=lambda x0: eslice.init(x0, self.log_like_fn),
+            step_factory=lambda axis: eslice.make_step(
+                self.log_like_fn, self.prior_mean, self.prior_chol,
+                self.cfg, axis_name=axis),
+            sharded_fields=eslice.SHARDED_FIELDS,
+            collect_fn=_eslice_collect)
+
+    def run_mcmc(self, n_samples, theta_0=None, thin=1, spread=1.0,
+                 progress_every=None):
+        state, k_run = self._ensure(theta_0, spread)
+        final_state, history = self._pool_obj.run(
+            state, k_run, n_samples, thin=thin, t0=self._steps_run,
+            progress_every=progress_every)
+        self._store(final_state, history, n_samples, thin=thin)
+        return self
+
+    def run_mcmc_until(self, theta_0=None, rhat_tol=1.05, chunk=100,
+                       max_chunks=200, warmup_chunks=2, spread=1.0):
+        if self.n_chains < 2:
+            raise ValueError("R-hat early stop needs n_chains >= 2")
+        state, k_run = self._ensure(theta_0, spread)
+        final_state, info = self._pool_obj.run_until(
+            state, k_run, rhat_tol=rhat_tol, chunk=chunk,
+            max_chunks=max_chunks, warmup_chunks=warmup_chunks,
+            t0=self._steps_run)
+        self._final_state = jax.block_until_ready(final_state)
+        self._steps_run += int(info["steps"])
+        return {k: np.asarray(v) for k, v in info.items()}
 
 
 def _check_fused_dtype(dtype):
