@@ -28,6 +28,7 @@ from bipymc_tpu.samplers.api import (
     DeMcZ,
     Dream,
     EnsembleSampler,
+    EnsembleSlice,
     Hmc,
     EllipticalSlice,
     Mala,
@@ -66,6 +67,7 @@ __all__ = [
     "DeMcZ",
     "Dream",
     "EnsembleSampler",
+    "EnsembleSlice",
     "Hmc",
     "EllipticalSlice",
     "Mala",

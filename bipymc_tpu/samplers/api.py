@@ -22,8 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from bipymc_tpu.core.scan import run_scan_thinned
-from bipymc_tpu.samplers import (rw, da, demc, dream, eslice, hmc, nuts,
-                                 stretch, tempering)
+from bipymc_tpu.samplers import (rw, da, demc, dream, enslice, eslice,
+                                 hmc, nuts, stretch, tempering)
 from bipymc_tpu.parallel.pool import ChainPool
 from bipymc_tpu.utils.init import var_ball
 from bipymc_tpu.utils.diagnostics import acceptance_fraction
@@ -907,6 +907,83 @@ class EllipticalSlice(McmcSampler):
                        max_chunks=200, warmup_chunks=2, spread=1.0):
         if self.n_chains < 2:
             raise ValueError("R-hat early stop needs n_chains >= 2")
+        state, k_run = self._ensure(theta_0, spread)
+        final_state, info = self._pool_obj.run_until(
+            state, k_run, rhat_tol=rhat_tol, chunk=chunk,
+            max_chunks=max_chunks, warmup_chunks=warmup_chunks,
+            t0=self._steps_run)
+        self._final_state = jax.block_until_ready(final_state)
+        self._steps_run += int(info["steps"])
+        return {k: np.asarray(v) for k, v in info.items()}
+
+
+def _enslice_collect(state, info):
+    """Ensemble-slice history: per-walker expansion/contraction counts
+    (cost diagnostics) and the tuned scale μ ride alongside the default
+    fields. μ is replicated onto the chain axis so the leaf shards on
+    the mesh path ([T] scalars are rejected there). Module-level for a
+    stable pool-cache identity."""
+    return {"x": state.x, "logp": info.logp, "accepted": info.accepted,
+            "n_expand": info.n_expand, "n_contract": info.n_contract,
+            "mu": jnp.broadcast_to(info.mu, info.logp.shape)}
+
+
+class EnsembleSlice(McmcSampler):
+    """Ensemble slice sampling (Karamanis & Beutler 2021, "zeus") —
+    beyond-reference extra (samplers/enslice.py).
+
+    Slice-samples each walker exactly along a differential-evolution
+    direction μ(x_l − x_m) from the complementary half (red-black
+    update, like `EnsembleSampler`): rejection-free up to the shrink
+    cap, and the ONE global knob μ self-tunes during the first
+    ``tune_gens`` generations from the expansion/contraction balance,
+    then freezes (diminishing adaptation). Cost: ~(2 + Nₑ + N꜀) target
+    evals per walker per generation, batch-max under vmap (the
+    stepping-out/shrinkage `lax.while_loop`s are data-dependent, like
+    `Nuts`). Use n_chains ≥ 2d+2 walkers.
+
+    History carries per-walker ``n_expand``/``n_contract`` and ``mu``;
+    ``accepted`` is False only on a shrink-cap fallback. ``mesh=``
+    all_gathers the population per half-update (the stretch pattern);
+    the μ-update counts psum as integers, so vmap and mesh see the
+    identical μ trajectory."""
+
+    _make_config = staticmethod(enslice.enslice_config)
+
+    def __init__(self, log_like_fn, n_chains=32, seed=0, dtype=jnp.float32,
+                 mesh=None, **config_kw):
+        super().__init__(log_like_fn, seed=seed, dtype=dtype)
+        self.n_chains = int(n_chains)
+        self.cfg = self._make_config(n_chains=self.n_chains, **config_kw)
+        self.mesh = mesh
+        _check_mesh_chains(mesh, self.n_chains)
+
+    @property
+    def mu(self):
+        """Current (tuned) direction scale μ."""
+        self._require_run()
+        return float(self._final_state.mu)
+
+    def _ensure(self, theta_0, spread):
+        return self._ensure_population(
+            theta_0, spread,
+            init_fn=lambda x0: enslice.init(x0, self.log_like_fn, self.cfg),
+            step_factory=lambda axis: enslice.make_step(
+                self.log_like_fn, self.cfg, axis_name=axis),
+            sharded_fields=enslice.SHARDED_FIELDS,
+            collect_fn=_enslice_collect)
+
+    def run_mcmc(self, n_gens, theta_0=None, thin=1, spread=1.0,
+                 progress_every=None):
+        state, k_run = self._ensure(theta_0, spread)
+        final_state, history = self._pool_obj.run(
+            state, k_run, n_gens, thin=thin, t0=self._steps_run,
+            progress_every=progress_every)
+        self._store(final_state, history, n_gens, thin=thin)
+        return self
+
+    def run_mcmc_until(self, theta_0=None, rhat_tol=1.05, chunk=100,
+                       max_chunks=200, warmup_chunks=2, spread=1.0):
         state, k_run = self._ensure(theta_0, spread)
         final_state, info = self._pool_obj.run_until(
             state, k_run, rhat_tol=rhat_tol, chunk=chunk,

@@ -59,8 +59,8 @@ def main():
         prior_chol=jnp.asarray(L, jnp.float32), n_chains=8, seed=0)
     s.run_mcmc(4000, theta_0=jnp.zeros(n, jnp.float32), spread=0.1)
 
-    chains = s.get_chain(discard=1000)              # [T, chains, d]
-    rhat = np.asarray(bp.gelman_rubin(np.swapaxes(chains, 0, 1)))
+    chains = s.get_chain(discard=1000)              # [chains, T, d]
+    rhat = np.asarray(bp.gelman_rubin(chains))
     flat = chains.reshape(-1, n)
     f_mean = flat.mean(axis=0)
     rmse_post = float(np.sqrt(np.mean((f_mean - f_true) ** 2)))
