@@ -44,6 +44,7 @@ from bipymc_tpu.utils.diagnostics import (gelman_rubin,
                                           effective_sample_size,
                                           rank_normalized_rhat,
                                           ess_bulk, ess_tail,
+                                          mcse_mean, mcse_sd,
                                           mode_occupancy, mode_hops,
                                           summary)
 from bipymc_tpu.utils.external import (external_log_like,
@@ -82,6 +83,8 @@ __all__ = [
     "effective_sample_size",
     "rank_normalized_rhat",
     "ess_bulk",
+    "mcse_mean",
+    "mcse_sd",
     "ess_tail",
     "summary",
     "mode_occupancy",

@@ -152,8 +152,8 @@ class McmcSampler:
                      jnp.asarray(self.get_chain(discard=discard))).items()}
         if not as_text:
             return s
-        cols = ["mean", "sd", "q05", "q50", "q95", "rhat", "ess",
-                "ess_bulk", "ess_tail"]
+        cols = ["mean", "sd", "mcse_mean", "q05", "q50", "q95", "rhat",
+                "ess", "ess_bulk", "ess_tail"]
         lines = ["dim  " + "".join(f"{c:>10}" for c in cols)]
         for i in range(s["mean"].shape[0]):
             lines.append(f"{i:<5}" + "".join(

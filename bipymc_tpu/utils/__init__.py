@@ -5,6 +5,8 @@ from bipymc_tpu.utils.diagnostics import (
     integrated_autocorr_time,
     acceptance_fraction,
     ess_bulk,
+    mcse_mean,
+    mcse_sd,
     ess_tail,
 )
 from bipymc_tpu.utils.debug import validate_log_prob

@@ -201,15 +201,56 @@ def summary(chains, c=5.0):
     flat = chains.reshape(m * n, d)
     tau = integrated_autocorr_time(chains, c=c, per_dim=True)
     q = jnp.percentile(flat, jnp.asarray([5.0, 50.0, 95.0]), axis=0)
+    sd = jnp.std(flat, axis=0, ddof=1)
+    ess = m * n / tau
     return {
         "mean": jnp.mean(flat, axis=0),
-        "sd": jnp.std(flat, axis=0, ddof=1),
+        "sd": sd,
         "q05": q[0], "q50": q[1], "q95": q[2],
         "rhat": rank_normalized_rhat(chains),
-        "ess": m * n / tau,
+        "ess": ess,
         "ess_bulk": ess_bulk(chains, c=c),
         "ess_tail": ess_tail(chains, c=c),
+        "mcse_mean": sd / jnp.sqrt(ess),
+        "mcse_sd": mcse_sd(chains, c=c),
     }
+
+
+def mcse_mean(chains, c=5.0):
+    """Monte Carlo standard error of the posterior mean: sd/√ESS, with
+    ESS from the auto-windowed τ (SURVEY.md §4.8). The number that says
+    how many significant digits of ``mean`` are real — the
+    Vehtari-et-al-2021 reporting convention alongside R̂/ess_bulk/
+    ess_tail. chains: [M, N, d] (or [M, N]); returns [d] (or scalar).
+    """
+    squeeze = jnp.asarray(chains).ndim == 2
+    chains = _promote(chains)
+    m, n, d = chains.shape
+    tau = integrated_autocorr_time(chains, c=c, per_dim=True)
+    sd = jnp.std(chains.reshape(m * n, d), axis=0, ddof=1)
+    out = sd / jnp.sqrt(m * n / tau)
+    return out[0] if squeeze else out
+
+
+def mcse_sd(chains, c=5.0):
+    """Monte Carlo standard error of the posterior sd, by the delta
+    method on sd = √var: mcse_sd = mcse(var̂) / (2·sd), where mcse(var̂)
+    uses the ESS of the squared centred draws (their own autocorrelation
+    governs how fast the variance estimate converges — raw-draw ESS
+    would overstate precision whenever x² mixes slower than x).
+    chains: [M, N, d] (or [M, N]); returns [d] (or scalar).
+    """
+    squeeze = jnp.asarray(chains).ndim == 2
+    chains = _promote(chains)
+    m, n, d = chains.shape
+    flat = chains.reshape(m * n, d)
+    sd = jnp.std(flat, axis=0, ddof=1)
+    centered_sq = (chains - jnp.mean(flat, axis=0)) ** 2
+    tau2 = integrated_autocorr_time(centered_sq, c=c, per_dim=True)
+    ess2 = m * n / tau2
+    var_of_var = jnp.var(centered_sq.reshape(m * n, d), axis=0, ddof=1)
+    out = jnp.sqrt(var_of_var / ess2) / (2.0 * jnp.maximum(sd, 1e-30))
+    return out[0] if squeeze else out
 
 
 def nearest_mode(positions, means):

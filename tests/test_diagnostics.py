@@ -187,7 +187,8 @@ def test_summary_api():
     s.run_mcmc(1500, mean, spread=2.0)
     out = s.summary(discard=500)
     assert set(out) == {"mean", "sd", "q05", "q50", "q95", "rhat",
-                        "ess", "ess_bulk", "ess_tail"}
+                        "ess", "ess_bulk", "ess_tail",
+                        "mcse_mean", "mcse_sd"}
     np.testing.assert_allclose(out["mean"], np.asarray(mean), atol=0.3)
     np.testing.assert_allclose(out["sd"], np.sqrt(np.diag(cov)), atol=0.3)
     assert np.all(out["q05"] < out["q50"]) and np.all(out["q50"] < out["q95"])
@@ -241,3 +242,49 @@ def test_ess_bulk_tail_ar1_discount():
     et = float(ess_tail(chains)[0])
     assert 0.02 * mn < eb < 0.15 * mn, eb
     assert et < 0.3 * mn, et
+
+
+def test_mcse_mean_iid_and_ar1():
+    """IID: mcse_mean ~ sd/sqrt(MN) and the known mean lies within
+    4*mcse. AR(1) rho=0.9 inflates mcse by ~sqrt((1+rho)/(1-rho)) ~ 4.4
+    over IID — the autocorrelation discount raw-sd/sqrt(MN) misses."""
+    from bipymc_tpu.utils.diagnostics import mcse_mean
+    rng = np.random.default_rng(11)
+    m, n = 8, 4000
+    iid = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    e_iid = float(mcse_mean(iid))
+    ref = 1.0 / np.sqrt(m * n)
+    assert 0.5 * ref < e_iid < 2.0 * ref, (e_iid, ref)
+    assert abs(float(jnp.mean(iid))) < 4 * e_iid
+
+    rho = 0.9
+    x = np.zeros((m, n), np.float32)
+    x[:, 0] = rng.standard_normal(m)
+    for t in range(1, n):
+        x[:, t] = rho * x[:, t - 1] + np.sqrt(1 - rho ** 2) * \
+            rng.standard_normal(m)
+    e_ar = float(mcse_mean(jnp.asarray(x)))
+    assert e_ar > 2.5 * e_iid, (e_ar, e_iid)
+
+
+def test_mcse_sd_iid_matches_asymptotics():
+    """Normal draws: Var(x^2) = 2 sigma^4, so mcse_sd ~ sigma/sqrt(2MN)
+    via the delta method."""
+    from bipymc_tpu.utils.diagnostics import mcse_sd
+    rng = np.random.default_rng(13)
+    m, n, sigma = 8, 4000, 2.0
+    x = jnp.asarray((sigma * rng.standard_normal((m, n))).astype(np.float32))
+    e = float(mcse_sd(x))
+    ref = sigma / np.sqrt(2 * m * n)
+    assert 0.5 * ref < e < 2.0 * ref, (e, ref)
+
+
+def test_summary_carries_mcse():
+    from bipymc_tpu.utils.diagnostics import summary
+    rng = np.random.default_rng(17)
+    chains = jnp.asarray(rng.standard_normal((4, 500, 3)).astype(np.float32))
+    s = summary(chains)
+    assert s["mcse_mean"].shape == (3,)
+    assert s["mcse_sd"].shape == (3,)
+    assert np.all(np.asarray(s["mcse_mean"]) > 0)
+    assert np.all(np.asarray(s["mcse_mean"]) < np.asarray(s["sd"]))
