@@ -37,11 +37,19 @@ counts ride an INTEGER psum — exact, so the vmap and mesh paths see the
 identical μ trajectory (the §11 gather-then-reduce concern is moot for
 integers).
 
-Why it earns a slot next to stretch and DE-MC-z: on strongly anisotropic
-targets the stretch move's acceptance collapses unless `a` is re-tuned,
-and RW/DRAM needs a good covariance; the slice move accepts by
-construction and μ only controls *cost* (expansions per generation), not
-correctness — the practical "no knobs" sampler for moderate-d posteriors.
+Why it earns a slot next to stretch and DE-MC-z: the slice move accepts
+by construction and μ only controls *cost* (expansions per generation),
+not correctness — the practical "no knobs" sampler for moderate-d
+posteriors, and its acceptance does not decay with dimension the way
+the a=2 stretch factor's does (measured 0.33 → 0.16 from d=16 → 64
+while slice stays at 1.0). Measured placement (hardware A/B,
+docs/ROUND3.md §34): ESS *per generation* is 2.2–3.7× stretch's, but
+the data-dependent while_loops cost ~5× more device time per
+generation, so on micro-cheap targets stretch still wins wall-clock
+ESS/s — enslice pays off when the likelihood dominates the step
+(≳50 µs/eval: simulators, GP surrogates, data-sized posteriors), where
+cost per generation is just 3.8 evals/walker vs stretch's 2 and the
+per-generation quality advantage carries through.
 
 Scope limits, stated plainly: moves live in the population's affine
 span and scale (the DE direction is a pair difference), so — like
