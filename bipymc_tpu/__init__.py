@@ -30,6 +30,7 @@ from bipymc_tpu.samplers.api import (
     EnsembleSampler,
     EnsembleSlice,
     Hmc,
+    Chees,
     EllipticalSlice,
     Mala,
     Nuts,
@@ -70,6 +71,7 @@ __all__ = [
     "EnsembleSampler",
     "EnsembleSlice",
     "Hmc",
+    "Chees",
     "EllipticalSlice",
     "Mala",
     "Nuts",

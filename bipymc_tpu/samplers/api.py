@@ -22,8 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from bipymc_tpu.core.scan import run_scan_thinned
-from bipymc_tpu.samplers import (rw, da, demc, dream, enslice, eslice,
-                                 hmc, nuts, stretch, tempering)
+from bipymc_tpu.samplers import (rw, chees, da, demc, dream, enslice,
+                                 eslice, hmc, nuts, stretch, tempering)
 from bipymc_tpu.parallel.pool import ChainPool
 from bipymc_tpu.utils.init import var_ball
 from bipymc_tpu.utils.diagnostics import acceptance_fraction
@@ -847,6 +847,53 @@ class Nuts(Hmc):
                 self.log_like_fn, self.cfg, axis_name=axis),
             sharded_fields=nuts.SHARDED_FIELDS,
             collect_fn=_nuts_collect)
+
+
+def _chees_collect(state, info):
+    """ChEES history: the shared per-generation telemetry (L_t, τ_t)
+    broadcast to the chain axis so every history leaf keeps the
+    [T, n_chains, ...] layout the pool's mesh sharding requires.
+    Module-level for a stable pool-cache identity."""
+    n = state.x.shape[0]
+    return {"x": state.x, "logp": info.logp, "accepted": info.accepted,
+            "n_leapfrog": jnp.broadcast_to(info.n_leapfrog, (n,)),
+            "traj_length": jnp.broadcast_to(info.traj_length, (n,))}
+
+
+class Chees(Hmc):
+    """ChEES-HMC (Hoffman, Radul & Sountsov 2021 — samplers/chees.py).
+    Beyond-reference extra: HMC whose trajectory length self-tunes from
+    a CROSS-CHAIN criterion during warmup — the accelerator-native
+    alternative to NUTS (fixed-cost batched leapfrog with a shared,
+    pre-known step count per generation instead of a per-chain
+    data-dependent tree). Wants many chains (the population is the
+    tuning signal); ε, T and the diagonal mass are shared scalars/
+    vectors adapted on population statistics and frozen after
+    ``adapt_gens``. ``mesh=`` shards chains; the adaptation statistics
+    ride §11 gather-then-reduce, so the adaptation trajectory is
+    replicated-identical across shards."""
+
+    _make_config = staticmethod(chees.chees_config)
+
+    def _ensure(self, theta_0, spread):
+        return self._ensure_population(
+            theta_0, spread,
+            init_fn=lambda x0: chees.init(x0, self.log_like_fn, self.cfg,
+                                          inv_mass0=self.inv_mass0),
+            step_factory=lambda axis: chees.make_step(
+                self.log_like_fn, self.cfg, axis_name=axis),
+            sharded_fields=chees.SHARDED_FIELDS,
+            collect_fn=_chees_collect)
+
+    @property
+    def trajectory_length(self):
+        """Adapted trajectory length T (time units; T̄ once frozen).
+        Per-generation trajectories are h_t·T with h_t the Halton
+        jitter, so the MEAN trajectory is T/2."""
+        s = self.final_state
+        frozen = self._steps_run >= self.cfg.adapt_gens
+        return float(np.exp(np.asarray(
+            s.log_T_bar if frozen else s.log_T)))
 
 
 def _eslice_collect(state, info):
