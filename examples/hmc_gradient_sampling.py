@@ -104,10 +104,37 @@ def nuts_demo():
     assert 1.0 < depth.mean() < 7.5       # self-tuned, not collapsed/capped
 
 
+def chees_demo():
+    """ChEES-HMC tunes the trajectory length from the CHAIN POPULATION
+    instead of a per-chain tree: every generation is one fixed-cost
+    batched leapfrog whose (shared) step count is known before it
+    starts — the accelerator-native way to get NUTS's no-knobs
+    property. With mass adaptation ON, the mass whitens the scales and
+    the adapted T settles near the whitened half-period O(π·ε-units),
+    so the frozen leapfrog count stays small — self-tuned economy, not
+    a failure to adapt (samplers/chees.py docstring)."""
+    var = np.array([100.0, 1.0, 0.01], np.float32)
+
+    def log_post(th):
+        return -0.5 * jnp.sum(th * th / jnp.asarray(var, th.dtype))
+
+    s = bp.Chees(log_post, n_chains=64, seed=6, adapt_gens=600,
+                 mass_interval=100)
+    s.run_mcmc(1500, jnp.zeros(3), spread=1.0)
+    flat = s.get_chain(discard=800, flat=True)
+    sample_var = flat.var(0)
+    nlf = np.asarray(s._history["n_leapfrog"])[800:]
+    print(f"ChEES: sample var {sample_var.round(3)} (truth {var}), "
+          f"T {s.trajectory_length:.2f}, "
+          f"mean leapfrogs/gen {nlf.mean():.1f} (shared by all chains)")
+    assert np.all(sample_var / var > 0.5) and np.all(sample_var / var < 2.0)
+
+
 def main():
     anisotropic_demo()
     gp_surrogate_demo()
     nuts_demo()
+    chees_demo()
     print("OK")
 
 
