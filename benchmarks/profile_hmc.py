@@ -137,6 +137,33 @@ def run_nuts(seed=0):
     return run_arm("nuts", state, runner, kr)
 
 
+def run_chees(seed=0):
+    from bipymc_tpu.samplers import chees
+    cfg = chees.chees_config(adapt_gens=800 if not SMOKE else 40,
+                             mass_interval=100, t0_mass=100,
+                             max_leapfrog=128)
+    kx, kr = jax.random.split(jax.random.key(seed))
+    x0 = jax.random.normal(kx, (N_CHAINS, D)) * jnp.asarray(SCALES)
+    state = chees.init(x0, log_prob, cfg)
+    step = chees.make_step(log_prob, cfg)
+    # L_t is one shared scalar per generation (the whole point);
+    # broadcast so run_arm's per-chain accounting applies unchanged —
+    # mean == batch-max by construction
+    collect = lambda s, i: {
+        "x": s.x,
+        "nlf": jnp.broadcast_to(i.n_leapfrog, (s.x.shape[0],))}
+    runners = {}
+
+    def runner(s, key, t):
+        n = WARM_GENS if int(t) == 0 else CHUNK
+        if n not in runners:
+            runners[n] = jax.jit(lambda s_, k_, t_, _n=n: run_scan_thinned(
+                step, s_, k_, _n, thin=1, collect_fn=collect, t0=t_))
+        return runners[n](s, key, t)
+
+    return run_arm("chees", state, runner, kr)
+
+
 def run_dram(seed=0):
     cfg = rw.dram_config(t0=200, adapt_interval=50)
     kx, kr = jax.random.split(jax.random.key(seed))
@@ -169,11 +196,14 @@ def main():
     out = {"config": {"d": D, "n_chains": N_CHAINS, "target":
                       "gaussian scales 1..10 (cond 100)",
                       "timed_gens": CHUNKS * CHUNK},
-           "hmc": run_hmc(), "nuts": run_nuts(), "dram": run_dram()}
+           "hmc": run_hmc(), "nuts": run_nuts(), "chees": run_chees(),
+           "dram": run_dram()}
     out["ess_per_sec_ratio_hmc_over_dram"] = round(
         out["hmc"]["ess_per_sec"] / out["dram"]["ess_per_sec"], 2)
     out["ess_per_sec_ratio_nuts_over_dram"] = round(
         out["nuts"]["ess_per_sec"] / out["dram"]["ess_per_sec"], 2)
+    out["ess_per_sec_ratio_chees_over_nuts"] = round(
+        out["chees"]["ess_per_sec"] / out["nuts"]["ess_per_sec"], 2)
     path = os.path.join(HERE, "hmc_ab.json")
     if SMOKE:
         path = path.replace(".json", "_smoke.json")
@@ -181,14 +211,15 @@ def main():
         json.dump(out, f, indent=1)
     print("| arm | gens/s | µs/gen | ESS (window) | ESS/s |")
     print("|---|---|---|---|---|")
-    for arm in ("hmc", "nuts", "dram"):
+    for arm in ("hmc", "nuts", "chees", "dram"):
         r = out[arm]
         print(f"| {arm} | {r['gens_per_sec']:,.0f} | "
               f"{r['us_per_gen']:.1f} | {r['ess']:,.0f} | "
               f"{r['ess_per_sec']:,.0f} |")
     print(f"\nESS/s ratio (hmc/dram): "
           f"{out['ess_per_sec_ratio_hmc_over_dram']}, (nuts/dram): "
-          f"{out['ess_per_sec_ratio_nuts_over_dram']}")
+          f"{out['ess_per_sec_ratio_nuts_over_dram']}, (chees/nuts): "
+          f"{out['ess_per_sec_ratio_chees_over_nuts']}")
 
 
 if __name__ == "__main__":
