@@ -207,8 +207,12 @@ def make_step(log_prob: Callable, cfg: CheesConfig,
         T = jnp.exp(jnp.where(warm, s.log_T, s.log_T_bar))
         h = van_der_corput(t).astype(dtype)      # shared jitter
         tau = h * T
-        L_t = jnp.clip(jnp.ceil(tau / eps).astype(jnp.int32),
-                       1, cfg.max_leapfrog)
+        # clip in FLOAT space before the int cast: an early dual-
+        # averaging swing can make tau/eps inf, and float->int32
+        # conversion of inf is implementation-defined (INT_MIN on some
+        # backends, which clip would then silently pin to 1)
+        L_t = jnp.clip(jnp.ceil(tau / eps), 1.0,
+                       float(cfg.max_leapfrog)).astype(jnp.int32)
 
         inv_mass = s.inv_mass                    # [d] shared
         p0 = z * lax.rsqrt(inv_mass)             # p ~ N(0, M)
