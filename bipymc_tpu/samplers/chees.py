@@ -210,8 +210,12 @@ def make_step(log_prob: Callable, cfg: CheesConfig,
         # clip in FLOAT space before the int cast: an early dual-
         # averaging swing can make tau/eps inf, and float->int32
         # conversion of inf is implementation-defined (INT_MIN on some
-        # backends, which clip would then silently pin to 1)
-        L_t = jnp.clip(jnp.ceil(tau / eps), 1.0,
+        # backends, which clip would then silently pin to 1). inf/inf
+        # (both ε and the ε-clamped T overflowed) is NaN, which clip
+        # passes through — pin it to one step too.
+        ratio = tau / eps
+        ratio = jnp.where(jnp.isnan(ratio), 1.0, ratio)
+        L_t = jnp.clip(jnp.ceil(ratio), 1.0,
                        float(cfg.max_leapfrog)).astype(jnp.int32)
 
         inv_mass = s.inv_mass                    # [d] shared
@@ -249,91 +253,136 @@ def make_step(log_prob: Callable, cfg: CheesConfig,
         logp_new = jnp.where(acc, l1, s.logp)
         glogp_new = jnp.where(acc[:, None], g1, s.glogp)
 
-        # ---- cross-chain adaptation (gather-then-reduce, §11) --------
-        xg = all_gather_chains(s.x, axis_name)          # [N, d]
-        x1g = all_gather_chains(x1, axis_name)          # [N, d]
-        v1g = all_gather_chains(inv_mass * p1, axis_name)
-        ag = all_gather_chains(alpha, axis_name)        # [N]
-        xng = all_gather_chains(x_new, axis_name)       # [N, d]
-        N = xg.shape[0]
-        Nf = jnp.asarray(N, dtype)
+        # divergent chains must not poison the POPULATION's criterion:
+        # a single non-finite x1 row would NaN prop_c (0·inf) and the
+        # whole-generation gradient guard would then discard every
+        # finite chain's signal — on hard targets during early warmup
+        # (≥1 divergence most generations) T would never move off its
+        # ε-sized init. Sanitized rows carry α = 0, so they contribute
+        # nothing; the finite chains keep adapting.
+        x1s = jnp.where(prop_ok[:, None], x1, s.x)
+        v1s = jnp.where(prop_ok[:, None], inv_mass * p1,
+                        jnp.zeros_like(p1))
 
-        # ChEES τ-gradient, α-weighted population mean
-        w_sum = jnp.maximum(jnp.sum(ag), jnp.asarray(1e-20, dtype))
-        prev_c = jnp.mean(xg, axis=0)
-        prop_c = jnp.sum(ag[:, None] * x1g, axis=0) / w_sum
-        dprev = xg - prev_c
-        dprop = x1g - prop_c
-        delta = (jnp.sum(dprop * dprop, axis=-1)
-                 - jnp.sum(dprev * dprev, axis=-1))     # [N]
-        g_tau = jnp.sum(ag * delta * jnp.sum(dprop * v1g, axis=-1)) \
-            / w_sum
-        # guard: a divergent generation can carry non-finite positions
-        # into the gathered math even though every chain rejected
-        g_logT = jnp.where(jnp.isfinite(g_tau), g_tau * tau, 0.0)
+        def _adapt():
+            """Cross-chain adaptation (gather-then-reduce, §11):
+            criterion gathers + Adam on log T + shared-ε dual averaging
+            + population-Welford mass. Each update is where-gated on
+            ``warm`` so calling this post-freeze is a (paid-for)
+            no-op — the vmap path does exactly that (measured cheaper
+            than a cond for per-chain arithmetic, hmc.py); the mesh
+            path wraps it in a real ``lax.cond`` instead because here
+            the discarded work includes four [N,d] ICI collectives per
+            generation, forever."""
+            xg = all_gather_chains(s.x, axis_name)          # [N, d]
+            x1g = all_gather_chains(x1s, axis_name)         # [N, d]
+            v1g = all_gather_chains(v1s, axis_name)         # [N, d]
+            ag = all_gather_chains(alpha, axis_name)        # [N]
+            N = xg.shape[0]
+            Nf = jnp.asarray(N, dtype)
 
-        # Adam ASCENT on log T (warmup only)
-        mgen = (t + 1).astype(dtype)
-        adam_m_n = cfg.adam_b1 * s.adam_m + (1 - cfg.adam_b1) * g_logT
-        adam_v_n = (cfg.adam_b2 * s.adam_v
-                    + (1 - cfg.adam_b2) * g_logT * g_logT)
-        m_hat = adam_m_n / (1 - cfg.adam_b1 ** mgen)
-        v_hat = adam_v_n / (1 - cfg.adam_b2 ** mgen)
-        log_T_n = s.log_T + cfg.adam_lr * m_hat / (
-            jnp.sqrt(v_hat) + 1e-8)
-        # keep ⌈T/ε⌉ inside the cap (and T ≥ ε: at least one step) —
-        # uses the CURRENT ε so a runaway criterion cannot pin every
-        # trajectory at a clipped L where the gradient signal dies
-        log_eps_now = jnp.where(warm, s.log_eps, s.log_eps_bar)
-        log_T_n = jnp.clip(
-            log_T_n, log_eps_now,
-            log_eps_now + jnp.log(jnp.asarray(float(cfg.max_leapfrog),
-                                              dtype)))
-        w_b = mgen ** (-cfg.da_kappa)
-        log_T_bar_n = w_b * log_T_n + (1 - w_b) * s.log_T_bar
-        log_T = jnp.where(warm, log_T_n, s.log_T)
-        log_T_bar = jnp.where(warm, log_T_bar_n, s.log_T_bar)
-        adam_m = jnp.where(warm, adam_m_n, s.adam_m)
-        adam_v = jnp.where(warm, adam_v_n, s.adam_v)
+            # ChEES τ-gradient, α-weighted population mean
+            w_sum = jnp.maximum(jnp.sum(ag), jnp.asarray(1e-20, dtype))
+            prev_c = jnp.mean(xg, axis=0)
+            prop_c = jnp.sum(ag[:, None] * x1g, axis=0) / w_sum
+            dprev = xg - prev_c
+            dprop = x1g - prop_c
+            delta = (jnp.sum(dprop * dprop, axis=-1)
+                     - jnp.sum(dprev * dprev, axis=-1))     # [N]
+            g_tau = jnp.sum(
+                ag * delta * jnp.sum(dprop * v1g, axis=-1)) / w_sum
+            # guard the PRODUCT (g_tau can be finite while g_tau·τ
+            # overflows; an inf here would poison the Adam moments and
+            # a NaN log_T survives every later where-gate)
+            g_logT = g_tau * tau
+            g_logT = jnp.where(jnp.isfinite(g_logT), g_logT, 0.0)
 
-        # shared-ε dual averaging on the population-mean acceptance
-        alpha_bar = jnp.sum(ag) / Nf
-        w_h = 1.0 / (mgen + cfg.da_t0)
-        hbar_n = ((1.0 - w_h) * s.hbar
-                  + w_h * (cfg.target_accept - alpha_bar))
-        log_eps_n = mu_da - jnp.sqrt(mgen) / cfg.da_gamma * hbar_n
-        log_eps_bar_n = (w_b * log_eps_n
-                         + (1.0 - w_b) * s.log_eps_bar)
-        hbar = jnp.where(warm, hbar_n, s.hbar)
-        log_eps = jnp.where(warm, log_eps_n, s.log_eps)
-        log_eps_bar = jnp.where(warm, log_eps_bar_n, s.log_eps_bar)
+            # Adam ASCENT on log T (warmup only)
+            mgen = (t + 1).astype(dtype)
+            adam_m_n = (cfg.adam_b1 * s.adam_m
+                        + (1 - cfg.adam_b1) * g_logT)
+            adam_v_n = (cfg.adam_b2 * s.adam_v
+                        + (1 - cfg.adam_b2) * g_logT * g_logT)
+            m_hat = adam_m_n / (1 - cfg.adam_b1 ** mgen)
+            v_hat = adam_v_n / (1 - cfg.adam_b2 ** mgen)
+            log_T_n = s.log_T + cfg.adam_lr * m_hat / (
+                jnp.sqrt(v_hat) + 1e-8)
+            # keep ⌈T/ε⌉ inside the cap (and T ≥ ε: at least one
+            # step) — uses the CURRENT ε so a runaway criterion cannot
+            # pin every trajectory at a clipped L where the gradient
+            # signal dies
+            log_eps_now = jnp.where(warm, s.log_eps, s.log_eps_bar)
+            log_T_n = jnp.clip(
+                log_T_n, log_eps_now,
+                log_eps_now + jnp.log(
+                    jnp.asarray(float(cfg.max_leapfrog), dtype)))
+            w_b = mgen ** (-cfg.da_kappa)
+            log_T_bar_n = w_b * log_T_n + (1 - w_b) * s.log_T_bar
+            log_T = jnp.where(warm, log_T_n, s.log_T)
+            log_T_bar = jnp.where(warm, log_T_bar_n, s.log_T_bar)
+            adam_m = jnp.where(warm, adam_m_n, s.adam_m)
+            adam_v = jnp.where(warm, adam_v_n, s.adam_v)
 
-        # shared diagonal inverse mass: Welford over chains × time,
-        # Chan merge of this generation's population batch
-        if cfg.adapt_mass:
-            add = jnp.where(warm, N, 0)
-            bmean = jnp.mean(xng, axis=0)
-            bm2 = jnp.sum((xng - bmean) ** 2, axis=0)
-            cnt_new = s.count + add
-            c0 = s.count.astype(dtype)
-            ctot = jnp.maximum(cnt_new.astype(dtype), 1.0)
-            dmean = bmean - s.mean
-            mean_n = s.mean + dmean * (Nf / ctot)
-            m2_n = s.m2 + bm2 + dmean * dmean * (c0 * Nf / ctot)
-            mean = jnp.where(warm, mean_n, s.mean)
-            m2 = jnp.where(warm, m2_n, s.m2)
-            refresh = (warm & (t >= cfg.t0_mass)
-                       & ((t + 1) % cfg.mass_interval == 0))
-            denom = jnp.maximum(cnt_new.astype(dtype) - 1.0, 1.0)
-            var = m2 / denom
-            shrunk = ((denom / (denom + 5.0)) * var
-                      + 1e-3 * (5.0 / (denom + 5.0)))
-            ok = jnp.all(jnp.isfinite(shrunk)) & jnp.all(shrunk > 0)
-            inv_mass_new = jnp.where(refresh & ok, shrunk, s.inv_mass)
-            count = cnt_new
-        else:
-            mean, m2, count, inv_mass_new = (s.mean, s.m2, s.count,
-                                             s.inv_mass)
+            # shared-ε dual averaging on the population-mean acceptance
+            alpha_bar = jnp.sum(ag) / Nf
+            w_h = 1.0 / (mgen + cfg.da_t0)
+            hbar_n = ((1.0 - w_h) * s.hbar
+                      + w_h * (cfg.target_accept - alpha_bar))
+            log_eps_n = mu_da - jnp.sqrt(mgen) / cfg.da_gamma * hbar_n
+            log_eps_bar_n = (w_b * log_eps_n
+                             + (1.0 - w_b) * s.log_eps_bar)
+            hbar = jnp.where(warm, hbar_n, s.hbar)
+            log_eps = jnp.where(warm, log_eps_n, s.log_eps)
+            log_eps_bar = jnp.where(warm, log_eps_bar_n, s.log_eps_bar)
+
+            # shared diagonal inverse mass: Welford over chains × time,
+            # Chan merge of this generation's population batch
+            if cfg.adapt_mass:
+                xng = all_gather_chains(x_new, axis_name)   # [N, d]
+                add = jnp.where(warm, N, 0)
+                bmean = jnp.mean(xng, axis=0)
+                bm2 = jnp.sum((xng - bmean) ** 2, axis=0)
+                cnt_new = s.count + add
+                c0 = s.count.astype(dtype)
+                ctot = jnp.maximum(cnt_new.astype(dtype), 1.0)
+                dmean = bmean - s.mean
+                mean_n = s.mean + dmean * (Nf / ctot)
+                m2_n = s.m2 + bm2 + dmean * dmean * (c0 * Nf / ctot)
+                mean = jnp.where(warm, mean_n, s.mean)
+                m2 = jnp.where(warm, m2_n, s.m2)
+                refresh = (warm & (t >= cfg.t0_mass)
+                           & ((t + 1) % cfg.mass_interval == 0))
+                denom = jnp.maximum(cnt_new.astype(dtype) - 1.0, 1.0)
+                var = m2 / denom
+                shrunk = ((denom / (denom + 5.0)) * var
+                          + 1e-3 * (5.0 / (denom + 5.0)))
+                ok = jnp.all(jnp.isfinite(shrunk)) & jnp.all(shrunk > 0)
+                inv_mass_new = jnp.where(refresh & ok, shrunk,
+                                         s.inv_mass)
+                count = cnt_new
+            else:
+                mean, m2, count, inv_mass_new = (
+                    s.mean, s.m2, s.count, s.inv_mass)
+            return (log_eps, log_eps_bar, hbar, log_T, log_T_bar,
+                    adam_m, adam_v, mean, m2, count, inv_mass_new)
+
+        def _frozen():
+            return (s.log_eps, s.log_eps_bar, s.hbar, s.log_T,
+                    s.log_T_bar, s.adam_m, s.adam_v, s.mean, s.m2,
+                    s.count, s.inv_mass)
+
+        # A real cond on BOTH paths, unlike hmc.py's measured
+        # where-gating preference: (a) post-freeze the discarded work
+        # here is four [N,d] ICI collectives per generation on the
+        # mesh, not just arithmetic; (b) the cond must be on the vmap
+        # path too or the two paths compile different HLO around the
+        # boundary and drift apart at the FMA-rounding floor mid-warmup
+        # (measured: first divergence at generation 5 with a mesh-only
+        # cond, breaking the pinned bit-identity). ``warm`` is
+        # replicated, so every shard takes the same branch.
+        fields = lax.cond(warm, _adapt, _frozen)
+        (log_eps, log_eps_bar, hbar, log_T, log_T_bar, adam_m, adam_v,
+         mean, m2, count, inv_mass_new) = fields
 
         new_state = CheesState(
             x=x_new, logp=logp_new, glogp=glogp_new,

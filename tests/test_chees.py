@@ -171,3 +171,21 @@ def test_continuation_contract_warns():
     with pytest.warns(UserWarning, match="IGNORED"):
         s.run_mcmc(50, jnp.zeros(2))
     assert s.get_chain().shape[1] == 150
+
+
+def test_divergent_chain_does_not_poison_adaptation():
+    """Regression (round-3 review): chain 0 starts out of support, so
+    its gradient is NaN and its trajectory is non-finite EVERY warmup
+    generation. Pre-fix, that one chain's gathered x1 row NaN'd the
+    α-weighted proposal centre (0·NaN), the whole-population τ-gradient
+    guard then zeroed every generation's signal, and T never left its
+    ε-sized init. The sanitized criterion must keep adapting on the 31
+    healthy chains."""
+    lp = lambda th: jnp.where(th[0] > 0.0,
+                              -0.5 * jnp.sum(th * th), -jnp.inf)
+    x0 = np.ones((32, 3), np.float32)
+    x0[0, 0] = -1.0                                    # off-support
+    s = bp.Chees(lp, n_chains=32, seed=11, step_size=0.05,
+                 adapt_gens=200, adapt_mass=False)
+    s.run_mcmc(220, jnp.asarray(x0))
+    assert s.trajectory_length > 0.2, s.trajectory_length
