@@ -189,3 +189,26 @@ def test_divergent_chain_does_not_poison_adaptation():
                  adapt_gens=200, adapt_mass=False)
     s.run_mcmc(220, jnp.asarray(x0))
     assert s.trajectory_length > 0.2, s.trajectory_length
+
+
+def test_continuation_and_checkpoint_roundtrip():
+    """Split run == single run (continuation exactness), and the state
+    pytree survives a checkpoint round-trip bit-exactly."""
+    from bipymc_tpu.utils.checkpoint import save_state, load_state
+    lp = correlated_gaussian(MEAN, COV)
+    a = bp.Chees(lp, n_chains=4, seed=9, adapt_gens=50)
+    a.run_mcmc(60, jnp.zeros(2))
+    a.run_mcmc(40)                        # continuation, no warning
+    b = bp.Chees(lp, n_chains=4, seed=9, adapt_gens=50)
+    b.run_mcmc(100, jnp.zeros(2))
+    np.testing.assert_array_equal(a.super_chain, b.super_chain)
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "chees.npz")
+        save_state(path, a.final_state, step=100)
+        state, step = load_state(path)
+        assert step == 100
+        for l1, l2 in zip(jax.tree_util.tree_leaves(state),
+                          jax.tree_util.tree_leaves(a.final_state)):
+            np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
