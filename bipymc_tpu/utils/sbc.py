@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from bipymc_tpu.samplers import chees as _chees
 from bipymc_tpu.samplers import dream as _dream
 from bipymc_tpu.samplers import hmc as _hmc
 from bipymc_tpu.samplers import rw as _rw
@@ -72,6 +73,10 @@ def sbc_ranks(prior_sample: Callable, simulate: Callable,
                   "dram-adaptive" (AM covariance adaptation live —
                   validates the practical diminishing-adaptation chain),
                   "hmc" | "mala" (fixed ε after a ``burn``-long warmup),
+                  or "chees" (an ``n_chains`` ChEES-HMC population per
+                  replication — cross-chain ε/T/mass adaptation inside
+                  ``burn``, frozen before the ranked draws; ranks from
+                  chain 0, which starts exactly at θ̃),
                   or "demcz" (an ``n_chains`` DE-MC-z population per
                   replication, CR/outlier adaptation off; ranks come
                   from chain 0 so the M draws are marginally posterior
@@ -105,6 +110,12 @@ def sbc_ranks(prior_sample: Callable, simulate: Callable,
         cfg = _dream.demcz_config(n_chains)._replace(
             burnin_gens=0, adapt_cr=False, outlier_detect=False,
             pallas_proposal=False)
+    elif sampler == "chees":
+        # cross-chain adaptation lives inside ``burn`` and freezes
+        # before the ranked draws (adapt_gens=burn, like hmc); the
+        # n_chains population per replication supplies the criterion,
+        # ranks come from chain 0, which STARTS exactly at theta_t
+        cfg = _chees.chees_config(step_size=step_size, adapt_gens=burn)
     else:
         raise ValueError(f"unknown sampler kind {sampler!r}")
 
@@ -131,6 +142,14 @@ def sbc_ranks(prior_sample: Callable, simulate: Callable,
                 (burn + n_draws * thin) // cfg.archive_thin + 1)
             state = _dream.init(x0, lp, cfg, capacity, z0)
             step = _dream.make_step(lp, cfg)
+            position = lambda s: s.x[0]
+        elif sampler == "chees":
+            k_pop = jax.random.fold_in(k_run, jnp.uint32(2**32 - 1))
+            x0 = theta_t + spread * jax.random.normal(
+                k_pop, (n_chains,) + theta_t.shape, theta_t.dtype)
+            x0 = x0.at[0].set(theta_t)      # exact-posterior start
+            state = _chees.init(x0, lp, cfg)
+            step = _chees.make_step(lp, cfg)
             position = lambda s: s.x[0]
         else:
             state = jax.tree_util.tree_map(

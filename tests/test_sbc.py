@@ -98,3 +98,15 @@ def test_validation():
     with pytest.raises(ValueError, match="unknown sampler"):
         sbc_ranks(prior_sample, simulate, log_post, sampler="nope",
                   n_repl=4, n_draws=7, burn=10)
+
+
+def test_chees_ranks_uniform():
+    """The newest kernel (cross-chain trajectory adaptation) validated
+    at the stationary-distribution level: ε/T/mass adapt during burn on
+    an 8-chain population per replication, freeze, then 127 ranked
+    draws from chain 0 must be uniform."""
+    ranks = sbc_ranks(prior_sample, simulate, log_post, sampler="chees",
+                      n_repl=256, n_draws=127, thin=2, burn=300,
+                      step_size=0.25, seed=5)
+    stat, thresh = sbc_uniformity(ranks, n_bins=8, n_draws=127)
+    assert np.all(stat < thresh), (stat, thresh)
