@@ -24,6 +24,17 @@ Methodology: warm/adapt phase (compile + tuning), then timed async
 chunks with a value-fetch barrier (§18); ESS via the windowed estimator
 bench.py uses. Writes benchmarks/enslice_ab.json, prints a markdown
 table to stdout.
+
+``--expensive`` runs the third axis: TARGET COST. §34's table recorded
+the cheap-target negative and *predicted* a crossover once the
+likelihood dominates the step — but the prediction used the per-walker
+mean eval count (3.8 vs stretch's fixed 2, ratio 1.9×), while the
+vmapped while_loops actually pay the BATCH-MAX count per generation
+(finished lanes still ride the masked batch eval). This mode measures
+which ratio governs, on a data-sized Bayesian linear-regression
+posterior (d=64, n_data=131072: each batched eval streams a 33 MB
+design matrix — HBM-bound, ~the cost class of any real data-sized
+likelihood). Writes benchmarks/enslice_expensive_ab.json.
 """
 
 import json
@@ -110,10 +121,46 @@ def x0_for(d, n, seed):
     return jax.random.normal(kx, (n, d)) * jnp.asarray(scales_for(d))
 
 
-def run_enslice(d, n_walkers, seed=0):
-    log_prob = log_prob_for(d)
+N_DATA = 2048 if SMOKE else 32768
+
+
+def expensive_target_for(d, n_data=N_DATA):
+    """Data-sized Bayesian linear regression: the eval streams a
+    (n_data, d) design matrix (8 MB at d=64) plus a (n_walkers, n_data)
+    residual block through HBM — the cost class of any real data-sized
+    likelihood, and deliberately NOT collapsed to the d×d sufficient
+    statistics (we are buying an expensive eval on purpose)."""
+    ka, ky = jax.random.split(jax.random.key(77))
+    col = jnp.asarray(scales_for(d))
+    A = jax.random.normal(ka, (n_data, d), jnp.float32) * col
+    y = jax.random.normal(ky, (n_data,), jnp.float32)   # truth θ*=0, σ=1
+
+    def log_prob(theta):
+        r = A @ theta - y
+        return -0.5 * jnp.dot(r, r) - 0.5 * jnp.dot(theta, theta)
+
+    # per-dim posterior sd ≈ 1/(√n_data · colscale); overdisperse ×5
+    sd = 1.0 / (np.sqrt(n_data) * scales_for(d))
+    return log_prob, jnp.asarray(5.0 * sd)
+
+
+def measure_eval_cost(log_prob, n_walkers, d, x0_sd, reps=50):
+    """µs per BATCHED (all-walker) target eval, value-barrier timed."""
+    f = jax.jit(jax.vmap(log_prob))
+    x = jax.random.normal(jax.random.key(3), (n_walkers, d)) * x0_sd
+    np.asarray(f(x))                                    # compile
+    t0 = time.time()
+    for _ in range(reps):
+        out = f(x)
+    np.asarray(out)
+    return 1e6 * (time.time() - t0) / reps
+
+
+def run_enslice(d, n_walkers, seed=0, log_prob=None, x0=None, tag=""):
+    log_prob = log_prob or log_prob_for(d)
     cfg = enslice.EnsliceConfig(n_chains=n_walkers, tune_gens=WARM_GENS)
-    state = enslice.init(x0_for(d, n_walkers, seed), log_prob, cfg)
+    state = enslice.init(x0 if x0 is not None else
+                         x0_for(d, n_walkers, seed), log_prob, cfg)
     step = enslice.make_step(log_prob, cfg)
     collect = lambda s, i: {"x": s.x, "accepted": i.accepted,
                             "n_expand": i.n_expand,
@@ -127,14 +174,15 @@ def run_enslice(d, n_walkers, seed=0):
                 step, s_, k_, _n, thin=1, collect_fn=collect, t0=t_))
         return runners[n](s, key, t)
 
-    return run_arm(f"enslice/d{d}/{n_walkers}", state, runner,
+    return run_arm(f"enslice{tag}/d{d}/{n_walkers}", state, runner,
                    jax.random.key(seed + 100), has_counts=True)
 
 
-def run_stretch(d, n_walkers, seed=0):
-    log_prob = log_prob_for(d)
+def run_stretch(d, n_walkers, seed=0, log_prob=None, x0=None, tag=""):
+    log_prob = log_prob or log_prob_for(d)
     cfg = stretch.StretchConfig(n_chains=n_walkers)
-    state = stretch.init(x0_for(d, n_walkers, seed), log_prob)
+    state = stretch.init(x0 if x0 is not None else
+                         x0_for(d, n_walkers, seed), log_prob)
     step = stretch.make_step(log_prob, cfg)
     collect = lambda s, i: {"x": s.x, "accepted": i.accepted}
     runners = {}
@@ -146,8 +194,43 @@ def run_stretch(d, n_walkers, seed=0):
                 step, s_, k_, _n, thin=1, collect_fn=collect, t0=t_))
         return runners[n](s, key, t)
 
-    return run_arm(f"stretch/d{d}/{n_walkers}", state, runner,
+    return run_arm(f"stretch{tag}/d{d}/{n_walkers}", state, runner,
                    jax.random.key(seed + 200))
+
+
+def main_expensive():
+    d, n = (4, 16) if SMOKE else (64, 256)
+    log_prob, x0_sd = expensive_target_for(d)
+    eval_us = measure_eval_cost(log_prob, n, d, x0_sd)
+    log(f"batched ({n}-walker) eval cost: {eval_us:.1f} µs "
+        f"(n_data={N_DATA})")
+    kx = jax.random.key(9)
+    x0 = jax.random.normal(kx, (n, d)) * x0_sd
+    results = {"eval_us_batched": eval_us, "n_data": N_DATA}
+    results[f"enslice_exp_d{d}_{n}"] = run_enslice(
+        d, n, log_prob=log_prob, x0=x0, tag="-exp")
+    results[f"stretch_exp_d{d}_{n}"] = run_stretch(
+        d, n, log_prob=log_prob, x0=x0, tag="-exp")
+    e, s = results[f"enslice_exp_d{d}_{n}"], results[f"stretch_exp_d{d}_{n}"]
+    results["cost_ratio_measured"] = s["gens_per_sec"] / e["gens_per_sec"]
+    results["config"] = {"d": d, "walkers": n, "warm_gens": WARM_GENS,
+                         "timed_gens": CHUNK * CHUNKS, "smoke": SMOKE}
+    path = os.path.join(HERE, "enslice_expensive_ab.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
+    log(f"wrote {path}")
+    print("| arm | gens/s | µs/gen | ESS/s | accept | evals/walker-gen |")
+    print("|---|---|---|---|---|---|")
+    for k in (f"enslice_exp_d{d}_{n}", f"stretch_exp_d{d}_{n}"):
+        r = results[k]
+        ev = (f"{r['evals_per_walker_gen']:.1f} "
+              f"(max {r['evals_batch_max_mean']:.1f})"
+              if "evals_per_walker_gen" in r else "2 (fixed)")
+        print(f"| {k} | {r['gens_per_sec']:,.0f} | {r['us_per_gen']:.1f} "
+              f"| {r['ess_per_sec']:,.0f} | {r['accept']:.2f} | {ev} |")
+    print(f"measured per-gen cost ratio (enslice/stretch): "
+          f"{results['cost_ratio_measured']:.2f}x; batched eval "
+          f"{eval_us:.1f} µs")
 
 
 def main():
@@ -178,4 +261,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--expensive" in sys.argv:
+        main_expensive()
+    else:
+        main()

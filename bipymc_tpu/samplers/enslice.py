@@ -42,14 +42,19 @@ by construction and μ only controls *cost* (expansions per generation),
 not correctness — the practical "no knobs" sampler for moderate-d
 posteriors, and its acceptance does not decay with dimension the way
 the a=2 stretch factor's does (measured 0.33 → 0.16 from d=16 → 64
-while slice stays at 1.0). Measured placement (hardware A/B,
-docs/ROUND3.md §34): ESS *per generation* is 2.2–3.7× stretch's, but
-the data-dependent while_loops cost ~5× more device time per
-generation, so on micro-cheap targets stretch still wins wall-clock
-ESS/s — enslice pays off when the likelihood dominates the step
-(≳50 µs/eval: simulators, GP surrogates, data-sized posteriors), where
-cost per generation is just 3.8 evals/walker vs stretch's 2 and the
-per-generation quality advantage carries through.
+while slice stays at 1.0). Measured placement (hardware A/Bs,
+docs/ROUND3.md §34 + §38): ESS *per generation* is 2.2–3.7× stretch's,
+but under SPMD population execution the while_loops pay the BATCH-MAX
+eval count per generation (~10 full-population evals vs stretch's 1;
+finished lanes ride the masked batch eval), so stretch wins wall-clock
+ESS/s at EVERY target cost — measured 4.5× on a data-sized regression
+likelihood (~73 µs per in-scan batched eval), where the cost ratio has
+already converged to its asymptote (10.0× at eval-dominated cost).
+An earlier draft predicted a crossover from per-walker MEAN eval
+counts (3.8 vs 2); that accounting is wrong on batched hardware.
+enslice's slot is therefore robustness, not throughput: acceptance
+1.0 by construction, no step-size knob to mis-set, cost (not
+correctness) is what adapts.
 
 Scope limits, stated plainly: moves live in the population's affine
 span and scale (the DE direction is a pair difference), so — like
