@@ -34,6 +34,7 @@ from bipymc_tpu.samplers.api import (
     EllipticalSlice,
     Mala,
     Nuts,
+    NestedSampler,
     Smc,
     Svgd,
     Advi,
@@ -75,6 +76,7 @@ __all__ = [
     "EllipticalSlice",
     "Mala",
     "Nuts",
+    "NestedSampler",
     "Smc",
     "Svgd",
     "Advi",

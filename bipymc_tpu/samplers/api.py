@@ -1875,3 +1875,139 @@ class Advi:
         mu, C = self._best_params()
         cov = C @ C.T if self.cfg.full_rank else jnp.diag(C * C)
         return mu, cov
+
+
+class NestedSampler:
+    """Nested sampling (samplers/ns.py) — beyond-reference extra.
+    One run yields the log-evidence with an error bar AND weighted
+    posterior samples, with natural multimodality handling (the
+    likelihood floor rises through every basin simultaneously, so
+    separated modes keep their correct relative mass) — the
+    complementary evidence engine to ``bp.Smc`` that needs no
+    annealing path or reference density.
+
+    Contract (MultiNest/dynesty convention): ``prior_transform(u)``
+    maps u ~ U[0,1]^``n_dim`` through the prior's inverse CDF to θ,
+    and ``log_like_fn(θ)`` is the log-likelihood. Each iteration kills
+    the ``n_batch`` worst of ``n_live`` points at once (exact
+    sequential volume bookkeeping) and replaces them with batched
+    constrained DE walks — see the ns.py module docstring for the
+    design and its scope limits. ``mesh=`` shards the replacement
+    walkers (``n_batch`` divisible by the device count); live-set
+    decision math is replicated, per-walker RNG folds by global index,
+    so mesh and vmap runs see identical streams (gather-then-reduce,
+    docs/ROUND3.md §11).
+    """
+
+    def __init__(self, log_like_fn, prior_transform, n_dim,
+                 n_live=1024, seed=0, dtype=jnp.float32, mesh=None,
+                 **config_kw):
+        from bipymc_tpu.samplers import ns as _ns
+        from bipymc_tpu.parallel.mesh import CHAIN_AXIS
+
+        self.log_like_fn = log_like_fn
+        self.prior_transform = prior_transform
+        self.n_dim = int(n_dim)
+        self.seed = int(seed)
+        self.dtype = dtype
+        self.mesh = mesh
+        self.cfg = _ns.ns_config(n_live=int(n_live), **config_kw)
+        _check_mesh_chains(mesh, self.cfg.n_batch)
+        self._ns = _ns
+        self._result = None
+
+        if mesh is None:
+            self._runner = jax.jit(_ns.make_runner(
+                prior_transform, log_like_fn, self.cfg, axis_name=None))
+        else:
+            from jax.sharding import PartitionSpec as P
+            run_local = _ns.make_runner(prior_transform, log_like_fn,
+                                        self.cfg, axis_name=CHAIN_AXIS)
+            # NS state is fully REPLICATED (the sharded axis — the
+            # n_batch replacement walkers — exists only inside the
+            # batch body), so every spec is P()
+            state_specs = _ns.NsState(
+                *(P() for _ in _ns.NsState._fields))
+            result_specs = _ns.NsResult(
+                *(P() for _ in _ns.NsResult._fields))
+            self._runner = jax.jit(jax.shard_map(
+                run_local, mesh=mesh,
+                in_specs=(state_specs, P()),
+                out_specs=(state_specs, result_specs),
+                check_vma=False))
+
+    def run(self):
+        """Run to termination (``stop_dlogz`` or ``max_batches``).
+        Returns an info dict; samples / log_weights / log_evidence are
+        exposed as properties afterwards."""
+        key = jax.random.key(self.seed)
+        k_init, k_run = jax.random.split(key)
+        state = self._ns.init(k_init, self.prior_transform,
+                              self.log_like_fn, self.cfg, self.n_dim,
+                              self.dtype)
+        _, result = self._runner(state, k_run)
+        if not bool(result.terminated):
+            warnings.warn(
+                f"nested sampling hit max_batches={self.cfg.max_batches} "
+                f"before the stop_dlogz={self.cfg.stop_dlogz} criterion "
+                "— raise max_batches; the evidence is a lower bound",
+                stacklevel=2)
+        self._result = result
+        n = int(result.n_batches)
+        return {
+            "log_evidence": float(result.log_evidence),
+            "log_evidence_err": float(result.log_evidence_err),
+            "information": float(result.h),
+            "n_batches": n,
+            "n_dead": n * self.cfg.n_batch,
+            "n_like_evals": ((n * self.cfg.n_mcmc + 1)
+                             * self.cfg.n_batch + self.cfg.n_live
+                             - self.cfg.n_batch),
+            "terminated": bool(result.terminated),
+            "acceptance": np.asarray(result.acc_hist[:n]),
+        }
+
+    def _require_run(self):
+        if self._result is None:
+            raise RuntimeError("call run() first")
+
+    @property
+    def log_evidence(self):
+        self._require_run()
+        return float(self._result.log_evidence)
+
+    @property
+    def log_evidence_err(self):
+        self._require_run()
+        return float(self._result.log_evidence_err)
+
+    @property
+    def samples(self):
+        """[n_dead + n_live, d] θ samples (dead points then final live
+        set; host NumPy). Weighted — pair with ``log_weights`` or use
+        ``resample()``. Unused dead-buffer slots carry weight -inf."""
+        self._require_run()
+        th = jax.vmap(self.prior_transform)(self._result.u)
+        return np.asarray(th)
+
+    @property
+    def log_weights(self):
+        """[n_dead + n_live] normalised log posterior weights."""
+        self._require_run()
+        return np.asarray(self._result.logw)
+
+    def resample(self, n=None, seed=None):
+        """Equal-weight posterior draws via systematic resampling of
+        the weighted dead+live set ([n, d] host NumPy)."""
+        self._require_run()
+        n = int(n) if n is not None else self.cfg.n_live
+        rng = np.random.default_rng(self.seed + 1 if seed is None
+                                    else seed)
+        lw = np.asarray(self._result.logw, np.float64)
+        w = np.exp(lw - lw.max())
+        w = np.where(np.isfinite(w), w, 0.0)
+        w = w / w.sum()
+        cdf = np.cumsum(w)
+        pts = (np.arange(n) + rng.uniform()) / n
+        idx = np.clip(np.searchsorted(cdf, pts), 0, w.size - 1)
+        return self.samples[idx]
