@@ -1954,15 +1954,20 @@ class NestedSampler:
                 stacklevel=2)
         self._result = result
         n = int(result.n_batches)
+        ev = np.asarray(result.ev_hist[:n], np.float64)
+        # per batch: n_batch walkers × n_mcmc reps × (measured mean
+        # logical evals per rep — 1 for "walk", the stepping-out +
+        # shrinkage count for "slice"); + the n_live prior evals at init
+        n_evals = int(self.cfg.n_live + self.cfg.n_batch
+                      * self.cfg.n_mcmc * ev.sum())
         return {
             "log_evidence": float(result.log_evidence),
             "log_evidence_err": float(result.log_evidence_err),
             "information": float(result.h),
             "n_batches": n,
             "n_dead": n * self.cfg.n_batch,
-            "n_like_evals": ((n * self.cfg.n_mcmc + 1)
-                             * self.cfg.n_batch + self.cfg.n_live
-                             - self.cfg.n_batch),
+            "n_like_evals": n_evals,
+            "evals_per_rep": float(ev.mean()) if n else 0.0,
             "terminated": bool(result.terminated),
             "acceptance": np.asarray(result.acc_hist[:n]),
         }

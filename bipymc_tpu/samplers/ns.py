@@ -41,15 +41,28 @@ TPU-native design — batched deaths, one while_loop:
   deaths — survivors are uniform there by construction, so each
   replacement starts at a uniformly-chosen survivor and stays in
   distribution through the symmetric constrained walk.
-- The constrained kernel is a differential-evolution walk in u-space
-  (the move vocabulary of this package): u' = reflect(u + γ·j·(u_a −
-  u_b)) with a, b survivor draws, j ~ U(0.5, 1.5) jitter, reflection
-  at the cube faces (symmetric), accepted iff the likelihood clears
-  L*. DE directions are drawn from the live set so the proposal
-  self-scales to the instantaneous constrained geometry (the reason
-  MultiNest fits ellipsoids — for free); γ additionally adapts across
-  batches by Robbins–Monro toward ``target_accept`` (within a batch it
-  is frozen, so each batch's kernel is a fixed symmetric kernel).
+- The constrained kernel (both variants build on survivor-pair DE
+  directions, the move vocabulary of this package — self-scaled to
+  the instantaneous constrained geometry, the reason MultiNest fits
+  ellipsoids, for free):
+  * ``kernel="slice"`` (default): slice sampling along each DE
+    direction (PolyChord; dynesty's "rslice") — the constrained
+    target is an indicator, so each rep draws EXACTLY uniformly on
+    the 1-D slice {t : in-cube ∧ L > L*} by stepping-out + shrinkage
+    (Neal's budget split for capped expansion, as in enslice.py).
+    No scale knob, no rejected-stay clustering.
+  * ``kernel="walk"``: u' = reflect(u + γ·j·(u_a − u_b)), j ~
+    U(0.5, 1.5), reflection at the cube faces (symmetric), accepted
+    iff the likelihood clears L*; γ Robbins–Monro-adapts across
+    batches toward ``target_accept`` (frozen within a batch, so each
+    batch's kernel is a fixed symmetric kernel).
+  Measured (docs/ROUND3.md §39): imperfect replacement decorrelation
+  biases logZ HIGH (clustered replacements slow the order-statistics
+  shrinkage), and the walk needs ~3–4× the likelihood evals of the
+  slice kernel to push the bias under the √(H/K) error bar — slice
+  at ≈ d–2d direction updates is unbiased at the error-bar level.
+  Replacement starts are B DISTINCT survivors (Gumbel-top-B), which
+  measurably cuts the same bias at fixed evals.
 - The whole run is ONE ``lax.while_loop``: fixed-capacity dead buffers
   ([max_batches·B]) written by ``dynamic_update_slice`` at the batch
   index, streaming (logZ, H) updated by a tiny in-batch scan over the
@@ -91,18 +104,31 @@ class NsConfig(NamedTuple):
         logZ_err ≈ √(H/K) so quadruple K to halve the error bar.
     n_batch: deaths/replacements per iteration B (the batched axis;
         must be ≤ n_live // 2 so survivors dominate the start pool).
-    n_mcmc: constrained DE-walk steps per replacement (dynesty's
-        ``walks``); each batch costs n_mcmc [B]-batched likelihood
-        evals.
+    n_mcmc: replacement reps (dynesty's ``walks``) — constrained-walk
+        steps (kernel="walk": one [B]-batched likelihood eval each) or
+        slice direction-updates (kernel="slice": ~4–8 evals each,
+        batch-max under vmap).
     max_batches: while_loop bound and dead-buffer capacity
         (max_batches·n_batch dead points). Hitting it is surfaced in
         the result, not silent.
     stop_dlogz: stop when log(Z + L_max·X) − log Z < stop_dlogz.
-    gamma0: initial DE step scale γ; None → 2.38/√(2d) at init.
+    kernel: replacement move. "slice" (default): slice sampling along
+        DE directions (PolyChord / dynesty-"rslice") — each rep draws
+        a survivor-pair direction and samples EXACTLY uniformly on the
+        1-D slice {t : u + t·dir in-cube ∧ L > L*} by stepping-out +
+        shrinkage; no scale knob, and no rejected-stay clustering, so
+        the replacement-decorrelation logZ bias of a random walk is
+        structurally absent (measured: the "walk" kernel needs ~4×
+        the evals for the same bias level — docs/ROUND3.md §39).
+        "walk": γ-scaled DE random walk accepted on the constraint
+        (cheaper per rep on eval-dominated targets; scale adapted).
+    gamma0: initial DE step scale γ (kernel="walk"); None → 2.38/√(2d).
     target_accept: cross-batch Robbins–Monro target for the
-        constrained-walk acceptance (0.5: the move is pure volume
-        probing, not a Gaussian-optimal RW).
-    adapt_gamma: freeze γ at gamma0 when False.
+        constrained-walk acceptance (kernel="walk"; 0.5: the move is
+        pure volume probing, not a Gaussian-optimal RW).
+    adapt_gamma: freeze γ at gamma0 when False (kernel="walk").
+    max_expand / max_shrink: stepping-out budget (Neal's split) and
+        shrinkage cap per slice rep (kernel="slice").
     """
 
     n_live: int = 1024
@@ -113,6 +139,9 @@ class NsConfig(NamedTuple):
     gamma0: float | None = None
     target_accept: float = 0.5
     adapt_gamma: bool = True
+    kernel: str = "slice"
+    max_expand: int = 8
+    max_shrink: int = 30
 
 
 class NsState(NamedTuple):
@@ -131,7 +160,13 @@ class NsState(NamedTuple):
     dead_u: jax.Array     # [max_batches*B, d]
     dead_ll: jax.Array    # [max_batches*B]
     dead_logw: jax.Array  # [max_batches*B] log prior width (-inf = unused)
-    acc_hist: jax.Array   # [max_batches] constrained-walk acceptance
+    acc_hist: jax.Array   # [max_batches] constrained-move acceptance
+    ev_hist: jax.Array    # [max_batches] mean likelihood evals per
+                          #   walker-rep (1.0 for kernel="walk"; the
+                          #   stepping-out + shrinkage count for
+                          #   "slice" — logical per-walker evals, the
+                          #   standard NS efficiency metric; device
+                          #   cost is the batch-max, as in enslice.py)
 
 
 class NsResult(NamedTuple):
@@ -145,6 +180,7 @@ class NsResult(NamedTuple):
     n_batches: jax.Array
     terminated: jax.Array  # bool — stop_dlogz reached before max_batches
     acc_hist: jax.Array
+    ev_hist: jax.Array
 
 
 def ns_config(**kw) -> NsConfig:
@@ -155,6 +191,11 @@ def ns_config(**kw) -> NsConfig:
             f"{cfg.n_live // 2} (survivors seed the replacements)")
     if cfg.n_batch < 1 or cfg.n_live < 4:
         raise ValueError("need n_batch >= 1 and n_live >= 4")
+    if cfg.kernel not in ("slice", "walk"):
+        raise ValueError(
+            f"kernel must be 'slice' or 'walk', got {cfg.kernel!r}")
+    if cfg.max_expand < 1 or cfg.max_shrink < 1:
+        raise ValueError("max_expand and max_shrink must be >= 1")
     return cfg
 
 
@@ -211,7 +252,8 @@ def init(key: jax.Array, prior_transform: Callable, log_like: Callable,
         dead_u=jnp.zeros((cap, n_dim), dtype),
         dead_ll=jnp.full((cap,), -jnp.inf, dtype),
         dead_logw=jnp.full((cap,), -jnp.inf, dtype),
-        acc_hist=jnp.zeros((cfg.max_batches,), dtype))
+        acc_hist=jnp.zeros((cfg.max_batches,), dtype),
+        ev_hist=jnp.zeros((cfg.max_batches,), dtype))
 
 
 def make_runner(prior_transform: Callable, log_like: Callable,
@@ -274,12 +316,14 @@ def make_runner(prior_transform: Callable, log_like: Callable,
         w_off = chain_offset(b_local, axis_name)
         gids = w_off + jnp.arange(b_local, dtype=jnp.int32)  # global ids
 
-        def start_one(g):
-            kg = jax.random.fold_in(k_start, g)
-            i = jax.random.categorical(kg, logits)
-            return s.u[i], s.ll[i]
-
-        u_w, ll_w = jax.vmap(start_one)(gids)        # [b_local, d], [..]
+        # B DISTINCT survivor starts via Gumbel-top-B (duplicate starts
+        # measurably slow replacement decorrelation — clustered walkers
+        # bias the next batch's order statistics); computed replicated
+        # (no per-walker fold) and sliced by global id, mesh-invariant
+        gumb = jax.random.gumbel(k_start, (K,), dtype)
+        _, start_idx = lax.top_k(gumb + logits, B)   # [B] distinct
+        idx_l = lax.dynamic_slice_in_dim(start_idx, w_off, b_local, 0)
+        u_w, ll_w = s.u[idx_l], s.ll[idx_l]          # [b_local, d], [..]
 
         def walk_step(carry, m):
             u_c, ll_c = carry
@@ -299,10 +343,99 @@ def make_runner(prior_transform: Callable, log_like: Callable,
             # ll_c > l_star — counted accepted, a no-op)
             acc = ll_p > l_star
             return (jnp.where(acc[:, None], u_p, u_c),
-                    jnp.where(acc, ll_p, ll_c)), acc
+                    jnp.where(acc, ll_p, ll_c)), \
+                (acc, jnp.ones_like(ll_c))
 
-        (u_w, ll_w), accs = lax.scan(walk_step, (u_w, ll_w),
-                                     jnp.arange(M, dtype=jnp.int32))
+        def slice_one(uw, llw, g, m):
+            """One slice direction-update: exact uniform draw on the
+            1-D slice {t : u + t·dir in-cube ∧ L(θ(u+t·dir)) > L*}.
+            The constrained target is an INDICATOR, so there is no
+            height draw — the slice is the constraint itself; out-of-
+            cube points have prior density 0 and lie off the slice.
+            Stepping-out uses Neal's budget split (required for the
+            reversibility of capped expansion — same construction as
+            samplers/enslice.py); shrinkage always straddles t=0, and
+            the shrink-cap fallback is the current point."""
+            km = jax.random.fold_in(jax.random.fold_in(k_move, m), g)
+            ka, kb, kv, kj = jax.random.split(km, 4)
+            ia = jax.random.categorical(ka, logits)
+            ib = jax.random.categorical(kb, logits)
+            dirv = s.u[ia] - s.u[ib]
+
+            def probe(t):
+                up = uw + t * dirv
+                inside = jnp.all((up >= 0.0) & (up <= 1.0))
+                llp = ll_of(up).astype(dtype)
+                llp = jnp.where(inside, llp, -jnp.inf)
+                return llp, up
+
+            def in_slice(t):
+                llp, _ = probe(t)
+                return llp > l_star
+
+            v0 = jax.random.uniform(kv, (), dtype)
+            ub = jax.random.uniform(kj, (), dtype)
+            j_budget = jnp.minimum(
+                jnp.floor(ub * cfg.max_expand).astype(jnp.int32),
+                cfg.max_expand - 1)
+            k_budget = jnp.int32(cfg.max_expand - 1) - j_budget
+
+            def expand(t0, step, budget):
+                def cond_e(c):
+                    t, n = c
+                    return (n < budget) & in_slice(t)
+
+                def body_e(c):
+                    t, n = c
+                    return t + step, n + 1
+
+                return lax.while_loop(
+                    cond_e, body_e, (t0, jnp.zeros((), jnp.int32)))
+
+            t_lo, n_l = expand(-v0, jnp.asarray(-1.0, dtype), j_budget)
+            t_hi, n_r = expand(1.0 - v0, jnp.asarray(1.0, dtype),
+                               k_budget)
+
+            k_loop = jax.random.fold_in(km, jnp.uint32(0x534C4943))
+
+            def body_s(c):
+                lo, hi, u_cur, ll_cur, it, acc = c
+                r = jax.random.uniform(
+                    jax.random.fold_in(k_loop, it), (), dtype)
+                t = lo + r * (hi - lo)
+                llp, up = probe(t)
+                ok = llp > l_star
+                lo_n = jnp.where(ok | (t >= 0), lo, t)
+                hi_n = jnp.where(ok | (t < 0), hi, t)
+                return (lo_n, hi_n,
+                        jnp.where(ok, up, u_cur), jnp.where(ok, llp, ll_cur),
+                        it + 1, acc | ok)
+
+            def cond_s(c):
+                _, _, _, _, it, acc = c
+                return jnp.logical_not(acc) & (it < cfg.max_shrink)
+
+            carry0 = (t_lo, t_hi, uw, llw, jnp.zeros((), jnp.int32),
+                      jnp.zeros((), bool))
+            (_, _, u_new, ll_new, it_s, acc) = lax.while_loop(
+                cond_s, body_s, carry0)
+            # logical evals: each expand cond probes once per check
+            # (n+1 checks for n expansions — the & is not short-circuit,
+            # so the budget-exhausted check still probes), plus one
+            # probe per shrink iteration
+            n_ev = n_l + n_r + it_s + 2
+            return u_new, ll_new, acc, n_ev
+
+        def slice_step(carry, m):
+            u_c, ll_c = carry
+            u_n, ll_n, acc, n_ev = jax.vmap(
+                lambda uw, llw, g: slice_one(uw, llw, g, m))(
+                    u_c, ll_c, gids)
+            return (u_n, ll_n), (acc, n_ev.astype(dtype))
+
+        step_fn = slice_step if cfg.kernel == "slice" else walk_step
+        (u_w, ll_w), (accs, evs) = lax.scan(
+            step_fn, (u_w, ll_w), jnp.arange(M, dtype=jnp.int32))
 
         # gather-then-reduce: assemble the GLOBAL B new points so the
         # live-set update and acceptance stats are replicated math
@@ -310,11 +443,13 @@ def make_runner(prior_transform: Callable, log_like: Callable,
         ll_new = all_gather_chains(ll_w, axis_name)   # [B]
         acc_g = all_gather_chains(accs.T.astype(dtype), axis_name)
         acc_rate = jnp.mean(acc_g)
+        ev_g = all_gather_chains(evs.T, axis_name)
+        ev_mean = jnp.mean(ev_g)
 
         u2 = s.u.at[idx_dead].set(u_new)
         ll2 = s.ll.at[idx_dead].set(ll_new)
 
-        if cfg.adapt_gamma:
+        if cfg.adapt_gamma and cfg.kernel == "walk":
             log_gamma_new = s.log_gamma + jnp.clip(
                 acc_rate - cfg.target_accept, -0.3, 0.3)
         else:
@@ -324,7 +459,8 @@ def make_runner(prior_transform: Callable, log_like: Callable,
             u=u2, ll=ll2, logx=logx_new, logz=logz_new, h=h_new,
             it=s.it + 1, log_gamma=log_gamma_new, key=s.key,
             dead_u=dead_u, dead_ll=dead_ll, dead_logw=dead_logw,
-            acc_hist=s.acc_hist.at[s.it].set(acc_rate))
+            acc_hist=s.acc_hist.at[s.it].set(acc_rate),
+            ev_hist=s.ev_hist.at[s.it].set(ev_mean))
 
     def cond(s: NsState):
         rem = jnp.max(s.ll) + s.logx - s.logz        # -inf logz → +inf
@@ -352,7 +488,7 @@ def make_runner(prior_transform: Callable, log_like: Callable,
             log_evidence_err=jnp.sqrt(jnp.maximum(h, 0.0) / K),
             h=h, n_batches=final.it,
             terminated=final.it < cfg.max_batches,
-            acc_hist=final.acc_hist)
+            acc_hist=final.acc_hist, ev_hist=final.ev_hist)
         return final, result
 
     return run

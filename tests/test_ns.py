@@ -33,15 +33,19 @@ def gauss_loglike(d):
     return log_like
 
 
-def test_gaussian_evidence_and_moments():
+@pytest.mark.parametrize("kernel,n_mcmc", [("slice", 8), ("walk", 25)])
+def test_gaussian_evidence_and_moments(kernel, n_mcmc):
     """Unit Gaussian likelihood in the cube: logZ = -d·log(SIDE) (the
     Gaussian mass outside [-10,10] is ~1e-23), posterior = N(0, I).
     The estimate must land within 3.5 of its own √(H/K) error bar and
-    the weighted samples must reproduce the posterior moments."""
+    the weighted samples must reproduce the posterior moments. Both
+    replacement kernels, at the rep counts the §39 bias study
+    established for this dimension (slice ≈ 2d direction updates;
+    the γ-adapted walk needs ~3× the evals for the same bias)."""
     d = 4
     s = bp.NestedSampler(gauss_loglike(d), prior_transform, d,
-                         n_live=512, n_batch=32, n_mcmc=25,
-                         max_batches=400, seed=0)
+                         n_live=512, n_batch=32, n_mcmc=n_mcmc,
+                         max_batches=400, seed=0, kernel=kernel)
     info = s.run()
     assert info["terminated"]
     logz_true = -d * math.log(SIDE)
@@ -56,8 +60,13 @@ def test_gaussian_evidence_and_moments():
     var = (w[:, None] * th ** 2).sum(0) / w.sum() - mean ** 2
     assert np.all(np.abs(mean) < 0.1)
     assert np.all(np.abs(var - 1.0) < 0.15)
-    # the constrained-walk acceptance adapted toward its target
-    assert 0.25 < float(info["acceptance"][-1]) < 0.75
+    if kernel == "walk":
+        # the constrained-walk acceptance adapted toward its target
+        assert 0.25 < float(info["acceptance"][-1]) < 0.75
+    else:
+        # slice moves succeed by construction (shrink-cap fallbacks
+        # are the rare exception)
+        assert float(info["acceptance"][-1]) > 0.9
 
 
 def test_mixture_mode_weights_and_evidence():
@@ -76,7 +85,7 @@ def test_mixture_mode_weights_and_evidence():
         return jnp.logaddexp(l1, l2)
 
     s = bp.NestedSampler(log_like, prior_transform, d,
-                         n_live=512, n_batch=32, n_mcmc=25,
+                         n_live=512, n_batch=32, n_mcmc=6,
                          max_batches=400, seed=1)
     info = s.run()
     assert info["terminated"]
@@ -103,7 +112,7 @@ def test_batched_bookkeeping_matches_b1():
     out = {}
     for b in (1, 16):
         s = bp.NestedSampler(log_like, prior_transform, d,
-                             n_live=128, n_batch=b, n_mcmc=15,
+                             n_live=128, n_batch=b, n_mcmc=6,
                              max_batches=4000 // max(b, 1), seed=3)
         info = s.run()
         assert info["terminated"]
@@ -120,7 +129,7 @@ def test_mesh_matches_vmap():
     batch count exactly and on the evidence to float tolerance."""
     d = 2
     log_like = gauss_loglike(d)
-    kw = dict(n_live=256, n_batch=32, n_mcmc=15, max_batches=300,
+    kw = dict(n_live=256, n_batch=32, n_mcmc=6, max_batches=300,
               seed=5)
     a = bp.NestedSampler(log_like, prior_transform, d, **kw)
     ia = a.run()
@@ -136,7 +145,7 @@ def test_mesh_matches_vmap():
 def test_deterministic_and_validation():
     d = 2
     log_like = gauss_loglike(d)
-    kw = dict(n_live=128, n_batch=16, n_mcmc=10, max_batches=200,
+    kw = dict(n_live=128, n_batch=16, n_mcmc=4, max_batches=200,
               seed=7)
     r1 = bp.NestedSampler(log_like, prior_transform, d, **kw).run()
     r2 = bp.NestedSampler(log_like, prior_transform, d, **kw).run()
@@ -146,6 +155,9 @@ def test_deterministic_and_validation():
     with pytest.raises(ValueError, match="n_batch"):
         bp.NestedSampler(log_like, prior_transform, d,
                          n_live=64, n_batch=48)
+    with pytest.raises(ValueError, match="kernel"):
+        bp.NestedSampler(log_like, prior_transform, d, n_live=64,
+                         n_batch=16, kernel="bogus")
     with pytest.raises(ValueError, match="divisible"):
         bp.NestedSampler(log_like, prior_transform, d,
                          n_live=64, n_batch=12, mesh=chain_mesh())
@@ -158,7 +170,7 @@ def test_deterministic_and_validation():
 def test_max_batches_warns():
     d = 2
     s = bp.NestedSampler(gauss_loglike(d), prior_transform, d,
-                         n_live=128, n_batch=16, n_mcmc=10,
+                         n_live=128, n_batch=16, n_mcmc=4,
                          max_batches=3, seed=9)
     with pytest.warns(UserWarning, match="max_batches"):
         info = s.run()
