@@ -52,10 +52,14 @@ from bipymc_tpu.utils.diagnostics import mode_occupancy
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 D = 100
-N_LIVE = 2048
-N_BATCH = 256
-N_MCMC = 100            # slice direction-updates; ≈ d (bias study §39)
-MAX_BATCHES = 2500
+N_LIVE = int(os.environ.get("NS_LIVE", 4096))
+N_BATCH = int(os.environ.get("NS_BATCH", 256))
+# slice direction-updates: ≈ d is enough at d=8, but direction COVERAGE
+# of the basin is coupon-collector in d — the first d=100 run at
+# n_mcmc=100 measured logZ +10 nats high with one basin extinct
+# (§39 addendum); ≳3d is where the bias enters the error bar
+N_MCMC = int(os.environ.get("NS_MCMC", 300))
+MAX_BATCHES = 4500
 KERNEL = "slice"
 CUBE = 20.0                  # prior cube [-20, 20]^d covers |μ| ≲ 15
 SPREAD = 5.0
