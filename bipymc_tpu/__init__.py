@@ -56,6 +56,9 @@ from bipymc_tpu.utils.transforms import constrain, transform_log_prob
 from bipymc_tpu.utils.sbc import sbc_ranks, sbc_uniformity
 from bipymc_tpu.utils.psis import psis, surrogate_reweight, importance_resample
 from bipymc_tpu.utils.loo import loo, loo_compare, pointwise_loglik, waic
+from bipymc_tpu.utils.evidence import (BridgeResult, EvidenceResult,
+                                       bridge_evidence, power_ladder,
+                                       power_posterior_evidence)
 from bipymc_tpu.models.targets import stratified_mode_init
 
 __version__ = "0.3.0"
@@ -110,4 +113,9 @@ __all__ = [
     "loo_compare",
     "pointwise_loglik",
     "waic",
+    "BridgeResult",
+    "EvidenceResult",
+    "bridge_evidence",
+    "power_ladder",
+    "power_posterior_evidence",
 ]

@@ -563,9 +563,11 @@ class ParallelTempering(McmcSampler):
             raise ValueError("betas must be descending with betas[0]=1")
         if betas[-1] <= 0:
             raise ValueError(
-                "betas must be positive: beta=0 (sampling the prior) makes "
-                "the swap criterion logp/beta non-finite — use a small "
-                "beta_min instead")
+                "betas must be positive: beta=0 samples a flat (improper) "
+                "density under plain tempering — use a small beta_min, or, "
+                "for a prior-anchored beta=0 rung (marginal-likelihood "
+                "estimation), bp.power_posterior_evidence "
+                "(utils/evidence.py)")
         self.n_chains = int(n_chains)
         self.n_temps = len(betas)
         self.cfg = tempering.PtConfig(

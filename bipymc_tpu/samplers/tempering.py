@@ -52,6 +52,23 @@ def _is_gradient_kernel(cfg: "PtConfig") -> bool:
     return isinstance(cfg.kernel, hmc.HmcConfig)
 
 
+def _validate_prior_mode(cfg: "PtConfig", log_prior) -> None:
+    """β=0 rungs require the power-posterior mode; gradient kernels
+    don't support it (see make_step docstring)."""
+    if log_prior is not None and _is_gradient_kernel(cfg):
+        raise ValueError(
+            "log_prior (power-posterior mode) supports the RW kernel "
+            "family only: the gradient kernels' swap rescales the stored "
+            "gradient by a β-ratio, which is wrong once the target "
+            "carries an untempered prior term. Use an rw.RwConfig kernel "
+            "(utils/evidence.py does).")
+    if log_prior is None and any(b <= 0.0 for b in cfg.betas):
+        raise ValueError(
+            "beta=0 rungs sample a flat (improper) density under plain "
+            "tempering; pass log_prior= (power-posterior mode, "
+            "utils/evidence.py) or keep beta_min > 0.")
+
+
 def positions(kern) -> jax.Array:
     """[K, M, d] positions of a stacked kernel state, either family."""
     return kern.x if isinstance(kern, hmc.HmcState) else kern.theta
@@ -99,7 +116,7 @@ def tune_ladder(betas, swap_rates):
 
 
 def make_step(log_like: Callable, cfg: PtConfig,
-              axis_name=None) -> Callable:
+              axis_name=None, log_prior: Callable = None) -> Callable:
     """Build ``step(state, key, t)`` over a :class:`PtState`.
 
     axis_name: chain-mesh axis for a CHAIN-sharded ladder (round 3).
@@ -109,6 +126,24 @@ def make_step(log_like: Callable, cfg: PtConfig,
     (temp, chain) index and the swap uniforms fold per global chain, so
     mesh and vmap paths produce identical trajectories
     (tests/test_sharding.py::test_pt_mesh_matches_vmap).
+
+    log_prior: switches the ladder from plain tempering (rung k targets
+    π^{β_k}, the mode-hopping composition) to the POWER-POSTERIOR path
+    (rung k targets ``p(θ)·L(θ)^{β_k}`` with ``log_like`` as log L and
+    ``log_prior`` as the log of a PROPER normalised prior) — the path
+    whose endpoints are the prior (β=0) and the posterior (β=1), which
+    is what marginal-likelihood estimation integrates over
+    (utils/evidence.py: thermodynamic integration + stepping stone).
+    β=0 rungs are valid only in this mode. The swap criterion is
+    unchanged in form — the prior factors of the joint target
+    ∏_k p(x_k)·L(x_k)^{β_k} cancel in a configuration exchange, so
+    α = exp[(β_i−β_j)(ℓ_j−ℓ_i)] with ℓ = log L only — but ℓ is now
+    obtained by evaluating ``log_like`` directly at swap time (one
+    [K, M] likelihood eval per swap generation) rather than dividing
+    the stored logp by β, which is undefined at β=0. RW kernels only:
+    the gradient kernels' swap path rescales the stored ∇(β·ℓ) by
+    β-ratio, which has no power-posterior analogue without a prior
+    gradient recompute.
     """
     from bipymc_tpu.parallel.collectives import (axis_size, chain_offset,
                                                  psum_chains)
@@ -118,9 +153,15 @@ def make_step(log_like: Callable, cfg: PtConfig,
     n_temps = len(cfg.betas)
 
     grad_kernel = _is_gradient_kernel(cfg)
+    _validate_prior_mode(cfg, log_prior)
+
+    def rung_target(beta):
+        if log_prior is None:
+            return lambda th: beta * log_like(th)
+        return lambda th: log_prior(th) + beta * log_like(th)
 
     def tempered_kernel(state, key, t, beta):
-        step = rw.make_step(lambda th: beta * log_like(th), cfg.kernel)
+        step = rw.make_step(rung_target(beta), cfg.kernel)
         return step(state, key, t)
 
     def _gids(n_local):
@@ -157,8 +198,16 @@ def make_step(log_like: Callable, cfg: PtConfig,
         b = jnp.asarray(betas)                    # host const -> traced view
         kern = state.kernel
         theta = positions(kern)                   # [K, M, d]
-        logp = kern.logp                          # [K, M] = β_k·ℓ
-        ell = logp / b[:, None]                   # unscaled ℓ per replica
+        logp = kern.logp                          # [K, M] tempered target
+        if log_prior is None:
+            ell = logp / b[:, None]               # logp = β_k·ℓ exactly
+            lpp = None
+        else:
+            # power posterior: logp = log p(x) + β·ℓ(x); recover ℓ by a
+            # direct eval (exact at every β incl. 0 — dividing out β
+            # both fails at 0 and amplifies f32 error at small β)
+            ell = jax.vmap(jax.vmap(log_like))(theta)
+            lpp = jax.vmap(jax.vmap(log_prior))(theta)
 
         parity = (t // cfg.swap_interval) % 2
         k_idx = jnp.arange(n_temps)
@@ -186,7 +235,11 @@ def make_step(log_like: Callable, cfg: PtConfig,
 
         theta_new = jnp.where(acc[..., None], theta[partner], theta)
         # received configuration re-tempered to this replica's β
-        logp_new = jnp.where(acc, b[:, None] * ell[partner], logp)
+        if log_prior is None:
+            logp_new = jnp.where(acc, b[:, None] * ell[partner], logp)
+        else:
+            logp_new = jnp.where(
+                acc, lpp[partner] + b[:, None] * ell[partner], logp)
         if grad_kernel:
             # the stored gradient is β_p·∇ℓ(x): rescale to this slot's β
             g_scale = (b / b[partner])[:, None, None]
@@ -231,26 +284,33 @@ def make_step(log_like: Callable, cfg: PtConfig,
 
 
 def init(theta0: jax.Array, log_like: Callable, cfg: PtConfig,
-         cov0: jax.Array) -> PtState:
+         cov0: jax.Array, log_prior: Callable = None) -> PtState:
     """theta0 [n_temps, n_chains, d] → :class:`PtState`.
 
     cov0: RW-family proposal covariance; for a gradient kernel its
     DIAGONAL seeds the inverse mass (both are posterior-scale
-    estimates).
+    estimates). log_prior: power-posterior mode (see make_step) — must
+    match the value passed to make_step.
     """
     betas = np.asarray(cfg.betas, np.float32)
     n_temps, n_chains = theta0.shape[0], theta0.shape[1]
+    _validate_prior_mode(cfg, log_prior)
+
+    def rung_target(beta):
+        if log_prior is None:
+            return lambda t: beta * log_like(t)
+        return lambda t: log_prior(t) + beta * log_like(t)
 
     if _is_gradient_kernel(cfg):
         inv_mass0 = jnp.diag(jnp.asarray(cov0))
 
         def init_one(th, beta):
-            return hmc.init(th, lambda t: beta * log_like(t), cfg.kernel,
+            return hmc.init(th, rung_target(beta), cfg.kernel,
                             inv_mass0=inv_mass0)
     else:
         def init_one(th, beta):
             return jax.vmap(lambda x: rw.init(
-                x, lambda t: beta * log_like(t), cov0))(th)
+                x, rung_target(beta), cov0))(th)
 
     kernel = jax.vmap(init_one)(theta0, jnp.asarray(betas))
     return PtState(
