@@ -200,3 +200,48 @@ def plot_sbc_ranks(ranks, n_draws=None, n_bins=8, labels=None, path=None):
     if path:
         fig.savefig(path, dpi=120)
     return fig
+
+
+def plot_rank(chains, labels=None, n_bins=20, max_chains=8, path=None):
+    """Per-chain rank histograms (Vehtari et al. 2021 §4 "rank plots") —
+    the visual companion to ``rank_normalized_rhat``/``ess_bulk``.
+
+    Pool every chain's draws per dimension, rank them jointly, and
+    histogram each chain's OWN ranks: well-mixed chains are uniform over
+    the pooled ranks; a chain stuck low/high shows as a tilted or
+    shifted histogram long before split-R̂ crosses a threshold. The 99%
+    band is the pointwise Binomial(N, 1/n_bins) envelope, same
+    convention as :func:`plot_sbc_ranks`.
+
+    chains: [M, N, d] (``sampler.super_chain``) or [N, d]. Rows are
+    chains (first ``max_chains`` shown), columns dimensions.
+    """
+    plt = _mpl()
+    chains = _as3d(chains)
+    m_all, n, d = chains.shape
+    m = min(m_all, int(max_chains))
+    edges = np.linspace(0, m_all * n, n_bins + 1)
+    expected = n / n_bins
+    half = 2.576 * np.sqrt(n * (1 / n_bins) * (1 - 1 / n_bins))
+    fig, axes = plt.subplots(m, d, figsize=(3.0 * d, 1.6 * m),
+                             squeeze=False, sharex=True, sharey=True)
+    for j in range(d):
+        flat = chains[:, :, j].reshape(-1)
+        # rank of every pooled draw (continuous draws: ties negligible)
+        ranks = np.empty(flat.size, dtype=np.int64)
+        ranks[np.argsort(flat, kind="stable")] = np.arange(flat.size)
+        ranks = ranks.reshape(m_all, n)
+        for i in range(m):
+            ax = axes[i, j]
+            ax.hist(ranks[i], bins=edges, color=f"C{i % 10}", alpha=0.85)
+            ax.axhspan(expected - half, expected + half, color="k",
+                       alpha=0.12)
+            ax.axhline(expected, color="k", lw=0.8, ls="--")
+            if j == 0:
+                ax.set_ylabel(f"chain {i}", fontsize=8)
+            if i == 0:
+                ax.set_title(labels[j] if labels else f"θ{j}", fontsize=9)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=120)
+    return fig

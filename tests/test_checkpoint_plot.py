@@ -198,3 +198,26 @@ def test_checkpoint_extensionless_path_roundtrip(tmp_path):
     assert step == 7
     np.testing.assert_array_equal(np.asarray(loaded["a"]),
                                   np.asarray(state["a"]))
+
+
+def test_plot_rank(tmp_path):
+    """Rank plots: uniform for iid chains; a stuck chain's histogram
+    piles into the low bins (its draws occupy the bottom of the pooled
+    ranking)."""
+    from bipymc_tpu.plotting import plot_rank
+    rng = np.random.default_rng(0)
+    good = rng.normal(0, 1, (4, 400, 2))
+    fig = plot_rank(good, labels=["a", "b"], path=tmp_path / "rank.png")
+    assert fig is not None and (tmp_path / "rank.png").exists()
+    # stuck chain: chain 0 sits 5 sigma low in dim 0
+    bad = good.copy()
+    bad[0, :, 0] -= 5.0
+    fig2 = plot_rank(bad)
+    # chain 0 / dim 0 axis: nearly all mass in the lowest quarter of the
+    # rank bins (the first 20 patches are the hist bars; the axhspan
+    # band patch comes after them)
+    ax = fig2.axes[0]
+    n_bins = 20
+    heights = [p.get_height() for p in ax.patches[:n_bins]]
+    low = sum(heights[: n_bins // 4])
+    assert low >= 0.9 * sum(heights)
