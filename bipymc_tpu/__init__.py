@@ -29,6 +29,7 @@ from bipymc_tpu.samplers.api import (
     Dream,
     EnsembleSampler,
     EnsembleSlice,
+    FlowMh,
     Hmc,
     Chees,
     EllipticalSlice,
@@ -54,6 +55,9 @@ from bipymc_tpu.utils.external import (external_log_like,
 from bipymc_tpu.utils.laplace import map_estimate, laplace_cov, map_laplace
 from bipymc_tpu.utils.transforms import constrain, transform_log_prob
 from bipymc_tpu.utils.sbc import sbc_ranks, sbc_uniformity
+from bipymc_tpu.utils.flows import (FlowConfig, FlowParams, fit_flow,
+                                    flow_log_q, flow_sample,
+                                    flow_transform)
 from bipymc_tpu.utils.psis import psis, surrogate_reweight, importance_resample
 from bipymc_tpu.utils.loo import loo, loo_compare, pointwise_loglik, waic
 from bipymc_tpu.utils.evidence import (BridgeResult, EvidenceResult,
@@ -74,6 +78,7 @@ __all__ = [
     "Dream",
     "EnsembleSampler",
     "EnsembleSlice",
+    "FlowMh",
     "Hmc",
     "Chees",
     "EllipticalSlice",
@@ -105,6 +110,12 @@ __all__ = [
     "constrain",
     "transform_log_prob",
     "sbc_ranks",
+    "FlowConfig",
+    "FlowParams",
+    "fit_flow",
+    "flow_log_q",
+    "flow_sample",
+    "flow_transform",
     "psis",
     "surrogate_reweight",
     "importance_resample",

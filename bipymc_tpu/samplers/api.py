@@ -23,7 +23,8 @@ import numpy as np
 
 from bipymc_tpu.core.scan import run_scan_thinned
 from bipymc_tpu.samplers import (rw, chees, da, demc, dream, enslice,
-                                 eslice, hmc, nuts, stretch, tempering)
+                                 eslice, flowmh, hmc, nuts, stretch,
+                                 tempering)
 from bipymc_tpu.parallel.pool import ChainPool
 from bipymc_tpu.utils.init import var_ball
 from bipymc_tpu.utils.diagnostics import acceptance_fraction
@@ -2018,3 +2019,94 @@ class NestedSampler:
         pts = (np.arange(n) + rng.uniform()) / n
         idx = np.clip(np.searchsorted(cdf, pts), 0, w.size - 1)
         return self.samples[idx]
+
+
+def _flowmh_collect(state, info):
+    """FlowMh history keeps both acceptance channels: ``accepted`` is
+    the FLOW (global) move — the mode-transplant rate, the number this
+    sampler exists for — and ``accepted_local`` the within-basin RW
+    rate. Module-level for a stable pool-cache identity."""
+    return {"x": state.x, "logp": info.logp, "accepted": info.accepted,
+            "accepted_local": info.accepted_local}
+
+
+class FlowMh(McmcSampler):
+    """Flow global-move MCMC (samplers/flowmh.py) — beyond-reference
+    extra, the flowMC composition: per generation, ``local_moves``
+    Gaussian RW moves then ONE independence MH move proposing from a
+    normalizing flow fit to earlier draws (``bp.fit_flow``). The flow's
+    log-density is exact, so the kernel targets the exact posterior at
+    ANY fit quality; fit quality sets the global-move acceptance rate.
+    This is the cross-mode channel the DE/archive family lacks at
+    d≳20 (docs/ROUND3.md §2): transplants happen at the flow
+    acceptance rate, independent of mode separation.
+
+    ``flow_params`` is frozen inside the kernel (exact π-invariance).
+    The standard loop is: exploratory run (stratified DreamZs, SMC,
+    ...) → ``fit_flow`` on its history → FlowMh. To refit, construct a
+    new FlowMh (compile cost is per-flow-architecture).
+
+    ``flow_config`` must be the SAME architecture config the params
+    were fitted with (params carry weights only). Chains are fully
+    independent — ``mesh=`` shards with zero in-step collectives.
+
+    ``acceptance_fraction`` reports the GLOBAL (flow) channel;
+    the history key ``accepted_local`` carries the RW channel.
+    """
+
+    def __init__(self, log_like_fn, flow_params, n_chains=8, seed=0,
+                 dtype=jnp.float32, mesh=None, flow_config=None,
+                 **config_kw):
+        super().__init__(log_like_fn, seed=seed, dtype=dtype)
+        from bipymc_tpu.utils.flows import FlowConfig
+        self.n_chains = int(n_chains)
+        self.flow_params = flow_params
+        fc = flow_config if flow_config is not None else FlowConfig()
+        self.cfg = flowmh.FlowMhConfig(flow=fc, **config_kw)
+        if self.cfg.local_moves < 0:
+            raise ValueError("local_moves must be >= 0")
+        self.mesh = mesh
+        _check_mesh_chains(mesh, self.n_chains)
+
+    def _ensure(self, theta_0, spread):
+        return self._ensure_population(
+            theta_0, spread,
+            init_fn=lambda x0: flowmh.init(x0, self.log_like_fn,
+                                           self.flow_params, self.cfg),
+            step_factory=lambda axis: flowmh.make_step(
+                self.log_like_fn, self.flow_params, self.cfg,
+                axis_name=axis),
+            sharded_fields=flowmh.SHARDED_FIELDS,
+            collect_fn=_flowmh_collect)
+
+    def run_mcmc(self, n_gens, theta_0=None, thin=1, spread=1.0,
+                 progress_every=None):
+        state, k_run = self._ensure(theta_0, spread)
+        final_state, history = self._pool_obj.run(
+            state, k_run, n_gens, thin=thin, t0=self._steps_run,
+            progress_every=progress_every)
+        self._store(final_state, history, n_gens, thin=thin)
+        return self
+
+    def run_mcmc_until(self, theta_0=None, rhat_tol=1.05, chunk=100,
+                       max_chunks=200, warmup_chunks=2, spread=1.0):
+        state, k_run = self._ensure(theta_0, spread)
+        final_state, info = self._pool_obj.run_until(
+            state, k_run, rhat_tol=rhat_tol, chunk=chunk,
+            max_chunks=max_chunks, warmup_chunks=warmup_chunks,
+            t0=self._steps_run)
+        self._final_state = jax.block_until_ready(final_state)
+        self._steps_run += int(info["steps"])
+        return {k: np.asarray(v) for k, v in info.items()}
+
+    @property
+    def global_acceptance_fraction(self):
+        """Per-chain FLOW-move acceptance over the kept history (the
+        cross-mode transplant rate)."""
+        return self.acceptance_fraction
+
+    @property
+    def local_acceptance_fraction(self):
+        """Per-chain mean local-RW acceptance over the kept history."""
+        acc = np.swapaxes(self._history["accepted_local"], 0, 1)
+        return np.asarray(acc.mean(axis=1))

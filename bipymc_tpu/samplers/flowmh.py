@@ -1,0 +1,166 @@
+"""Flow-MH: flow global moves composed with a local random walk.
+
+Beyond-reference extra (the flowMC pattern: Gabrié, Rotskoff &
+Vanden-Eijnden PNAS 2022; Wong, Gabrié & Foreman-Mackey JOSS 2023).
+The DE/archive family's measured cross-mode hop rate on the headline
+config-3 target is 2.8e-5 per chain-generation (docs/ROUND3.md §2) —
+the proposal NOISE buries the mode displacement at d=100. A
+normalizing flow fit to a stratified population (utils/flows.py) makes
+the complement kernel: an INDEPENDENCE Metropolis-Hastings proposal
+x* ~ q_flow with
+
+    log α = [ℓ(x*) − log q(x*)] − [ℓ(x) − log q(x)],
+
+whose acceptance is O(exp(−KL(π‖q))) — set by the flow's fit quality,
+NOT by the mode separation — so cross-mode transplants happen at the
+flow's acceptance rate instead of 2.8e-5.
+
+Each generation composes two π-invariant kernels (composition, not
+mixture — branchless, no coin):
+
+    1. ``local_moves`` Gaussian random-walk MH moves (per-dimension
+       scale ``rw_scale · 2.38/√d · σ_train`` from the flow's training
+       standardization — frozen, no adaptation) — decorrelate within
+       the current basin;
+    2. one flow independence move — global transplants and exact mode
+       re-weighting.
+
+The flow is FROZEN inside the kernel (a fixed q keeps the kernel
+exactly π-invariant; refitting between ``run_mcmc`` calls is the
+standard adaptive-independence-sampler pattern and obeys diminishing
+adaptation if the refit schedule does). log q is exact (coupling-flow
+logdet), so the kernel targets the EXACT posterior regardless of how
+rough the fit is — fit quality moves the acceptance rate, never the
+stationary distribution.
+
+TPU shape: a generation is d-sized matmuls (the flow's MLPs) + one
+vmapped target batch — all fixed shapes, one fused program. Chains are
+fully independent (the flow rides along replicated), so ``mesh=``
+shards with ZERO in-step collectives, like the HMC family; per-chain
+RNG folds on the global chain index, so mesh and vmap runs consume
+identical streams.
+
+Cited reference behavior: composes with the population/history
+machinery exactly like `samplers/demc.py` (SURVEY.md §5.2 call stack);
+there is no reference counterpart to cite for the flow itself.
+"""
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bipymc_tpu.core.rng import bits_to_normal, bits_to_uniform
+from bipymc_tpu.parallel.collectives import chain_offset
+from bipymc_tpu.utils.flows import (FlowConfig, FlowParams, flow_forward,
+                                    flow_inverse, flow_log_q)
+
+SHARDED_FIELDS = ("x", "logp", "lq")
+
+
+class FlowMhConfig(NamedTuple):
+    """local_moves: RW moves per generation before the flow move
+        (0 = pure flow independence sampler).
+    rw_scale: multiplies the 2.38/√d · σ_train per-dimension RW scale.
+    flow: the frozen flow's ARCHITECTURE (must match the params the
+        step was built with — `FlowParams` carries no static config).
+    """
+
+    local_moves: int = 1
+    rw_scale: float = 1.0
+    flow: FlowConfig = FlowConfig()
+
+
+class FlowMhState(NamedTuple):
+    x: jax.Array      # [n_local, d] positions (chain-sharded)
+    logp: jax.Array   # [n_local]
+    lq: jax.Array     # [n_local] log q_flow at x (cached — see step)
+    gen: jax.Array    # [] int32
+
+
+class FlowMhInfo(NamedTuple):
+    accepted: jax.Array        # [n_local] bool — the FLOW move's accept
+    accepted_local: jax.Array  # [n_local] mean local-RW accept this gen
+    logp: jax.Array            # [n_local]
+
+
+def init(x0: jax.Array, log_prob: Callable, params: FlowParams,
+         cfg: FlowMhConfig) -> FlowMhState:
+    logp = jax.vmap(log_prob)(x0)
+    lq = flow_log_q(params, x0, cfg.flow)
+    return FlowMhState(x=x0, logp=logp, lq=lq,
+                       gen=jnp.zeros((), jnp.int32))
+
+
+def make_step(log_prob: Callable, params: FlowParams, cfg: FlowMhConfig,
+              axis_name=None) -> Callable:
+    """Build ``step(state, key, t)``. ``params`` is closed over
+    (frozen kernel). No cross-chain collectives."""
+
+    if cfg.local_moves < 0:
+        raise ValueError("local_moves must be >= 0")
+
+    def step(state: FlowMhState, key: jax.Array, t: jax.Array):
+        n_local, d = state.x.shape
+        dtype = state.x.dtype
+        offset = chain_offset(n_local, axis_name)
+        gid = offset + jnp.arange(n_local, dtype=jnp.int32)
+        chain_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(gid)
+        # per-chain word layout: local_moves × [eps(d) | u(1)] then the
+        # flow move's [u_lat(d) | u(1)]
+        n_words = (cfg.local_moves + 1) * (d + 1)
+        blk = jax.vmap(lambda k: jax.random.bits(
+            k, (n_words,), jnp.uint32))(chain_keys)
+
+        scale = (cfg.rw_scale * 2.38 / jnp.sqrt(jnp.asarray(d, dtype))
+                 * params.sigma.astype(dtype))
+
+        x, logp = state.x, state.logp
+        n_acc_local = jnp.zeros((n_local,), dtype)
+        for m in range(cfg.local_moves):
+            w0 = m * (d + 1)
+            eps = bits_to_normal(blk[:, w0:w0 + d], dtype)
+            log_u = jnp.log(bits_to_uniform(blk[:, w0 + d], dtype))
+            x_star = x + scale * eps
+            logp_star = jax.vmap(log_prob)(x_star)
+            log_alpha = jnp.minimum(0.0, logp_star - logp)
+            log_alpha = jnp.where(jnp.isfinite(logp_star), log_alpha,
+                                  -jnp.inf)
+            acc = log_u < log_alpha
+            x = jnp.where(acc[:, None], x_star, x)
+            logp = jnp.where(acc, logp_star, logp)
+            n_acc_local = n_acc_local + acc.astype(dtype)
+
+        if cfg.local_moves:
+            # local moves changed x → refresh the cached log q once per
+            # generation (one inverse pass; the minimum possible)
+            lq = flow_log_q(params, x, cfg.flow)
+            acc_local = n_acc_local / cfg.local_moves
+        else:
+            lq = state.lq
+            acc_local = jnp.zeros((n_local,), dtype)
+
+        # flow independence move
+        w0 = cfg.local_moves * (d + 1)
+        u_lat = bits_to_normal(blk[:, w0:w0 + d], dtype)
+        log_u = jnp.log(bits_to_uniform(blk[:, w0 + d], dtype))
+        x_star, logdet = flow_forward(params, u_lat, cfg.flow)
+        lq_star = (-0.5 * jnp.sum(u_lat * u_lat, -1)
+                   - 0.5 * d * jnp.log(2.0 * jnp.pi).astype(dtype)
+                   - logdet)
+        logp_star = jax.vmap(log_prob)(x_star)
+        log_alpha = jnp.minimum(0.0, (logp_star - lq_star) - (logp - lq))
+        log_alpha = jnp.where(jnp.isfinite(logp_star), log_alpha,
+                              -jnp.inf)
+        acc = log_u < log_alpha
+        x_new = jnp.where(acc[:, None], x_star, x)
+        logp_new = jnp.where(acc, logp_star, logp)
+        lq_new = jnp.where(acc, lq_star, lq)
+
+        new_state = FlowMhState(x=x_new, logp=logp_new, lq=lq_new,
+                                gen=state.gen + 1)
+        return new_state, FlowMhInfo(accepted=acc,
+                                     accepted_local=acc_local,
+                                     logp=logp_new)
+
+    return step

@@ -13,6 +13,10 @@ from bipymc_tpu.utils.debug import validate_log_prob
 from bipymc_tpu.utils.laplace import map_estimate, laplace_cov, map_laplace
 from bipymc_tpu.utils.profiling import time_fn
 from bipymc_tpu.utils.transforms import Transform, constrain, transform_log_prob
+from bipymc_tpu.utils.flows import (FlowConfig, FlowParams, fit_flow,
+                                    flow_forward, flow_inverse,
+                                    flow_log_q, flow_sample,
+                                    flow_transform)
 from bipymc_tpu.utils.sbc import sbc_ranks, sbc_uniformity
 from bipymc_tpu.utils.psis import (psis, gpd_fit, importance_ess,
                                    importance_resample, weighted_moments,

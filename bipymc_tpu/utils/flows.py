@@ -1,0 +1,275 @@
+"""Normalizing-flow transport: RealNVP coupling flows fit to posterior
+draws, for flow-preconditioned MCMC.
+
+Beyond-reference extra (SURVEY.md §3 lists no density-model component).
+Two compositions, both TPU-native (the flow is nothing but small
+matmuls + elementwise maps — exactly what the MXU/VPU eat):
+
+1. **NeuTra reparameterization** (Hoffman et al. 2019): ``as_transform``
+   wraps the fitted flow in the package's `Transform` interface, so
+   ``bp.transform_log_prob(log_prob, flow_transform(params))`` hands ANY
+   sampler in the zoo a whitened target — the flow absorbs the
+   geometry (funnel necks, banana curvature) that collapses RW/HMC
+   step sizes.
+2. **Flow global moves** (Gabrié, Rotskoff & Vanden-Eijnden 2022;
+   Wong, Gabrié & Foreman-Mackey 2023 "flowMC"): ``log_q`` +
+   ``sample`` give an independence MH proposal with full-space support
+   — the mode-hopping channel the DE/archive family lacks at scale
+   (docs/ROUND3.md §2 measured 2.8e-5 hops/chain-gen at d=100;
+   a flow trained on a stratified population proposes cross-mode jumps
+   with O(acceptance-rate) frequency instead). See
+   ``samplers/flowmh.py``.
+
+Design — affine coupling layers (Dinh, Sohl-Dickstein & Bengio 2017):
+alternating-parity binary masks m_i; layer i maps
+
+    y = m·x + (1−m)·(x·exp(s(m·x)) + t(m·x)),
+
+with (s, t) from one small MLP (zero-initialized final layer → every
+layer starts as the identity), s soft-clamped to ±``s_cap`` through
+tanh so one bad training step cannot blow the scale up irrecoverably.
+log|det| = Σ (1−m)·s, exact in both directions. An outer fixed affine
+layer standardizes to the training draws' per-dimension mean/std
+(computed once at fit time, NOT trained — the MLPs then work at unit
+scale regardless of the target's units).
+
+Conventions: the GENERATIVE direction is ``forward`` (latent u → θ),
+matching `utils/transforms.Transform`; base density is N(0, I_d).
+Everything broadcasts over leading batch axes and jits; training is
+one `lax.scan` of full-batch (or minibatched) Adam steps with the
+house non-finite-step-rejection policy (same as `gp.optimize` /
+`Advi` — a NaN loss keeps params and moments instead of poisoning the
+scan).
+
+Training objective is the forward KL on draws you already have
+(maximum likelihood): draws from a short exploratory run — stratified
+DREAM-zs history, SMC particles, an SVGD cloud — are exactly the
+"data" the flow needs, and this package exists to make such draws
+cheap. No reverse-KL/ELBO option: on multimodal targets reverse KL is
+mode-seeking (it would defeat the global-move use case).
+"""
+
+import math
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from bipymc_tpu.utils.transforms import Transform
+
+
+class FlowConfig(NamedTuple):
+    """Static flow architecture + training configuration.
+
+    n_layers: coupling layers (alternating parity masks).
+    hidden: MLP width for the (s, t) nets.
+    n_hidden: number of hidden MLP layers (≥1).
+    s_cap: soft clamp on the per-dimension log-scale output.
+    step_size: Adam learning rate.
+    n_steps: Adam steps for ``fit_flow``.
+    batch_size: minibatch size per step; 0 = full batch (default —
+        posterior-draw sets are small and the full-batch step is one
+        fused device program).
+    """
+
+    n_layers: int = 8
+    hidden: int = 64
+    n_hidden: int = 2
+    s_cap: float = 4.0
+    step_size: float = 1e-3
+    n_steps: int = 2000
+    batch_size: int = 0
+
+
+def flow_config(**kw) -> FlowConfig:
+    cfg = FlowConfig(**kw)
+    if cfg.n_layers < 1:
+        raise ValueError("n_layers must be >= 1")
+    if cfg.n_hidden < 1:
+        raise ValueError("n_hidden must be >= 1")
+    if cfg.s_cap <= 0:
+        raise ValueError("s_cap must be > 0")
+    return cfg
+
+
+class FlowParams(NamedTuple):
+    """Fitted flow. ``layers`` is the trainable pytree (tuple of
+    per-layer MLP weight dicts); ``mu``/``sigma`` are the FIXED outer
+    standardization affine ([d] each, from the training draws)."""
+
+    layers: tuple
+    mu: jax.Array
+    sigma: jax.Array
+
+
+def _mask(d: int, i: int, dtype) -> jax.Array:
+    """Alternating parity mask for layer i: even layers freeze even
+    dims, odd layers freeze odd dims (static — recomputed, not stored,
+    so it can never ride a gradient)."""
+    return jnp.asarray((np.arange(d) % 2) == (i % 2), dtype)
+
+
+def _layer_init(key, d, cfg, dtype):
+    widths = [d] + [cfg.hidden] * cfg.n_hidden + [2 * d]
+    keys = jax.random.split(key, len(widths) - 1)
+    ws, bs = [], []
+    for k, fan_in, fan_out in zip(keys, widths[:-1], widths[1:]):
+        ws.append(jax.random.normal(k, (fan_in, fan_out), dtype)
+                  / math.sqrt(fan_in))
+        bs.append(jnp.zeros((fan_out,), dtype))
+    # zero-init the FINAL layer: s = t = 0 → the coupling starts as the
+    # identity and logdet starts at 0 (standard RealNVP practice; the
+    # flow at init is exactly the outer standardization affine)
+    ws[-1] = jnp.zeros_like(ws[-1])
+    return {"w": tuple(ws), "b": tuple(bs)}
+
+
+def flow_init(key: jax.Array, d: int, cfg: FlowConfig = FlowConfig(),
+              dtype=jnp.float32) -> FlowParams:
+    """Identity-initialized flow (unit standardization)."""
+    keys = jax.random.split(key, cfg.n_layers)
+    layers = tuple(_layer_init(k, d, cfg, dtype) for k in keys)
+    return FlowParams(layers=layers, mu=jnp.zeros((d,), dtype),
+                      sigma=jnp.ones((d,), dtype))
+
+
+def _mlp(layer, x):
+    h = x
+    for w, b in zip(layer["w"][:-1], layer["b"][:-1]):
+        h = jnp.tanh(h @ w + b)
+    return h @ layer["w"][-1] + layer["b"][-1]
+
+
+def _st(layer, x_masked, d, s_cap):
+    out = _mlp(layer, x_masked)
+    s_raw, t = out[..., :d], out[..., d:]
+    s = s_cap * jnp.tanh(s_raw / s_cap)
+    return s, t
+
+
+def flow_forward(params: FlowParams, u, cfg: FlowConfig = FlowConfig()):
+    """Generative pass u → θ. Returns (theta, log|det dθ/du|), both
+    broadcasting over leading axes of u [..., d]."""
+    d = params.mu.shape[-1]
+    x = u
+    logdet = jnp.zeros(u.shape[:-1], u.dtype)
+    for i, layer in enumerate(params.layers):
+        m = _mask(d, i, u.dtype)
+        s, t = _st(layer, x * m, d, cfg.s_cap)
+        x = m * x + (1.0 - m) * (x * jnp.exp(s) + t)
+        logdet = logdet + jnp.sum((1.0 - m) * s, axis=-1)
+    theta = params.mu + params.sigma * x
+    return theta, logdet + jnp.sum(jnp.log(params.sigma))
+
+
+def flow_inverse(params: FlowParams, theta,
+                 cfg: FlowConfig = FlowConfig()):
+    """Normalizing pass θ → u. Returns (u, log|det du/dθ|) — the
+    negative of the forward logdet at the matching point."""
+    d = params.mu.shape[-1]
+    x = (theta - params.mu) / params.sigma
+    logdet = -jnp.sum(jnp.log(params.sigma)) + jnp.zeros(
+        theta.shape[:-1], theta.dtype)
+    for i in reversed(range(len(params.layers))):
+        m = _mask(d, i, theta.dtype)
+        s, t = _st(params.layers[i], x * m, d, cfg.s_cap)
+        x = m * x + (1.0 - m) * (x - t) * jnp.exp(-s)
+        logdet = logdet - jnp.sum((1.0 - m) * s, axis=-1)
+    return x, logdet
+
+
+def flow_log_q(params: FlowParams, theta,
+               cfg: FlowConfig = FlowConfig()):
+    """log q(θ): the flow's exact density (pullback of N(0, I))."""
+    d = params.mu.shape[-1]
+    u, logdet_inv = flow_inverse(params, theta, cfg)
+    log_base = -0.5 * jnp.sum(u * u, axis=-1) \
+        - 0.5 * d * math.log(2.0 * math.pi)
+    return log_base + logdet_inv
+
+
+def flow_sample(params: FlowParams, key: jax.Array, n: int,
+                cfg: FlowConfig = FlowConfig(), dtype=jnp.float32):
+    """[n, d] draws from q."""
+    d = params.mu.shape[-1]
+    u = jax.random.normal(key, (n, d), dtype)
+    theta, _ = flow_forward(params, u, cfg)
+    return theta
+
+
+def fit_flow(key: jax.Array, draws, cfg: FlowConfig = FlowConfig(),
+             dtype=jnp.float32):
+    """Maximum-likelihood fit to posterior draws.
+
+    draws: [..., d] (histories flatten internally — pass
+        ``get_chain(flat=True)`` or a raw [M, T, d] super_chain).
+    Returns (FlowParams, info) with info = {"loss": [n_steps],
+    "final_loss": scalar} (loss = mean negative log q, standardized
+    units).
+    """
+    import optax
+
+    draws = jnp.asarray(draws, dtype)
+    if draws.ndim < 2:
+        raise ValueError("draws must be [..., d] with d on the last axis")
+    x = draws.reshape(-1, draws.shape[-1])
+    if x.shape[0] < 2:
+        raise ValueError("need at least 2 draws to fit a flow")
+    if not bool(jnp.all(jnp.isfinite(x))):
+        raise ValueError("draws contain non-finite values — filter them "
+                         "before fitting (e.g. drop pre-support burn-in)")
+    d = x.shape[-1]
+
+    mu = jnp.mean(x, axis=0)
+    sigma = jnp.maximum(jnp.std(x, axis=0), 1e-6)
+
+    k_init, k_fit = jax.random.split(key)
+    params0 = flow_init(k_init, d, cfg, dtype)
+    layers0 = params0.layers
+
+    def neg_log_lik(layers, batch):
+        p = FlowParams(layers=layers, mu=mu, sigma=sigma)
+        return -jnp.mean(flow_log_q(p, batch, cfg))
+
+    opt = optax.adam(cfg.step_size)
+
+    def step(carry, k):
+        layers, opt_state = carry
+        if cfg.batch_size and cfg.batch_size < x.shape[0]:
+            idx = jax.random.randint(k, (cfg.batch_size,), 0, x.shape[0])
+            batch = x[idx]
+        else:
+            batch = x
+        loss, g = jax.value_and_grad(neg_log_lik)(layers, batch)
+        updates, new_opt = opt.update(g, opt_state, layers)
+        new_layers = optax.apply_updates(layers, updates)
+        # house policy: a non-finite step keeps params AND moments
+        # (same as gp.optimize / Advi) instead of poisoning the scan
+        ok = jnp.isfinite(loss) & jax.tree_util.tree_reduce(
+            lambda a, leaf: a & jnp.all(jnp.isfinite(leaf)),
+            new_layers, jnp.bool_(True))
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b), new, old)
+        return (keep(new_layers, layers), keep(new_opt, opt_state)), loss
+
+    keys = jax.random.split(k_fit, cfg.n_steps)
+    (layers, _), losses = lax.scan(step, (layers0, opt.init(layers0)),
+                                   keys)
+    params = FlowParams(layers=layers, mu=mu, sigma=sigma)
+    return params, {"loss": losses, "final_loss": losses[-1]}
+
+
+def flow_transform(params: FlowParams,
+                   cfg: FlowConfig = FlowConfig()) -> Transform:
+    """The fitted flow as a `Transform` (NeuTra composition): sample in
+    u-space with ANY sampler via ``bp.transform_log_prob(log_prob, t)``,
+    map histories back with ``t.forward``. ``log_det`` is
+    log|det dθ/du| at u, matching `utils/transforms` conventions."""
+    d = int(params.mu.shape[-1])
+    return Transform(
+        forward=lambda u: flow_forward(params, u, cfg)[0],
+        inverse=lambda theta: flow_inverse(params, theta, cfg)[0],
+        log_det=lambda u: flow_forward(params, u, cfg)[1],
+        d=d)

@@ -1,0 +1,156 @@
+"""Normalizing-flow transport (utils/flows.py): exact invertibility,
+exact log-determinants, ML training, and the Transform composition."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bipymc_tpu as bp
+from bipymc_tpu.utils import flows as fl
+
+
+def _perturbed_params(key, d, cfg, scale=0.3):
+    """Random non-identity flow (init + noise on every MLP leaf)."""
+    params = fl.flow_init(key, d, cfg)
+    leaves, treedef = jax.tree_util.tree_flatten(params.layers)
+    keys = jax.random.split(jax.random.fold_in(key, 1), len(leaves))
+    noisy = [leaf + scale * jax.random.normal(k, leaf.shape, leaf.dtype)
+             for leaf, k in zip(leaves, keys)]
+    layers = jax.tree_util.tree_unflatten(treedef, noisy)
+    return fl.FlowParams(layers=layers, mu=jnp.array([0.5, -1.0, 2.0][:d]),
+                         sigma=jnp.array([2.0, 0.5, 1.5][:d]))
+
+
+def test_identity_at_init():
+    """Zero-initialized final MLP layers make every coupling the
+    identity: the init flow IS the outer standardization affine."""
+    cfg = fl.flow_config(n_layers=4, hidden=16)
+    key = jax.random.key(0)
+    params = fl.flow_init(key, 3, cfg)
+    u = jax.random.normal(jax.random.key(1), (7, 3))
+    theta, logdet = fl.flow_forward(params, u, cfg)
+    np.testing.assert_allclose(np.asarray(theta), np.asarray(u), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(logdet), 0.0, atol=1e-6)
+
+
+def test_roundtrip_and_logdet_antisymmetry():
+    cfg = fl.flow_config(n_layers=5, hidden=24)
+    params = _perturbed_params(jax.random.key(2), 3, cfg)
+    u = jax.random.normal(jax.random.key(3), (11, 3))
+    theta, ld_f = fl.flow_forward(params, u, cfg)
+    u_back, ld_i = fl.flow_inverse(params, theta, cfg)
+    np.testing.assert_allclose(np.asarray(u_back), np.asarray(u),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ld_i), -np.asarray(ld_f),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_logdet_matches_autodiff_jacobian():
+    cfg = fl.flow_config(n_layers=3, hidden=16)
+    params = _perturbed_params(jax.random.key(4), 3, cfg)
+    u = jax.random.normal(jax.random.key(5), (5, 3))
+
+    fwd = lambda v: fl.flow_forward(params, v, cfg)[0]
+    jac = jax.vmap(jax.jacfwd(fwd))(u)              # [5, 3, 3]
+    _, ref = np.linalg.slogdet(np.asarray(jac))
+    _, ld = fl.flow_forward(params, u, cfg)
+    np.testing.assert_allclose(np.asarray(ld), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_log_q_is_a_density_at_init():
+    """At identity init, log_q must be the exact N(mu, sigma²) logpdf."""
+    cfg = fl.flow_config(n_layers=2, hidden=8)
+    params = fl.flow_init(jax.random.key(6), 2, cfg)
+    params = params._replace(mu=jnp.array([1.0, -2.0]),
+                             sigma=jnp.array([0.5, 3.0]))
+    x = jax.random.normal(jax.random.key(7), (9, 2)) * 2.0
+    lq = fl.flow_log_q(params, x, cfg)
+    z = (np.asarray(x) - np.asarray(params.mu)) / np.asarray(params.sigma)
+    ref = (-0.5 * (z ** 2).sum(-1) - np.log(np.asarray(params.sigma)).sum()
+           - math.log(2 * math.pi))
+    np.testing.assert_allclose(np.asarray(lq), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fit_recovers_correlated_gaussian():
+    rng = np.random.default_rng(0)
+    cov = np.array([[1.0, 0.8], [0.8, 1.0]])
+    draws = rng.multivariate_normal([2.0, -1.0], cov, size=3000)
+    cfg = fl.flow_config(n_layers=4, hidden=32, n_steps=600,
+                         step_size=3e-3)
+    params, info = fl.fit_flow(jax.random.key(8), jnp.asarray(draws), cfg)
+    assert np.isfinite(float(info["final_loss"]))
+    # sample moments match the data-generating distribution
+    s = np.asarray(fl.flow_sample(params, jax.random.key(9), 4000, cfg))
+    np.testing.assert_allclose(s.mean(0), [2.0, -1.0], atol=0.15)
+    np.testing.assert_allclose(np.cov(s.T), cov, atol=0.2)
+    # log_q tracks the analytic logpdf on fresh points (up to a small
+    # mean offset the KL bound allows; the SHAPE must agree)
+    test = rng.multivariate_normal([2.0, -1.0], cov, size=200)
+    lq = np.asarray(fl.flow_log_q(params, jnp.asarray(test, jnp.float32),
+                                  cfg), np.float64)
+    r = test - [2.0, -1.0]
+    ref = (-0.5 * np.einsum("ni,ij,nj->n", r, np.linalg.inv(cov), r)
+           - 0.5 * np.log(np.linalg.det(2 * math.pi * cov)))
+    resid = lq - ref
+    assert abs(resid.mean()) < 0.25
+    assert resid.std() < 0.35
+
+
+def test_fit_two_modes_keeps_both_weights():
+    """The global-move use case: a flow fit on a 0.5/0.5 two-mode draw
+    set samples BOTH modes at ~the right weights."""
+    rng = np.random.default_rng(1)
+    n = 1500
+    modes = np.array([[-4.0, 0.0], [4.0, 0.0]])
+    which = rng.integers(0, 2, 2 * n)
+    draws = modes[which] + rng.normal(0, 0.7, (2 * n, 2))
+    cfg = fl.flow_config(n_layers=6, hidden=32, n_steps=800,
+                         step_size=3e-3)
+    params, _ = fl.fit_flow(jax.random.key(10), jnp.asarray(draws), cfg)
+    s = np.asarray(fl.flow_sample(params, jax.random.key(11), 4000, cfg))
+    frac_right = (s[:, 0] > 0).mean()
+    assert 0.35 < frac_right < 0.65, frac_right
+
+
+def test_flow_transform_composes_with_transform_log_prob():
+    cfg = fl.flow_config(n_layers=3, hidden=16)
+    params = _perturbed_params(jax.random.key(12), 2, cfg)
+    t = fl.flow_transform(params, cfg)
+    assert t.d == 2
+    u = jax.random.normal(jax.random.key(13), (6, 2))
+    np.testing.assert_allclose(np.asarray(t.inverse(t.forward(u))),
+                               np.asarray(u), rtol=2e-4, atol=2e-5)
+
+    # NeuTra identity: pushing u-space draws of the transformed target
+    # through forward() samples the original target. Check the density
+    # identity pointwise: log p_u(u) = log p(f(u)) + log|det df/du|.
+    log_prob = lambda x: -0.5 * jnp.sum(x * x, -1)
+    lp_u = bp.transform_log_prob(log_prob, t)
+    got = jax.vmap(lp_u)(u)
+    want = log_prob(t.forward(u)) + t.log_det(u)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fit_validates_input():
+    cfg = fl.flow_config(n_steps=5)
+    with pytest.raises(ValueError, match="non-finite"):
+        fl.fit_flow(jax.random.key(0),
+                    jnp.array([[0.0, jnp.nan], [1.0, 2.0]]), cfg)
+    with pytest.raises(ValueError, match="at least 2"):
+        fl.fit_flow(jax.random.key(0), jnp.zeros((1, 2)), cfg)
+    with pytest.raises(ValueError, match="n_layers"):
+        fl.flow_config(n_layers=0)
+
+
+def test_fit_flattens_history_shapes():
+    """[M, T, d] super_chain input works directly."""
+    rng = np.random.default_rng(2)
+    draws = rng.normal(0, 1, (4, 100, 2))
+    cfg = fl.flow_config(n_layers=2, hidden=8, n_steps=20)
+    params, info = fl.fit_flow(jax.random.key(14), jnp.asarray(draws), cfg)
+    assert params.mu.shape == (2,)
+    assert np.isfinite(float(info["final_loss"]))
