@@ -56,8 +56,11 @@ from bipymc_tpu.utils.laplace import map_estimate, laplace_cov, map_laplace
 from bipymc_tpu.utils.transforms import constrain, transform_log_prob
 from bipymc_tpu.utils.sbc import sbc_ranks, sbc_uniformity
 from bipymc_tpu.utils.flows import (FlowConfig, FlowParams, fit_flow,
-                                    flow_log_q, flow_sample,
-                                    flow_transform)
+                                    flow_log_q, flow_proposal,
+                                    flow_sample, flow_transform)
+from bipymc_tpu.utils.mixtures import (GmmParams, fit_gmm, gmm_log_q,
+                                       gmm_proposal, gmm_sample)
+from bipymc_tpu.utils.proposals import Proposal
 from bipymc_tpu.utils.psis import psis, surrogate_reweight, importance_resample
 from bipymc_tpu.utils.loo import loo, loo_compare, pointwise_loglik, waic
 from bipymc_tpu.utils.evidence import (BridgeResult, EvidenceResult,
@@ -114,8 +117,15 @@ __all__ = [
     "FlowParams",
     "fit_flow",
     "flow_log_q",
+    "flow_proposal",
     "flow_sample",
     "flow_transform",
+    "GmmParams",
+    "fit_gmm",
+    "gmm_log_q",
+    "gmm_proposal",
+    "gmm_sample",
+    "Proposal",
     "psis",
     "surrogate_reweight",
     "importance_resample",

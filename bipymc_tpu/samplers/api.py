@@ -2031,40 +2031,49 @@ def _flowmh_collect(state, info):
 
 
 class FlowMh(McmcSampler):
-    """Flow global-move MCMC (samplers/flowmh.py) — beyond-reference
-    extra, the flowMC composition: per generation, ``local_moves``
-    Gaussian RW moves then ONE independence MH move proposing from a
-    normalizing flow fit to earlier draws (``bp.fit_flow``). The flow's
-    log-density is exact, so the kernel targets the exact posterior at
-    ANY fit quality; fit quality sets the global-move acceptance rate.
-    This is the cross-mode channel the DE/archive family lacks at
-    d≳20 (docs/ROUND3.md §2): transplants happen at the flow
-    acceptance rate, independent of mode separation.
+    """Global-move MCMC (samplers/flowmh.py) — beyond-reference extra,
+    the flowMC composition: per generation, ``local_moves`` Gaussian RW
+    moves then ONE independence MH move proposing from a density fit to
+    earlier draws. The fit's log-density is exact, so the kernel
+    targets the exact posterior at ANY fit quality; fit quality sets
+    the global-move acceptance rate. This is the cross-mode channel the
+    DE/archive family lacks at d≳20 (docs/ROUND3.md §2): transplants
+    happen at the proposal acceptance rate, independent of mode
+    separation.
 
-    ``flow_params`` is frozen inside the kernel (exact π-invariance).
-    The standard loop is: exploratory run (stratified DreamZs, SMC,
-    ...) → ``fit_flow`` on its history → FlowMh. To refit, construct a
-    new FlowMh (compile cost is per-flow-architecture).
+    ``proposal`` is either bare `FlowParams` from ``bp.fit_flow`` (the
+    namesake — ``flow_config`` must then be the SAME architecture the
+    params were fitted with, since params carry weights only) or any
+    `bp.Proposal` — e.g. ``bp.gmm_proposal(bp.fit_gmm(...))`` for
+    Gaussian-ish basins, where a neural flow's per-dimension fit error
+    compounds with d but the EM mixture holds acceptance ~1 at any d,
+    or ``bp.flow_proposal`` built explicitly.
 
-    ``flow_config`` must be the SAME architecture config the params
-    were fitted with (params carry weights only). Chains are fully
-    independent — ``mesh=`` shards with zero in-step collectives.
+    The proposal is frozen inside the kernel (exact π-invariance). The
+    standard loop is: exploratory run (stratified DreamZs, SMC, ...) →
+    fit on its history → FlowMh. To refit, construct a new FlowMh
+    (compile cost is per-architecture). Chains are fully independent —
+    ``mesh=`` shards with zero in-step collectives.
 
-    ``acceptance_fraction`` reports the GLOBAL (flow) channel;
+    ``acceptance_fraction`` reports the GLOBAL (proposal) channel;
     the history key ``accepted_local`` carries the RW channel.
     """
 
-    def __init__(self, log_like_fn, flow_params, n_chains=8, seed=0,
+    def __init__(self, log_like_fn, proposal, n_chains=8, seed=0,
                  dtype=jnp.float32, mesh=None, flow_config=None,
                  **config_kw):
         super().__init__(log_like_fn, seed=seed, dtype=dtype)
-        from bipymc_tpu.utils.flows import FlowConfig
+        from bipymc_tpu.utils.flows import FlowConfig, flow_proposal
+        from bipymc_tpu.utils.proposals import Proposal
         self.n_chains = int(n_chains)
-        self.flow_params = flow_params
         fc = flow_config if flow_config is not None else FlowConfig()
         self.cfg = flowmh.FlowMhConfig(flow=fc, **config_kw)
         if self.cfg.local_moves < 0:
             raise ValueError("local_moves must be >= 0")
+        if isinstance(proposal, Proposal):
+            self.proposal = proposal
+        else:
+            self.proposal = flow_proposal(proposal, fc)
         self.mesh = mesh
         _check_mesh_chains(mesh, self.n_chains)
 
@@ -2072,9 +2081,9 @@ class FlowMh(McmcSampler):
         return self._ensure_population(
             theta_0, spread,
             init_fn=lambda x0: flowmh.init(x0, self.log_like_fn,
-                                           self.flow_params, self.cfg),
+                                           self.proposal, self.cfg),
             step_factory=lambda axis: flowmh.make_step(
-                self.log_like_fn, self.flow_params, self.cfg,
+                self.log_like_fn, self.proposal, self.cfg,
                 axis_name=axis),
             sharded_fields=flowmh.SHARDED_FIELDS,
             collect_fn=_flowmh_collect)
@@ -2101,8 +2110,8 @@ class FlowMh(McmcSampler):
 
     @property
     def global_acceptance_fraction(self):
-        """Per-chain FLOW-move acceptance over the kept history (the
-        cross-mode transplant rate)."""
+        """Per-chain global-move (proposal) acceptance over the kept
+        history — the cross-mode transplant rate."""
         return self.acceptance_fraction
 
     @property

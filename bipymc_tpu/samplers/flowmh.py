@@ -1,19 +1,24 @@
-"""Flow-MH: flow global moves composed with a local random walk.
+"""Global-move MH: fitted-density independence moves composed with a
+local random walk.
 
 Beyond-reference extra (the flowMC pattern: Gabrié, Rotskoff &
 Vanden-Eijnden PNAS 2022; Wong, Gabrié & Foreman-Mackey JOSS 2023).
 The DE/archive family's measured cross-mode hop rate on the headline
 config-3 target is 2.8e-5 per chain-generation (docs/ROUND3.md §2) —
-the proposal NOISE buries the mode displacement at d=100. A
-normalizing flow fit to a stratified population (utils/flows.py) makes
-the complement kernel: an INDEPENDENCE Metropolis-Hastings proposal
-x* ~ q_flow with
+the proposal NOISE buries the mode displacement at d=100. A density q
+fit to a stratified population makes the complement kernel: an
+INDEPENDENCE Metropolis-Hastings proposal x* ~ q with
 
     log α = [ℓ(x*) − log q(x*)] − [ℓ(x) − log q(x)],
 
-whose acceptance is O(exp(−KL(π‖q))) — set by the flow's fit quality,
-NOT by the mode separation — so cross-mode transplants happen at the
-flow's acceptance rate instead of 2.8e-5.
+whose acceptance is O(exp(−KL(π‖q))) — set by the FIT quality, NOT by
+the mode separation — so cross-mode transplants happen at the fit's
+acceptance rate instead of 2.8e-5. q is pluggable
+(`utils/proposals.Proposal`): a RealNVP flow (`utils/flows.py`, the
+namesake) for warped basins, or an EM Gaussian mixture
+(`utils/mixtures.py`) for Gaussian-ish ones — measured on the d=16
+4-mode example the flow's acceptance decays to ~4e-4 (per-dimension
+fit error compounds) while the moment-matched GMM holds ~1 at any d.
 
 Each generation composes two π-invariant kernels (composition, not
 mixture — branchless, no coin):
@@ -52,18 +57,20 @@ import jax.numpy as jnp
 
 from bipymc_tpu.core.rng import bits_to_normal, bits_to_uniform
 from bipymc_tpu.parallel.collectives import chain_offset
-from bipymc_tpu.utils.flows import (FlowConfig, FlowParams, flow_forward,
-                                    flow_inverse, flow_log_q)
+from bipymc_tpu.utils.flows import FlowConfig
+from bipymc_tpu.utils.proposals import Proposal
 
 SHARDED_FIELDS = ("x", "logp", "lq")
 
 
 class FlowMhConfig(NamedTuple):
-    """local_moves: RW moves per generation before the flow move
-        (0 = pure flow independence sampler).
-    rw_scale: multiplies the 2.38/√d · σ_train per-dimension RW scale.
-    flow: the frozen flow's ARCHITECTURE (must match the params the
-        step was built with — `FlowParams` carries no static config).
+    """local_moves: RW moves per generation before the global move
+        (0 = pure independence sampler).
+    rw_scale: multiplies the 2.38/√d · σ_fit per-dimension RW scale
+        (σ_fit from ``proposal.sigma``).
+    flow: the frozen flow's ARCHITECTURE — used only by the API layer
+        to build a flow `Proposal` from bare `FlowParams` (which carry
+        no static config); the kernel itself sees only the proposal.
     """
 
     local_moves: int = 1
@@ -84,18 +91,19 @@ class FlowMhInfo(NamedTuple):
     logp: jax.Array            # [n_local]
 
 
-def init(x0: jax.Array, log_prob: Callable, params: FlowParams,
+def init(x0: jax.Array, log_prob: Callable, proposal: Proposal,
          cfg: FlowMhConfig) -> FlowMhState:
     logp = jax.vmap(log_prob)(x0)
-    lq = flow_log_q(params, x0, cfg.flow)
+    lq = proposal.log_q(x0)
     return FlowMhState(x=x0, logp=logp, lq=lq,
                        gen=jnp.zeros((), jnp.int32))
 
 
-def make_step(log_prob: Callable, params: FlowParams, cfg: FlowMhConfig,
+def make_step(log_prob: Callable, proposal: Proposal, cfg: FlowMhConfig,
               axis_name=None) -> Callable:
-    """Build ``step(state, key, t)``. ``params`` is closed over
-    (frozen kernel). No cross-chain collectives."""
+    """Build ``step(state, key, t)``. ``proposal`` (the frozen q —
+    flow, GMM, anything with exact sample+log_q) is closed over.
+    No cross-chain collectives."""
 
     if cfg.local_moves < 0:
         raise ValueError("local_moves must be >= 0")
@@ -107,13 +115,13 @@ def make_step(log_prob: Callable, params: FlowParams, cfg: FlowMhConfig,
         gid = offset + jnp.arange(n_local, dtype=jnp.int32)
         chain_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(gid)
         # per-chain word layout: local_moves × [eps(d) | u(1)] then the
-        # flow move's [u_lat(d) | u(1)]
-        n_words = (cfg.local_moves + 1) * (d + 1)
+        # global move's [eps(d) | u_comp(1) | u(1)]
+        n_words = cfg.local_moves * (d + 1) + (d + 2)
         blk = jax.vmap(lambda k: jax.random.bits(
             k, (n_words,), jnp.uint32))(chain_keys)
 
         scale = (cfg.rw_scale * 2.38 / jnp.sqrt(jnp.asarray(d, dtype))
-                 * params.sigma.astype(dtype))
+                 * proposal.sigma.astype(dtype))
 
         x, logp = state.x, state.logp
         n_acc_local = jnp.zeros((n_local,), dtype)
@@ -133,24 +141,23 @@ def make_step(log_prob: Callable, params: FlowParams, cfg: FlowMhConfig,
 
         if cfg.local_moves:
             # local moves changed x → refresh the cached log q once per
-            # generation (one inverse pass; the minimum possible)
-            lq = flow_log_q(params, x, cfg.flow)
+            # generation (one density pass; the minimum possible)
+            lq = proposal.log_q(x)
             acc_local = n_acc_local / cfg.local_moves
         else:
             lq = state.lq
             acc_local = jnp.zeros((n_local,), dtype)
 
-        # flow independence move
+        # independence move from the fitted proposal density
         w0 = cfg.local_moves * (d + 1)
-        u_lat = bits_to_normal(blk[:, w0:w0 + d], dtype)
-        log_u = jnp.log(bits_to_uniform(blk[:, w0 + d], dtype))
-        x_star, logdet = flow_forward(params, u_lat, cfg.flow)
-        lq_star = (-0.5 * jnp.sum(u_lat * u_lat, -1)
-                   - 0.5 * d * jnp.log(2.0 * jnp.pi).astype(dtype)
-                   - logdet)
+        eps = bits_to_normal(blk[:, w0:w0 + d], dtype)
+        u_comp = bits_to_uniform(blk[:, w0 + d], dtype)
+        log_u = jnp.log(bits_to_uniform(blk[:, w0 + d + 1], dtype))
+        x_star, lq_star = proposal.sample_logq(eps, u_comp)
         logp_star = jax.vmap(log_prob)(x_star)
         log_alpha = jnp.minimum(0.0, (logp_star - lq_star) - (logp - lq))
-        log_alpha = jnp.where(jnp.isfinite(logp_star), log_alpha,
+        log_alpha = jnp.where(jnp.isfinite(logp_star)
+                              & jnp.isfinite(lq_star), log_alpha,
                               -jnp.inf)
         acc = log_u < log_alpha
         x_new = jnp.where(acc[:, None], x_star, x)

@@ -57,6 +57,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from bipymc_tpu.utils.proposals import Proposal
 from bipymc_tpu.utils.transforms import Transform
 
 
@@ -259,6 +260,26 @@ def fit_flow(key: jax.Array, draws, cfg: FlowConfig = FlowConfig(),
                                    keys)
     params = FlowParams(layers=layers, mu=mu, sigma=sigma)
     return params, {"loss": losses, "final_loss": losses[-1]}
+
+
+def flow_proposal(params: FlowParams,
+                  cfg: FlowConfig = FlowConfig()) -> Proposal:
+    """The fitted flow as a global-move `Proposal` (`bp.FlowMh`).
+    ``sample_logq`` pushes the standard normals through the generative
+    pass and prices them with the forward logdet directly — no inverse
+    round-trip, so the cached log q is exact by construction. The
+    uniform word is unused (the flow needs no component draw)."""
+    d = int(params.mu.shape[-1])
+
+    def sample_logq(eps, u):
+        theta, logdet = flow_forward(params, eps, cfg)
+        lq = (-0.5 * jnp.sum(eps * eps, axis=-1)
+              - 0.5 * d * math.log(2.0 * math.pi) - logdet)
+        return theta, lq
+
+    return Proposal(sample_logq=sample_logq,
+                    log_q=lambda x: flow_log_q(params, x, cfg),
+                    sigma=params.sigma)
 
 
 def flow_transform(params: FlowParams,
