@@ -49,6 +49,7 @@ from bipymc_tpu.utils.diagnostics import (gelman_rubin,
                                           ess_bulk, ess_tail,
                                           mcse_mean, mcse_sd,
                                           mode_occupancy, mode_hops,
+                                          geweke, multivariate_rhat,
                                           summary)
 from bipymc_tpu.utils.external import (external_log_like,
                                        external_log_like_masked)

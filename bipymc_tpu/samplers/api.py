@@ -1086,6 +1086,11 @@ class EnsembleSampler(McmcSampler):
         self._fused_runner = None
         self._fused_jits = {}
         if self.fused:
+            if self.cfg.move != "stretch":
+                raise ValueError(
+                    "fused=True implements the stretch move only; use "
+                    "the per-generation engine for move="
+                    f"{self.cfg.move!r}")
             if mesh is not None:
                 raise ValueError(
                     "fused=True is single-device (the one-hot partner "

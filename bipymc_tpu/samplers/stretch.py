@@ -8,10 +8,19 @@ splits into two halves, and each half updates *simultaneously* using
 complementary walkers drawn from the other half — which preserves detailed
 balance where a fully synchronous all-at-once update would not.
 
-Move: for walker x_i and complementary walker x_j,
+Stretch move (``move="stretch"``): for walker x_i and complementary
+walker x_j,
   z ~ g(z) ∝ 1/√z on [1/a, a]   (sampled as z = ((a−1)u + 1)² / a),
   x* = x_j + z (x_i − x_j),
   accept with probability min{1, z^{d−1} π(x*)/π(x_i)}.
+
+Walk move (``move="walk"``, emcee WalkMove with its default
+s = whole complementary ensemble): x* = x_i + L ξ with ξ ~ N(0, I_d)
+and L Lᵀ the complementary half's sample covariance — a symmetric
+proposal (the covariance is a function of the frozen half only), so
+plain Metropolis acceptance. Heavier per generation than the stretch
+(one d×d Cholesky per half-update) but adapts to anisotropic targets
+without the a-tuning question; still affine-invariant.
 
 State is chain-sharded over the mesh like the DE family; the only
 collective is the all_gather making the opposite half visible
@@ -30,7 +39,8 @@ from bipymc_tpu.parallel.collectives import all_gather_chains, chain_offset
 
 class StretchConfig(NamedTuple):
     n_chains: int              # total walkers (even; ≥ 2d+2 recommended)
-    a: float = 2.0             # stretch scale
+    a: float = 2.0             # stretch scale (move="stretch" only)
+    move: str = "stretch"      # "stretch" | "walk" (emcee WalkMove)
 
 
 class StretchState(NamedTuple):
@@ -123,10 +133,86 @@ def make_step(log_prob: Callable, cfg: StretchConfig,
         return (jnp.where(acc[:, None], x_star, x),
                 jnp.where(acc, logp_star, logp), acc)
 
+    def _comp_chol(comp):
+        """Cholesky of the complementary half's sample covariance.
+
+        One d×d factorization per half-update, shared by every active
+        walker (emcee WalkMove with its default s = the whole
+        complementary ensemble — the subset-free case is deterministic,
+        so no per-walker index sampling is needed). Trace-scaled jitter
+        keeps a rank-deficient ensemble (n/2 < d walkers, or burn-in
+        collapse onto a subspace) factorable: the proposal degrades to a
+        small isotropic kick instead of NaN-ing the chain.
+        """
+        mu = jnp.mean(comp, axis=0)
+        c = comp - mu
+        d = comp.shape[1]
+        cov = c.T @ c / jnp.asarray(comp.shape[0] - 1, comp.dtype)
+        jitter = 1e-6 * (jnp.trace(cov) / d) + 1e-12
+        return jnp.linalg.cholesky(
+            cov + jitter * jnp.eye(d, dtype=cov.dtype))
+
+    def _walk_draw(key, i_global, d, dtype):
+        # per-walker key folded by GLOBAL index: mesh and vmap paths
+        # consume identical streams (the stretch move's contract)
+        def draw(i):
+            k = jax.random.fold_in(key, i)
+            kx, ku = jax.random.split(k)
+            return (jax.random.normal(kx, (d,), dtype),
+                    jax.random.uniform(ku, dtype=dtype))
+        return jax.vmap(draw)(i_global)
+
+    def walk_half_update(x, logp, key, update_first_half):
+        """emcee WalkMove half-update: x* = x_i + L ξ, ξ ~ N(0, I_d),
+        L Lᵀ = Cov(complementary half). The covariance depends only on
+        the frozen half, so the proposal is symmetric in (x_i, x*) and
+        the red-black detailed-balance argument carries over unchanged;
+        acceptance is plain Metropolis.
+        """
+        n_local, d = x.shape
+
+        if axis_name is None:
+            sl = slice(0, half) if update_first_half else slice(half, n_total)
+            comp = x[half:] if update_first_half else x[:half]
+            l_fac = _comp_chol(comp)
+            i_global = sl.start + jnp.arange(half, dtype=jnp.int32)
+            xi, u = _walk_draw(key, i_global, d, x.dtype)
+            x_star = x[sl] + xi @ l_fac.T
+            logp_star = jax.vmap(log_prob)(x_star)          # n/2 evals
+            log_alpha = jnp.where(jnp.isfinite(logp_star),
+                                  jnp.minimum(0.0, logp_star - logp[sl]),
+                                  -jnp.inf)
+            acc_h = jnp.log(u) < log_alpha
+            x = x.at[sl].set(jnp.where(acc_h[:, None], x_star, x[sl]))
+            logp = logp.at[sl].set(jnp.where(acc_h, logp_star, logp[sl]))
+            acc = jnp.zeros((n_local,), bool).at[sl].set(acc_h)
+            return x, logp, acc
+
+        x_full = all_gather_chains(x, axis_name)            # [N, d]
+        offset = chain_offset(n_local, axis_name)
+        i_global = offset + jnp.arange(n_local, dtype=jnp.int32)
+        in_half = (i_global < half) == update_first_half
+        comp = x_full[half:] if update_first_half else x_full[:half]
+        l_fac = _comp_chol(comp)
+        xi, u = _walk_draw(key, i_global, d, x.dtype)
+        x_star = x + xi @ l_fac.T
+        logp_star = jax.vmap(log_prob)(x_star)
+        log_alpha = jnp.where(jnp.isfinite(logp_star),
+                              jnp.minimum(0.0, logp_star - logp),
+                              -jnp.inf)
+        acc = in_half & (jnp.log(u) < log_alpha)
+        return (jnp.where(acc[:, None], x_star, x),
+                jnp.where(acc, logp_star, logp), acc)
+
+    if cfg.move not in ("stretch", "walk"):
+        raise ValueError(f"unknown ensemble move {cfg.move!r}: "
+                         "expected 'stretch' or 'walk'")
+    update = half_update if cfg.move == "stretch" else walk_half_update
+
     def step(state: StretchState, key: jax.Array, t: jax.Array):
         k1, k2 = jax.random.split(key)
-        x, logp, acc1 = half_update(state.x, state.logp, k1, True)
-        x, logp, acc2 = half_update(x, logp, k2, False)
+        x, logp, acc1 = update(state.x, state.logp, k1, True)
+        x, logp, acc2 = update(x, logp, k2, False)
         new_state = StretchState(x=x, logp=logp, gen=state.gen + 1)
         return new_state, StretchInfo(accepted=acc1 | acc2, logp=logp)
 

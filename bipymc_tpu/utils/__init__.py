@@ -8,6 +8,8 @@ from bipymc_tpu.utils.diagnostics import (
     mcse_mean,
     mcse_sd,
     ess_tail,
+    geweke,
+    multivariate_rhat,
 )
 from bipymc_tpu.utils.debug import validate_log_prob
 from bipymc_tpu.utils.laplace import map_estimate, laplace_cov, map_laplace

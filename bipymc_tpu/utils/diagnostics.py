@@ -253,6 +253,87 @@ def mcse_sd(chains, c=5.0):
     return out[0] if squeeze else out
 
 
+def _tau_per_chain(rho, c):
+    """[M, n, d] per-chain normalised ACFs → per-chain/dim τ, [M, d]."""
+    return jax.vmap(jax.vmap(lambda r: _tau_from_rho(r, c), in_axes=1))(rho)
+
+
+def geweke(chains, first=0.1, last=0.5, c=5.0):
+    """Geweke (1992) drift z-scores per chain and dimension.
+
+    Compares the mean of the first ``first`` fraction of each chain
+    against the mean of the last ``last`` fraction:
+    z = (μ_a − μ_b) / √(se_a² + se_b²), with each segment's standard
+    error inflated by its own auto-windowed integrated autocorrelation
+    time (the FFT/Sokal machinery above — the spectral-density-at-zero
+    estimate Geweke's original CODA formulation uses). |z| ≳ 2–3 flags a
+    chain still drifting from its start — a *within-chain* stationarity
+    check that split-R̂ (which pools chains) can dilute when only a few
+    chains are still in transient.
+
+    Complements the reference's cross-chain R̂ (SURVEY.md §4.8);
+    beyond-reference. chains: [M, N, d] (or [M, N]); returns [M, d]
+    (or [M]). Jittable.
+    """
+    squeeze = jnp.asarray(chains).ndim == 2
+    chains = _promote(chains)
+    n = chains.shape[1]
+    na, nb = max(int(first * n), 2), max(int(last * n), 2)
+
+    def seg_se(x):
+        # x: [M, n_seg, d] → (mean [M,d], se² [M,d]) with τ-inflated se
+        tau = _tau_per_chain(_acf_normalized(x), c)
+        var = jnp.var(x, axis=1, ddof=1)
+        return jnp.mean(x, axis=1), var * tau / x.shape[1]
+
+    mu_a, se2_a = seg_se(chains[:, :na, :])
+    mu_b, se2_b = seg_se(chains[:, n - nb:, :])
+    z = (mu_a - mu_b) / jnp.sqrt(jnp.maximum(se2_a + se2_b, 1e-30))
+    return z[:, 0] if squeeze else z
+
+
+def multivariate_rhat(chains, split=True):
+    """Brooks–Gelman (1998) multivariate potential scale reduction R̂_p.
+
+    Scalar summary over ALL dimensions jointly:
+    R̂_p = (n−1)/n + ((m+1)/m)·λ₁, where λ₁ is the largest eigenvalue of
+    W⁻¹(B/n) — the per-dimension R̂'s worst case over every *linear
+    combination* of parameters, so it catches cross-chain disagreement
+    that lives in a rotated direction (e.g. chains agreeing marginally
+    on x and y but disagreeing on x−y), which the max of univariate R̂
+    misses. Solved as the symmetric generalised eigenproblem
+    L⁻¹(B/n)L⁻ᵀ with W = LLᵀ (+ a trace-scaled jitter so a converged,
+    near-singular W stays factorable in f32).
+
+    Needs m ≥ d/2 chains for W to be full-rank after splitting (m
+    split-halves estimate a d×d within covariance). chains: [M, N, d];
+    returns a scalar. ``split=True`` halves chains first, as
+    :func:`gelman_rubin` does. Values near 1 indicate convergence
+    (same 1.1 rule of thumb). Beyond-reference; jittable.
+    """
+    chains = _promote(chains)
+    m, n, d = chains.shape
+    if split:
+        half = n // 2
+        chains = jnp.concatenate(
+            [chains[:, :half, :], chains[:, n - half:, :]], axis=0)
+        m, n = 2 * m, half
+    means = jnp.mean(chains, axis=1)                        # [m, d]
+    centered = chains - means[:, None, :]
+    # W: mean within-chain covariance; B/n: covariance of chain means
+    w = jnp.einsum("mnd,mne->de", centered, centered) / (m * (n - 1))
+    gm = jnp.mean(means, axis=0)
+    dm = means - gm
+    b_over_n = jnp.einsum("md,me->de", dm, dm) / (m - 1)
+    jitter = 1e-6 * (jnp.trace(w) / d + 1e-30)
+    l = jnp.linalg.cholesky(w + jitter * jnp.eye(d, dtype=w.dtype))
+    # L⁻¹ (B/n) L⁻ᵀ — same spectrum as W⁻¹(B/n), but symmetric PSD
+    tmp = jax.scipy.linalg.solve_triangular(l, b_over_n, lower=True)
+    sym = jax.scipy.linalg.solve_triangular(l, tmp.T, lower=True)
+    lam1 = jnp.max(jnp.linalg.eigvalsh((sym + sym.T) / 2.0))
+    return (n - 1.0) / n + (m + 1.0) / m * lam1
+
+
 def nearest_mode(positions, means):
     """Index of the nearest mode centre for each position.
 

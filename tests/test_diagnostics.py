@@ -288,3 +288,81 @@ def test_summary_carries_mcse():
     assert s["mcse_sd"].shape == (3,)
     assert np.all(np.asarray(s["mcse_mean"]) > 0)
     assert np.all(np.asarray(s["mcse_mean"]) < np.asarray(s["sd"]))
+
+
+def test_geweke_stationary_vs_drifting():
+    """iid chains: |z| small for all chains; a chain with a mean ramp
+    over its first half is flagged, and only that chain."""
+    from bipymc_tpu.utils.diagnostics import geweke
+    rng = np.random.default_rng(21)
+    m, n, d = 6, 2000, 3
+    x = rng.standard_normal((m, n, d)).astype(np.float32)
+    z = np.asarray(geweke(jnp.asarray(x)))
+    assert z.shape == (m, d)
+    assert np.all(np.abs(z) < 4.0), z
+    # chain 2 starts 8 sigma away and decays toward stationarity
+    x[2] += 8.0 * np.exp(-np.arange(n) / (n / 4))[:, None]
+    z2 = np.asarray(geweke(jnp.asarray(x)))
+    assert np.all(np.abs(z2[2]) > 5.0), z2[2]
+    mask = np.ones(m, bool)
+    mask[2] = False
+    assert np.all(np.abs(z2[mask]) < 4.0), z2
+
+
+def test_geweke_2d_squeeze():
+    from bipymc_tpu.utils.diagnostics import geweke
+    rng = np.random.default_rng(22)
+    z = np.asarray(geweke(jnp.asarray(
+        rng.standard_normal((4, 800)).astype(np.float32))))
+    assert z.shape == (4,)
+
+
+def test_multivariate_rhat_converged_near_one():
+    from bipymc_tpu.utils.diagnostics import multivariate_rhat
+    rng = np.random.default_rng(23)
+    chains = jnp.asarray(
+        rng.standard_normal((8, 1000, 4)).astype(np.float32))
+    r = float(multivariate_rhat(chains))
+    assert 0.9 < r < 1.1, r
+
+
+def test_multivariate_rhat_catches_rotated_disagreement():
+    """Chains agree on every MARGINAL but disagree along x0 - x1:
+    half the chains sample corr=+0.9, half corr=-0.9 with a mean
+    offset along the (1,-1) direction. Max univariate split-R-hat
+    stays ~1 while R-hat_p flags the joint disagreement."""
+    from bipymc_tpu.utils.diagnostics import (gelman_rubin,
+                                              multivariate_rhat)
+    rng = np.random.default_rng(24)
+    m, n = 8, 1500
+    chains = np.zeros((m, n, 2), np.float32)
+    for i in range(m):
+        sgn = 1.0 if i % 2 == 0 else -1.0
+        cov = np.array([[1.0, 0.0], [0.0, 1.0]])
+        x = rng.multivariate_normal([0, 0], cov, size=n)
+        # offset along (1,-1)/sqrt(2), alternating sign: marginals move
+        # by +-0.9/sqrt2 each (small vs sd 1), difference moves by 1.8
+        off = sgn * 0.9 / np.sqrt(2.0)
+        x[:, 0] += off
+        x[:, 1] -= off
+        chains[i] = x
+    uni = float(np.max(np.asarray(gelman_rubin(jnp.asarray(chains)))))
+    multi = float(multivariate_rhat(jnp.asarray(chains)))
+    assert multi > uni + 0.15, (multi, uni)
+    assert multi > 1.3, multi
+
+
+def test_multivariate_rhat_reduces_to_univariate_in_1d():
+    """d=1: R-hat_p = (n-1)/n + ((m+1)/m) B/(nW) = the classical
+    (non-sqrt, m-corrected) PSRF; compare against the direct formula."""
+    from bipymc_tpu.utils.diagnostics import multivariate_rhat
+    rng = np.random.default_rng(25)
+    chains = rng.standard_normal((6, 800, 1)).astype(np.float32)
+    chains[0] += 1.5
+    got = float(multivariate_rhat(jnp.asarray(chains)))
+    c = np.concatenate([chains[:, :400], chains[:, 400:]], axis=0)
+    m, n = 12, 400
+    w = c.var(axis=1, ddof=1).mean()
+    b_over_n = c.mean(axis=1).var(ddof=1)
+    want = (n - 1) / n + (m + 1) / m * b_over_n / w
+    np.testing.assert_allclose(got, want, rtol=2e-2)
