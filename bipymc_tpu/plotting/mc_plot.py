@@ -122,6 +122,32 @@ def plot_autocorr(chains, max_lag=100, path=None):
     return fig
 
 
+def plot_geweke(chains, labels=None, path=None):
+    """Geweke drift z-scores per chain × dimension (utils.diagnostics.
+    geweke), with ±2 reference bands — the visual within-chain
+    stationarity check: a chain still in transient shows |z| ≫ 2 while
+    split-R̂ over many converged chains can stay near 1."""
+    plt = _mpl()
+    from bipymc_tpu.utils.diagnostics import geweke
+    chains = _as3d(chains)
+    z = np.asarray(geweke(chains))                    # [M, d]
+    m, d = z.shape
+    fig, ax = plt.subplots(figsize=(6, 3.5))
+    for j in range(d):
+        lbl = labels[j] if labels else f"θ{j}"
+        ax.plot(np.arange(m), z[:, j], "o", ms=4, label=lbl)
+    ax.axhspan(-2.0, 2.0, color="g", alpha=0.15, label="|z| < 2")
+    ax.axhline(0.0, color="k", lw=0.5)
+    ax.set_xlabel("chain")
+    ax.set_ylabel("Geweke z")
+    if d <= 8:
+        ax.legend(ncol=2, fontsize=8)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=120)
+    return fig
+
+
 def plot_acceptance(accept_fractions, path=None):
     """Bar chart of per-chain acceptance fractions."""
     plt = _mpl()

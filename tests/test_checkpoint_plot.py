@@ -221,3 +221,12 @@ def test_plot_rank(tmp_path):
     heights = [p.get_height() for p in ax.patches[:n_bins]]
     low = sum(heights[: n_bins // 4])
     assert low >= 0.9 * sum(heights)
+
+
+def test_plot_geweke(tmp_path):
+    from bipymc_tpu.plotting import plot_geweke
+    rng = np.random.default_rng(3)
+    chains = rng.normal(0, 1, (4, 600, 2))
+    fig = plot_geweke(chains, labels=["a", "b"],
+                      path=tmp_path / "geweke.png")
+    assert fig is not None and (tmp_path / "geweke.png").exists()
