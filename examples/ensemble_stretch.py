@@ -40,6 +40,27 @@ def main():
     assert info["rhat"].max() < 1.05
     assert np.all(std_err < 0.25)
 
+    # joint-convergence + stationarity checks on the kept history:
+    # multivariate R-hat_p (Brooks-Gelman) bounds EVERY linear
+    # combination of the 5 badly-scaled dims at once; Geweke z flags any
+    # chain still drifting from its start (|z| < ~3 when stationary)
+    ch = s.get_chain(discard=1000)
+    r_p = float(bp.multivariate_rhat(ch))
+    z_max = float(np.abs(np.asarray(bp.geweke(ch))).max())
+    print(f"multivariate R-hat_p = {r_p:.3f}, max |Geweke z| = {z_max:.1f}")
+    assert r_p < 1.1
+
+    # the walk move (emcee WalkMove): same affine invariance via the
+    # complementary half's sample covariance instead of 1-d stretches —
+    # no `a` to tune, one d x d Cholesky per half-update
+    w = bp.EnsembleSampler(log_prob, n_chains=64, seed=1, move="walk")
+    w.run_mcmc(4000, jnp.asarray(MEAN), spread=1.0)
+    wflat = w.get_chain(discard=1000, flat=True)
+    w_err = np.abs(wflat.std(0) - SCALES) / SCALES
+    print("walk-move posterior std relative error:", np.round(w_err, 2))
+    print("walk-move acceptance:", float(w.acceptance_fraction.mean()))
+    assert np.all(w_err < 0.3)
+
 
 if __name__ == "__main__":
     main()
