@@ -254,8 +254,16 @@ def run_wall_to_rhat():
     return wall, int(info["steps"]), float(np.max(info["rhat"]))
 
 
+PERFECT_MPI_CORES = 64   # PINNED perfect-MPI node size (round-4 fix:
+                         # the denominator frame must not depend on the
+                         # bench box's os.cpu_count(), which was 4 → 2 →
+                         # 1 across rounds 1-3 and silently moved the
+                         # headline ratio 4×). 64 = a realistic modern
+                         # single-node MPI width; see BASELINE.md.
+
+
 def measure_cpu_baseline(path):
-    """Reference-semantics NumPy DREAM-zs, extrapolated to perfect MPI.
+    """Reference-semantics NumPy DREAM-zs, single-process rate.
 
     One continuous run (burn-in + timed window in a single call): the
     NumPy sampler has no persistent generation counter, so restarting it
@@ -263,6 +271,11 @@ def measure_cpu_baseline(path):
     and reset the archive inside the measured window. Timing the whole
     run and windowing the kept history avoids that; burn-in generations
     cost the same per-generation compute, so the rate is steady-state.
+
+    The cache stores the SINGLE-PROCESS ESS/s; the perfect-MPI frame is
+    applied at report time with the pinned PERFECT_MPI_CORES. If a cache
+    for the same config already exists, the STRONGER single-process rate
+    wins (a weaker bench box must never weaken the denominator).
     """
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
     from reference_numpy import NumpyDreamZs, mixture_log_prob_numpy
@@ -290,19 +303,45 @@ def measure_cpu_baseline(path):
     chains = np.swapaxes(hist[burn:], 0, 1)
     ess, eps_1proc = ess_rate(chains, gens_per_sec)
 
-    cores = os.cpu_count() or 1
     baseline = {
         "single_process_gens_per_sec": gens_per_sec,
         "ess_window": ess,
-        "cores": cores,
-        "ess_per_sec": eps_1proc * cores,
-        "note": "NumPy reference semantics x perfect-MPI core scaling "
-                "(optimistic upper bound; see benchmarks/reference_numpy.py)",
+        "single_process_ess_per_sec": eps_1proc,
+        "perfect_mpi_cores": PERFECT_MPI_CORES,
+        "note": "NumPy reference semantics, SINGLE-process rate; the "
+                "perfect-MPI frame multiplies by the pinned "
+                "perfect_mpi_cores at report time "
+                "(see benchmarks/reference_numpy.py, BASELINE.md)",
         "config": {"d": D, "n_chains": N_CHAINS, "timed_gens": timed},
     }
+    prev = _load_baseline(path)
+    if (prev is not None
+            and prev.get("config") == baseline["config"]
+            and prev["single_process_ess_per_sec"]
+            > baseline["single_process_ess_per_sec"]):
+        log(f"fresh baseline ({eps_1proc:.1f} ESS/s/proc) is weaker than "
+            f"cached ({prev['single_process_ess_per_sec']:.1f}) — this "
+            "box is slower; keeping the stronger cached denominator")
+        baseline = prev
     with open(path, "w") as f:
         json.dump(baseline, f, indent=1)
     return baseline
+
+
+def _load_baseline(path):
+    """Load + normalize the cached denominator; None if absent.
+
+    Migrates the round-1..3 schema (ess_per_sec pre-multiplied by the
+    bench box's os.cpu_count()) to the pinned single-process schema."""
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        b = json.load(f)
+    if "single_process_ess_per_sec" not in b:
+        cores = b.get("cores", 1) or 1
+        b["single_process_ess_per_sec"] = b["ess_per_sec"] / cores
+        b["perfect_mpi_cores"] = PERFECT_MPI_CORES
+    return b
 
 
 def main():
@@ -317,35 +356,39 @@ def main():
         os.path.dirname(os.path.abspath(__file__)),
         "benchmarks", "cpu_baseline.json")
     if SMOKE:
-        baseline = {"ess_per_sec": 1.0}     # never (over)write the real
-        log("SMOKE: skipping CPU baseline")  # baseline with tiny shapes
-    elif os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            baseline = json.load(f)
+        baseline = {"single_process_ess_per_sec": 1.0}   # never
+        log("SMOKE: skipping CPU baseline")  # (over)write the real
+    else:                                    # baseline with tiny shapes
+        baseline = _load_baseline(baseline_path)
         # the cache is keyed on the benchmark shape: a stale denominator
         # from a different (d, n_chains) would silently corrupt the
         # headline ratio
-        cached_cfg = baseline.get("config", {})
+        cached_cfg = (baseline or {}).get("config", {})
         if (cached_cfg.get("d"), cached_cfg.get("n_chains")) != (D, N_CHAINS):
             log(f"cached CPU baseline is for {cached_cfg} != "
-                f"(d={D}, n_chains={N_CHAINS}) — re-measuring")
-            signal.alarm(1200)
-            baseline = measure_cpu_baseline(baseline_path)
-        log("loaded cached CPU baseline:", baseline["ess_per_sec"])
-    else:
-        signal.alarm(1200)       # serial NumPy phase: generous, and the
+                f"(d={D}, n_chains={N_CHAINS}) — measuring")
+            signal.alarm(1800)   # serial NumPy phase: generous, and the
                                  # watchdog message would wrongly blame
                                  # the tunnel here
-        log("measuring CPU reference baseline ...")
-        baseline = measure_cpu_baseline(baseline_path)
-        log("CPU baseline ESS/sec (perfect-MPI bound):",
-            baseline["ess_per_sec"])
+            baseline = measure_cpu_baseline(baseline_path)
+        log("CPU baseline, single-process ESS/s:",
+            baseline["single_process_ess_per_sec"])
+    eps_1 = baseline["single_process_ess_per_sec"]
     out = {
         "metric": "ess_per_sec_dreamzs_256chain_100d",
         "value": round(res["ess_per_sec"], 2),
         "unit": "effective samples/sec/chip",
         "engine": res["engine"],
-        "vs_baseline": round(res["ess_per_sec"] / baseline["ess_per_sec"], 2),
+        # headline ratio: vs a PINNED perfect-MPI single node (round-4
+        # verdict fix #2 — no more os.cpu_count() dependence); the
+        # 1-core ratio is reported alongside for the raw frame
+        "vs_baseline": round(res["ess_per_sec"]
+                             / (eps_1 * PERFECT_MPI_CORES), 2),
+        "vs_1core": round(res["ess_per_sec"] / eps_1, 2),
+        "baseline_frame": {
+            "single_process_ess_per_sec": round(eps_1, 3),
+            "perfect_mpi_cores": PERFECT_MPI_CORES,
+        },
         # second north-star (BASELINE.json:2), compile-excluded; within one
         # basin — cross-mode R̂ is unreachable by construction (see
         # run_wall_to_rhat docstring). rhat_stop_final > rhat_tol would

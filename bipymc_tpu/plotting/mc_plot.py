@@ -134,7 +134,7 @@ def plot_geweke(chains, labels=None, path=None):
     m, d = z.shape
     fig, ax = plt.subplots(figsize=(6, 3.5))
     for j in range(d):
-        lbl = labels[j] if labels else f"θ{j}"
+        lbl = labels[j] if labels and j < len(labels) else f"θ{j}"
         ax.plot(np.arange(m), z[:, j], "o", ms=4, label=lbl)
     ax.axhspan(-2.0, 2.0, color="g", alpha=0.15, label="|z| < 2")
     ax.axhline(0.0, color="k", lw=0.5)
@@ -219,7 +219,8 @@ def plot_sbc_ranks(ranks, n_draws=None, n_bins=8, labels=None, path=None):
         ax.axhspan(expected - half, expected + half, color="k", alpha=0.12,
                    label="99% band" if j == 0 else None)
         ax.axhline(expected, color="k", lw=0.8, ls="--")
-        ax.set_xlabel(labels[j] if labels else f"θ{j} rank")
+        ax.set_xlabel(labels[j] if labels and j < len(labels)
+                      else f"θ{j} rank")
         if j == 0:
             ax.set_ylabel(f"count / {K} repl")
     fig.tight_layout()

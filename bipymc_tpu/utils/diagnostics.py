@@ -279,6 +279,11 @@ def geweke(chains, first=0.1, last=0.5, c=5.0):
     chains = _promote(chains)
     n = chains.shape[1]
     na, nb = max(int(first * n), 2), max(int(last * n), 2)
+    if na + nb > n:
+        raise ValueError(
+            f"geweke segments overlap: first={first}, last={last} give "
+            f"{na}+{nb} > {n} samples — z-scores would compare "
+            "overlapping windows; shrink the fractions")
 
     def seg_se(x):
         # x: [M, n_seg, d] → (mean [M,d], se² [M,d]) with τ-inflated se
@@ -305,8 +310,12 @@ def multivariate_rhat(chains, split=True):
     L⁻¹(B/n)L⁻ᵀ with W = LLᵀ (+ a trace-scaled jitter so a converged,
     near-singular W stays factorable in f32).
 
-    Needs m ≥ d/2 chains for W to be full-rank after splitting (m
-    split-halves estimate a d×d within covariance). chains: [M, N, d];
+    Rank requirements: W pools m(n−1) within-chain degrees of freedom
+    (after splitting), so it is full-rank whenever m(n−1) ≥ d — easily
+    met. The binding limit is B/n, whose rank is ≤ m−1 (m split-half
+    means around their grand mean): with fewer than d+1 half-chains λ₁
+    is estimated in a rank-deficient between matrix; the trace-scaled
+    jitter keeps the solve stable either way. chains: [M, N, d];
     returns a scalar. ``split=True`` halves chains first, as
     :func:`gelman_rubin` does. Values near 1 indicate convergence
     (same 1.1 rule of thumb). Beyond-reference; jittable.

@@ -317,6 +317,17 @@ def test_geweke_2d_squeeze():
     assert z.shape == (4,)
 
 
+def test_geweke_overlapping_segments_rejected():
+    """first + last > 1 would silently compare overlapping windows
+    (ADVICE round 3) — must raise instead."""
+    import pytest
+    from bipymc_tpu.utils.diagnostics import geweke
+    rng = np.random.default_rng(24)
+    x = jnp.asarray(rng.standard_normal((2, 100, 2)).astype(np.float32))
+    with pytest.raises(ValueError, match="overlap"):
+        geweke(x, first=0.6, last=0.5)
+
+
 def test_multivariate_rhat_converged_near_one():
     from bipymc_tpu.utils.diagnostics import multivariate_rhat
     rng = np.random.default_rng(23)
