@@ -2066,7 +2066,18 @@ class FlowMh(McmcSampler):
 
     def __init__(self, log_like_fn, proposal, n_chains=8, seed=0,
                  dtype=jnp.float32, mesh=None, flow_config=None,
-                 **config_kw):
+                 fused=False, log_prob_block=None, **config_kw):
+        """``fused=True`` routes aligned steady segments through the
+        fused engine (samplers/flowmh_fused.py): the whole
+        ``global_every × local_moves`` local-RW block between global
+        moves runs as ONE Pallas kernel, the global move between
+        launches. Identical streams to ``fused=False`` (the prep
+        replicates the per-generation word layout); requires a
+        Mosaic-expressible target, ``local_moves >= 1``, float32,
+        single device. ``global_every=K`` in ``config_kw`` amortizes
+        the proposal-density passes 1/K — the round-4 path to ≥5k
+        gens/s on the headline config (benchmarks/flowmh_amortize_ab).
+        """
         super().__init__(log_like_fn, seed=seed, dtype=dtype)
         from bipymc_tpu.utils.flows import FlowConfig, flow_proposal
         from bipymc_tpu.utils.proposals import Proposal
@@ -2075,12 +2086,48 @@ class FlowMh(McmcSampler):
         self.cfg = flowmh.FlowMhConfig(flow=fc, **config_kw)
         if self.cfg.local_moves < 0:
             raise ValueError("local_moves must be >= 0")
+        if self.cfg.global_every < 1:
+            raise ValueError("global_every must be >= 1")
+        if self.cfg.global_every > 1 and self.cfg.local_moves == 0:
+            raise ValueError("global_every > 1 with local_moves=0 would "
+                             "leave skipped generations with no move")
         if isinstance(proposal, Proposal):
             self.proposal = proposal
         else:
             self.proposal = flow_proposal(proposal, fc)
         self.mesh = mesh
         _check_mesh_chains(mesh, self.n_chains)
+        self.fused = bool(fused)
+        self._log_prob_block = log_prob_block
+        self._fused_runner = None
+        self._fused_jits = {}
+        if self.fused:
+            from bipymc_tpu.samplers.flowmh_fused import (
+                check_flowmh_fusable)
+            check_flowmh_fusable(self.cfg)
+            if mesh is not None:
+                raise ValueError("fused=True is single-device; the mesh "
+                                 "path uses the per-generation engine")
+            _check_fused_dtype(self.dtype)
+
+    def _ensure_fused_runner(self):
+        if self._fused_runner is None:
+            from bipymc_tpu.samplers.flowmh_fused import (
+                make_flowmh_chunk_runner)
+            self._fused_runner = make_flowmh_chunk_runner(
+                self.log_like_fn, self.proposal, self.cfg, self.n_chains,
+                log_prob_block=self._log_prob_block)
+        return self._fused_runner
+
+    def _fused_run(self, state, k_run, n_gens, t0):
+        """Jit-cached fused segment (keyed on n_gens; t0 traced)."""
+        self._ensure_fused_runner()
+        if n_gens not in self._fused_jits:
+            runner = self._fused_runner
+            self._fused_jits[n_gens] = jax.jit(
+                lambda s, k, t, _n=n_gens: runner(s, k, _n, t))
+        return self._fused_jits[n_gens](state, k_run,
+                                        jnp.asarray(t0, jnp.int32))
 
     def _ensure(self, theta_0, spread):
         return self._ensure_population(
@@ -2096,6 +2143,30 @@ class FlowMh(McmcSampler):
     def run_mcmc(self, n_gens, theta_0=None, thin=1, spread=1.0,
                  progress_every=None):
         state, k_run = self._ensure(theta_0, spread)
+        use_fused = (self.fused and thin == 1 and progress_every is None)
+        if use_fused:
+            # [per-gen alignment] -> [fused G-gen chunks] -> [per-gen
+            # remainder] — the _RwSampler segment split; fused chunk
+            # starts must sit on global-move boundaries
+            # (t % global_every == 0)
+            G = self.cfg.global_every
+            t = self._steps_run
+            n1 = min((G - t % G) % G, n_gens)
+            n2 = ((n_gens - n1) // G) * G
+            n3 = n_gens - n1 - n2
+            segs = [(k, n) for k, n in (("pergen", n1), ("fused", n2),
+                                        ("pergen", n3)) if n]
+            for kind, n_seg in segs:
+                t = self._steps_run
+                if kind == "fused":
+                    final_state, history = self._fused_run(
+                        state, k_run, n_seg, t)
+                else:
+                    final_state, history = self._pool_obj.run(
+                        state, k_run, n_seg, thin=1, t0=t)
+                self._store(final_state, history, n_seg, thin=1)
+                state = self._final_state
+            return self
         final_state, history = self._pool_obj.run(
             state, k_run, n_gens, thin=thin, t0=self._steps_run,
             progress_every=progress_every)
@@ -2105,10 +2176,20 @@ class FlowMh(McmcSampler):
     def run_mcmc_until(self, theta_0=None, rhat_tol=1.05, chunk=100,
                        max_chunks=200, warmup_chunks=2, spread=1.0):
         state, k_run = self._ensure(theta_0, spread)
+        chunk_runner = None
+        if self.fused:
+            # round the chunk UP to a multiple of global_every; an
+            # unaligned continuation offset falls back to the
+            # per-generation engine (same policy as DreamZs)
+            G = self.cfg.global_every
+            if chunk % G:
+                chunk += G - chunk % G
+            if self._steps_run % G == 0:
+                chunk_runner = self._ensure_fused_runner()
         final_state, info = self._pool_obj.run_until(
             state, k_run, rhat_tol=rhat_tol, chunk=chunk,
             max_chunks=max_chunks, warmup_chunks=warmup_chunks,
-            t0=self._steps_run)
+            t0=self._steps_run, chunk_runner=chunk_runner, fused_after=0)
         self._final_state = jax.block_until_ready(final_state)
         self._steps_run += int(info["steps"])
         return {k: np.asarray(v) for k, v in info.items()}

@@ -68,6 +68,14 @@ class FlowMhConfig(NamedTuple):
         (0 = pure independence sampler).
     rw_scale: multiplies the 2.38/√d · σ_fit per-dimension RW scale
         (σ_fit from ``proposal.sigma``).
+    global_every: run the independence move only on generations with
+        ``(t+1) % global_every == 0`` (1 = every generation, the
+        round-3 behavior). The composition of K−1 local-only kernels
+        and one local+global kernel is still exactly π-invariant; the
+        global move's density pass is paid 1/K as often. The per-gen
+        RANDOMNESS LAYOUT is unchanged (the full word block is drawn
+        every generation; skipped gens ignore the global words), so
+        global_every only gates which kernel runs, not the streams.
     flow: the frozen flow's ARCHITECTURE — used only by the API layer
         to build a flow `Proposal` from bare `FlowParams` (which carry
         no static config); the kernel itself sees only the proposal.
@@ -75,6 +83,7 @@ class FlowMhConfig(NamedTuple):
 
     local_moves: int = 1
     rw_scale: float = 1.0
+    global_every: int = 1
     flow: FlowConfig = FlowConfig()
 
 
@@ -107,6 +116,11 @@ def make_step(log_prob: Callable, proposal: Proposal, cfg: FlowMhConfig,
 
     if cfg.local_moves < 0:
         raise ValueError("local_moves must be >= 0")
+    if cfg.global_every < 1:
+        raise ValueError("global_every must be >= 1")
+    if cfg.global_every > 1 and cfg.local_moves == 0:
+        raise ValueError("global_every > 1 with local_moves=0 would "
+                         "leave skipped generations with no move at all")
 
     def step(state: FlowMhState, key: jax.Array, t: jax.Array):
         n_local, d = state.x.shape
@@ -129,7 +143,13 @@ def make_step(log_prob: Callable, proposal: Proposal, cfg: FlowMhConfig,
             w0 = m * (d + 1)
             eps = bits_to_normal(blk[:, w0:w0 + d], dtype)
             log_u = jnp.log(bits_to_uniform(blk[:, w0 + d], dtype))
-            x_star = x + scale * eps
+            # barrier: keep the displacement a separately-rounded value
+            # (XLA would otherwise fuse mul+add into an FMA here, which
+            # the fused engine — displacement precomputed as a kernel
+            # operand — cannot replicate; 1-ULP drift per move breaks
+            # the engines' bit-agreement, tests/test_flowmh_fused.py)
+            dxy = jax.lax.optimization_barrier(scale * eps)
+            x_star = x + dxy
             logp_star = jax.vmap(log_prob)(x_star)
             log_alpha = jnp.minimum(0.0, logp_star - logp)
             log_alpha = jnp.where(jnp.isfinite(logp_star), log_alpha,
@@ -139,30 +159,47 @@ def make_step(log_prob: Callable, proposal: Proposal, cfg: FlowMhConfig,
             logp = jnp.where(acc, logp_star, logp)
             n_acc_local = n_acc_local + acc.astype(dtype)
 
-        if cfg.local_moves:
-            # local moves changed x → refresh the cached log q once per
-            # generation (one density pass; the minimum possible)
-            lq = proposal.log_q(x)
-            acc_local = n_acc_local / cfg.local_moves
-        else:
-            lq = state.lq
-            acc_local = jnp.zeros((n_local,), dtype)
+        acc_local = (n_acc_local / cfg.local_moves if cfg.local_moves
+                     else jnp.zeros((n_local,), dtype))
 
-        # independence move from the fitted proposal density
+        # independence move from the fitted proposal density (on the
+        # global_every schedule; the words are drawn either way — the
+        # stream layout is schedule-independent)
         w0 = cfg.local_moves * (d + 1)
         eps = bits_to_normal(blk[:, w0:w0 + d], dtype)
         u_comp = bits_to_uniform(blk[:, w0 + d], dtype)
         log_u = jnp.log(bits_to_uniform(blk[:, w0 + d + 1], dtype))
-        x_star, lq_star = proposal.sample_logq(eps, u_comp)
-        logp_star = jax.vmap(log_prob)(x_star)
-        log_alpha = jnp.minimum(0.0, (logp_star - lq_star) - (logp - lq))
-        log_alpha = jnp.where(jnp.isfinite(logp_star)
-                              & jnp.isfinite(lq_star), log_alpha,
-                              -jnp.inf)
-        acc = log_u < log_alpha
-        x_new = jnp.where(acc[:, None], x_star, x)
-        logp_new = jnp.where(acc, logp_star, logp)
-        lq_new = jnp.where(acc, lq_star, lq)
+
+        def global_move(args):
+            x, logp, lq_cached = args
+            # local moves changed x → refresh the cached log q (one
+            # density pass; with local_moves=0 the cache is exact)
+            lq = proposal.log_q(x) if cfg.local_moves else lq_cached
+            x_star, lq_star = proposal.sample_logq(eps, u_comp)
+            logp_star = jax.vmap(log_prob)(x_star)
+            log_alpha = jnp.minimum(0.0,
+                                    (logp_star - lq_star) - (logp - lq))
+            log_alpha = jnp.where(jnp.isfinite(logp_star)
+                                  & jnp.isfinite(lq_star), log_alpha,
+                                  -jnp.inf)
+            acc = log_u < log_alpha
+            return (jnp.where(acc[:, None], x_star, x),
+                    jnp.where(acc, logp_star, logp),
+                    jnp.where(acc, lq_star, lq), acc)
+
+        def skip_move(args):
+            x, logp, lq_cached = args
+            return x, logp, lq_cached, jnp.zeros((n_local,), bool)
+
+        if cfg.global_every == 1:
+            x_new, logp_new, lq_new, acc = global_move(
+                (x, logp, state.lq))
+        else:
+            # t is a replicated scalar, so the cond is a real branch
+            # under jit/shard_map — skipped generations pay nothing
+            is_global = (t + 1) % cfg.global_every == 0
+            x_new, logp_new, lq_new, acc = jax.lax.cond(
+                is_global, global_move, skip_move, (x, logp, state.lq))
 
         new_state = FlowMhState(x=x_new, logp=logp_new, lq=lq_new,
                                 gen=state.gen + 1)

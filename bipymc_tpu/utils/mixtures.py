@@ -90,23 +90,68 @@ def gmm_marginal_std(params: GmmParams) -> jax.Array:
     return jnp.sqrt(jnp.maximum(second - mean ** 2, 1e-12))
 
 
+def _chol_is_diagonal(chol) -> bool:
+    """Host-side check that every component's Cholesky factor is
+    diagonal (concrete arrays only — callers guard on Tracer)."""
+    if isinstance(chol, jax.core.Tracer):
+        return False
+    K, d, _ = chol.shape
+    off = chol * (1.0 - jnp.eye(d, dtype=chol.dtype))
+    return bool(jnp.all(off == 0.0))
+
+
+def gmm_log_q_diag(params: GmmParams, x) -> jax.Array:
+    """log q(x) specialized to diagonal component covariances.
+
+    The generic :func:`gmm_log_q` runs K [d,d] triangular solves per
+    call — row-by-row substitution, the one linalg shape TPUs execute
+    serially; at d=100, K=8 it dominated the FlowMh generation. For a
+    ``cov_type="diag"`` fit the quadratic form collapses to two [n,d]@
+    [d,K] matmuls (MXU) via the expansion Σ(x−μ)²/σ² = x²·(1/σ²) −
+    2x·(μ/σ²) + Σμ²/σ². Exact same value as the generic path.
+    """
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    xf = x.reshape(-1, d)
+    var = jnp.sum(params.chol ** 2, axis=-1)             # [K, d]
+    inv = 1.0 / var
+    quad = (xf ** 2 @ inv.T - 2.0 * (xf @ (params.mu * inv).T)
+            + jnp.sum(params.mu ** 2 * inv, axis=-1)[None, :])
+    comp = (-0.5 * quad - 0.5 * jnp.sum(jnp.log(var), axis=-1)[None, :]
+            - 0.5 * d * math.log(2.0 * math.pi))         # [n, K]
+    out = jax.scipy.special.logsumexp(comp + params.log_w[None, :],
+                                      axis=-1)
+    return out.reshape(lead)
+
+
 def gmm_proposal(params: GmmParams) -> Proposal:
     """The fitted mixture as a global-move `Proposal` (`bp.FlowMh`).
     The uniform word selects the component (inverse-CDF on the weight
     simplex), the normal block is colored by that component's Cholesky
     factor; log q is the exact mixture density (all K components — the
-    mixture density needs them regardless)."""
+    mixture density needs them regardless).
+
+    Diagonal-covariance fits (``cov_type="diag"``) are detected at
+    build time and dispatch to :func:`gmm_log_q_diag` / elementwise
+    coloring — same values, ~no triangular solves in the hot loop."""
     K = params.mu.shape[0]
     cum = jnp.cumsum(jnp.exp(params.log_w))
+    diag = _chol_is_diagonal(params.chol)
+    log_q = ((lambda x: gmm_log_q_diag(params, x)) if diag
+             else (lambda x: gmm_log_q(params, x)))
+    if diag:
+        sd = jnp.sqrt(jnp.sum(params.chol ** 2, axis=-1))  # [K, d]
 
     def sample_logq(eps, u):
         comp = jnp.clip(jnp.searchsorted(cum, u), 0, K - 1)
-        x = params.mu[comp] + jnp.einsum("nij,nj->ni",
-                                         params.chol[comp], eps)
-        return x, gmm_log_q(params, x)
+        if diag:
+            x = params.mu[comp] + sd[comp] * eps
+        else:
+            x = params.mu[comp] + jnp.einsum("nij,nj->ni",
+                                             params.chol[comp], eps)
+        return x, log_q(x)
 
-    return Proposal(sample_logq=sample_logq,
-                    log_q=lambda x: gmm_log_q(params, x),
+    return Proposal(sample_logq=sample_logq, log_q=log_q,
                     sigma=gmm_marginal_std(params))
 
 

@@ -157,6 +157,38 @@ def test_diag_cov_type():
                                atol=0.25)
 
 
+def test_diag_log_q_matches_generic():
+    """gmm_log_q_diag (matmul form) equals the generic triangular-solve
+    path on a diag fit, and gmm_proposal auto-dispatches to it —
+    sample_logq draws must match the generic coloring too."""
+    rng = np.random.default_rng(9)
+    x = (np.stack([rng.normal(-2, 1, (3000, 5)),
+                   rng.normal(2, 0.5, (3000, 5))])
+         .reshape(-1, 5).astype(np.float32))
+    p, _ = mx.fit_gmm(jax.random.key(2), jnp.asarray(x), 3, n_iters=60,
+                      cov_type="diag")
+    pts = jnp.asarray(rng.normal(0, 2, (128, 5)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(mx.gmm_log_q_diag(p, pts)),
+                               np.asarray(mx.gmm_log_q(p, pts)),
+                               rtol=2e-5, atol=2e-5)
+    # leading-shape handling
+    assert mx.gmm_log_q_diag(p, pts.reshape(4, 32, 5)).shape == (4, 32)
+    # proposal dispatch: same (x*, log q) from the same raw draws
+    prop = mx.gmm_proposal(p)
+    eps = jnp.asarray(rng.standard_normal((64, 5)).astype(np.float32))
+    u = jnp.asarray(rng.random(64).astype(np.float32))
+    xs, lqs = prop.sample_logq(eps, u)
+    K = p.mu.shape[0]
+    cum = jnp.cumsum(jnp.exp(p.log_w))
+    comp = jnp.clip(jnp.searchsorted(cum, u), 0, K - 1)
+    xs_ref = p.mu[comp] + jnp.einsum("nij,nj->ni", p.chol[comp], eps)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xs_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lqs),
+                               np.asarray(mx.gmm_log_q(p, xs)),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_gmm_proposal_high_acceptance_at_d16():
     """The regime that motivated pluggable proposals: d=16, 4 distant
     modes. The RealNVP proposal measured ~4e-4 acceptance here (fit
