@@ -110,3 +110,63 @@ def test_chees_ranks_uniform():
                       step_size=0.25, seed=5)
     stat, thresh = sbc_uniformity(ranks, n_bins=8, n_draws=127)
     assert np.all(stat < thresh), (stat, thresh)
+
+
+# ---------------------------------------------------------------------------
+# SBC for the HEADLINE engine (round-4 verdict #5): the fused DREAM-zs
+# Pallas path with fused_rng="kernel" + fused_z_update>1 — the two modes
+# outside the bit-exact injected-stream fidelity net by construction
+# (hardware-PRNG streams and batched archive publishes are not
+# bit-comparable to the per-generation engine; api.py fused_rng docs).
+# The kernel PRNG exists only on TPU, so the test is hardware-gated
+# (BIPYMC_TPU_TESTS=1).
+#
+# Design note: per-replication *data* would put a different log_prob
+# closure inside the Pallas kernel each time (one recompile per
+# replication), so this arm runs PRIOR-SBC on a shared, exactly-
+# sampleable banana target: θ̃ ~ π drawn exactly by transform, the
+# kernel targets π itself, and over replications the rank of θ̃ among
+# M thinned chain-0 draws is uniform iff the fused kernel preserves π.
+# Same Talts validity argument (the "posterior" is π with no data
+# term); the target is curved so acceptance-rule/Jacobian biases
+# still register. One sampler object is reused with a fresh seed per
+# replication — identical shapes, so the engine compiles once.
+# ---------------------------------------------------------------------------
+
+_BANANA_B = 0.3
+
+
+def _banana_lp(x):
+    t2 = x[1] - _BANANA_B * (x[0] ** 2 - 1.0)
+    return -0.5 * (x[0] ** 2 + t2 ** 2)
+
+
+def _banana_sample(key):
+    z = jax.random.normal(key, (2,))
+    return jnp.stack([z[0], z[1] + _BANANA_B * (z[0] ** 2 - 1.0)])
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="fused_rng='kernel' needs the TPU hardware PRNG")
+def test_fused_kernel_rng_dreamzs_ranks_uniform():
+    import bipymc_tpu as bp
+
+    N_REPL, M, THIN, BURN, N_CH = 128, 63, 10, 400, 8
+    s = bp.DreamZs(_banana_lp, n_chains=N_CH, seed=0, burnin_gens=0,
+                   fused=True, fused_rng="kernel", fused_z_update=4)
+    prior_keys = jax.random.split(jax.random.key(999), N_REPL)
+    ranks = np.zeros((N_REPL, 2), np.int32)
+    for k in range(N_REPL):
+        kp, kx = jax.random.split(prior_keys[k])
+        theta_t = _banana_sample(kp)
+        x0 = theta_t + 0.5 * jax.random.normal(kx, (N_CH, 2))
+        x0 = x0.at[0].set(theta_t)          # exact-π start for chain 0
+        s.seed = 1000 + k                    # fresh streams, same shapes
+        s.reset()
+        s.run_mcmc(BURN + M * THIN, x0)
+        xh = jnp.concatenate([c["x"] for c in s._chunks], axis=0)
+        draws = xh[BURN + THIN - 1::THIN, 0, :]          # [M, 2] chain 0
+        ranks[k] = np.asarray(jnp.sum(
+            (draws < theta_t[None, :]).astype(jnp.int32), axis=0))
+    stat, thresh = sbc_uniformity(jnp.asarray(ranks), n_bins=8, n_draws=M)
+    assert np.all(stat < thresh), (stat, thresh)
