@@ -124,7 +124,7 @@ def gmm_log_q_diag(params: GmmParams, x) -> jax.Array:
     return out.reshape(lead)
 
 
-def gmm_proposal(params: GmmParams) -> Proposal:
+def gmm_proposal(params: GmmParams, inflate: float = 1.0) -> Proposal:
     """The fitted mixture as a global-move `Proposal` (`bp.FlowMh`).
     The uniform word selects the component (inverse-CDF on the weight
     simplex), the normal block is colored by that component's Cholesky
@@ -133,7 +133,23 @@ def gmm_proposal(params: GmmParams) -> Proposal:
 
     Diagonal-covariance fits (``cov_type="diag"``) are detected at
     build time and dispatch to :func:`gmm_log_q_diag` / elementwise
-    coloring — same values, ~no triangular solves in the hot loop."""
+    coloring — same values, ~no triangular solves in the hot loop.
+
+    inflate: scale every component's Cholesky factor by this (>1 ⇒
+    heavier q). Independence MH needs q to DOMINATE π's tails (the
+    sup π/q bound is what controls sticking episodes — Mengersen &
+    Tweedie 1996), and an ML fit's tails are too thin by construction
+    (σ̂ noise alone puts some dimensions under π's width, and at high d
+    those per-dim deficits multiply: measured on the d=100 headline
+    pipeline, the un-inflated refit proposal held cross-mode R̂ at 1.01
+    while chains stuck in under-covered spots skewed mode occupancy by
+    0.18). 1.05 is a good default for fitted proposals at d ≳ 50 —
+    exp(−KL) acceptance cost ≈ e^{−0.0023·d}. The proposal stays an
+    exact density (the inflation is part of q, not a bias)."""
+    if inflate != 1.0:
+        if not inflate > 0:
+            raise ValueError("inflate must be > 0")
+        params = params._replace(chol=params.chol * inflate)
     K = params.mu.shape[0]
     cum = jnp.cumsum(jnp.exp(params.log_w))
     diag = _chol_is_diagonal(params.chol)

@@ -235,3 +235,26 @@ def test_gmm_proposal_mesh_equals_vmap():
     b = bp.FlowMh(lp, prop, n_chains=16, seed=12, mesh=chain_mesh())
     b.run_mcmc(80, jnp.zeros(4), spread=2.0)
     np.testing.assert_array_equal(a.super_chain, b.super_chain)
+
+
+def test_gmm_proposal_inflate():
+    """inflate=c scales every component scale by c: log q drops by
+    d·log c at the component centre, draws stretch by c around the
+    selected mean, and c<=0 is rejected."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(0, 1, (2000, 3)).astype(np.float32))
+    p, _ = mx.fit_gmm(jax.random.key(0), x, 1, n_iters=40, cov_type="diag")
+    base = mx.gmm_proposal(p)
+    infl = mx.gmm_proposal(p, inflate=2.0)
+    pt = p.mu                                            # [1, 3] centre
+    got = float(infl.log_q(pt)[0] - base.log_q(pt)[0])
+    np.testing.assert_allclose(got, -3 * np.log(2.0), rtol=1e-5)
+    eps = jnp.asarray(rng.standard_normal((8, 3)).astype(np.float32))
+    u = jnp.asarray(rng.random(8).astype(np.float32))
+    xb, _ = base.sample_logq(eps, u)
+    xi, _ = infl.sample_logq(eps, u)
+    np.testing.assert_allclose(np.asarray(xi - p.mu),
+                               2.0 * np.asarray(xb - p.mu), rtol=1e-5,
+                               atol=1e-6)
+    with pytest.raises(ValueError, match="inflate"):
+        mx.gmm_proposal(p, inflate=0.0)
