@@ -106,6 +106,9 @@ UNTIL_KW = dict(rhat_tol=1.1, chunk=200, max_chunks=200, warmup_chunks=1)
 VALIDATE_GENS = 2000
 SEED = 11
 
+# NORTHSTAR_FUSED=0: run every FlowMh stage on the per-generation engine
+# (engine-bias A/B diagnostic; same streams by key discipline)
+FUSED = os.environ.get("NORTHSTAR_FUSED", "1") == "1"
 SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 if SMOKE:
     D, N_CHAINS = 8, 64
@@ -191,7 +194,7 @@ def pipeline():
                       n_chains=N_CHAINS, seed=SEED + 2 + 10 * i,
                       local_moves=LOCAL_MOVES,
                       global_every=BRIDGE_GLOBAL_EVERY,
-                      rw_scale=RW_SCALE, fused=True)
+                      rw_scale=RW_SCALE, fused=FUSED)
         t0 = time.time()
         b.run_mcmc(BRIDGE_GENS, theta_b)
         xb = b._chunks[-1]["x"]                           # [T, n, d] device
@@ -212,11 +215,19 @@ def pipeline():
     gparams2 = params_i
     log(f"C totals cold: bridge {t_bridge_cold:.2f}s, "
         f"refit {t_refit_cold:.2f}s")
+    if os.environ.get("NORTHSTAR_SAVE_PARAMS"):
+        np.savez(os.environ["NORTHSTAR_SAVE_PARAMS"],
+                 log_w1=np.asarray(gparams.log_w),
+                 mu1=np.asarray(gparams.mu),
+                 chol1=np.asarray(gparams.chol),
+                 log_w2=np.asarray(gparams2.log_w),
+                 mu2=np.asarray(gparams2.mu),
+                 chol2=np.asarray(gparams2.chol))
 
     # ---- D: sample until cross-mode R̂ < 1.1 ----------------------------
     s = bp.FlowMh(log_prob, gmm_proposal(gparams2, INFLATE), n_chains=N_CHAINS,
                   seed=SEED + 4, local_moves=LOCAL_MOVES,
-                  global_every=GLOBAL_EVERY, rw_scale=RW_SCALE, fused=True)
+                  global_every=GLOBAL_EVERY, rw_scale=RW_SCALE, fused=FUSED)
     t0 = time.time()
     info = s.run_mcmc_until(theta_b, **UNTIL_KW)
     t_until_cold = time.time() - t0

@@ -337,6 +337,80 @@ def config4(quick):
     t0 = time.time()
     ref.run(np.zeros(4), n_ref, cov0=np.eye(4) * 0.05)
     ref_sps = n_ref / (time.time() - t0)
+
+    # utilization columns (round-4 verdict #6): exact-GP FLOPs/eval =
+    # chol n³/3 + pairwise build 3n²d + two triangular solves 2n²
+    # (same accounting as profile_config4_scaling.flops_per_eval)
+    peak = 49_000.0              # ~49 f32 TFLOP/s nominal v5e bound
+    exact_flops = lambda nt: nt ** 3 / 3 + 3 * nt ** 2 * 2 + 2 * nt ** 2
+    gfl = chols_per_sec * exact_flops(n_train) / 1e9
+
+    # ---- variant: n=2048 exact GP (per-eval FLOPs ×64; the single
+    # factorisation starts to tile the MXU on its own) -------------------
+    n2 = 2048 if not quick else 256
+    nc2, ns2 = 16, (300 if not quick else 60)
+    x2 = rng.uniform(-4, 4, (n2, 2)).astype(np.float32)
+    y2 = (np.sin(2 * x2[:, 0]) * np.cos(x2[:, 1])
+          + rng.normal(0, 0.2, n2)).astype(np.float32)
+    x2j, y2j = jnp.asarray(x2), jnp.asarray(y2)
+
+    def log_post_2k(theta):
+        p = {"log_lengthscale": theta[0:2], "log_sigma_f": theta[2],
+             "log_sigma_n": theta[3]}
+        return gp._lml_impl(p, x2j, y2j) - 0.5 * jnp.sum((theta / 2.0) ** 2)
+
+    s2k = bp.Dram(log_post_2k, seed=1, n_chains=nc2)
+    s2k.run_mcmc(ns2, jnp.zeros(4), cov_est=jnp.eye(4) * 0.05)
+    t0 = time.time()
+    s2k.run_mcmc(ns2)
+    el2 = time.time() - t0
+    _, eps2 = ess_per_sec(s2k, ns2 + ns2 // 4, el2, ns2)
+    ev2 = 2 * nc2 * ns2 / el2
+    var_2k = {
+        "n_train": n2, "n_chains": nc2,
+        "steps_per_sec": ns2 / el2,
+        "cholesky_evals_per_sec": ev2,
+        "ess_per_sec": eps2,
+        "achieved_gflops": ev2 * exact_flops(n2) / 1e9,
+        "pct_of_f32_peak": 100.0 * ev2 * exact_flops(n2) / 1e9 / peak,
+    }
+
+    # ---- variant: sparse-VFE ELBO target, n=8192, m=128 — the surrogate
+    # path that removes the O(n³) wall (gp/sparse.py); per-eval FLOPs ≈
+    # 2nm² (A=Lm⁻¹Kmn and AAᵀ) + 3nmd build + m³/3 --------------------
+    nv = 8192 if not quick else 512
+    mv, ncv, nsv = 128, 64, (400 if not quick else 60)
+    from bipymc_tpu.gp.sparse import SparseGpRegressor, init_inducing
+    xv = rng.uniform(-4, 4, (nv, 2)).astype(np.float32)
+    yv = (np.sin(2 * xv[:, 0]) * np.cos(xv[:, 1])
+          + rng.normal(0, 0.2, nv)).astype(np.float32)
+    xvj, yvj = jnp.asarray(xv), jnp.asarray(yv)
+    sgp = SparseGpRegressor()
+    zv = init_inducing(jax.random.key(0), xvj, mv)
+
+    def log_post_vfe(theta):
+        p = {"log_lengthscale": theta[0:2], "log_sigma_f": theta[2],
+             "log_sigma_n": theta[3]}
+        return (sgp._elbo_impl(p, zv, xvj, yvj)
+                - 0.5 * jnp.sum((theta / 2.0) ** 2))
+
+    sv = bp.Dram(log_post_vfe, seed=1, n_chains=ncv)
+    sv.run_mcmc(nsv, jnp.zeros(4), cov_est=jnp.eye(4) * 0.05)
+    t0 = time.time()
+    sv.run_mcmc(nsv)
+    elv = time.time() - t0
+    _, epsv = ess_per_sec(sv, nsv + nsv // 4, elv, nsv)
+    evv = 2 * ncv * nsv / elv
+    vfe_flops = 2 * nv * mv ** 2 + 3 * nv * mv * 2 + mv ** 3 / 3
+    var_vfe = {
+        "n_train": nv, "m_inducing": mv, "n_chains": ncv,
+        "steps_per_sec": nsv / elv,
+        "elbo_evals_per_sec": evv,
+        "ess_per_sec": epsv,
+        "achieved_gflops": evv * vfe_flops / 1e9,
+        "pct_of_f32_peak": 100.0 * evv * vfe_flops / 1e9 / peak,
+    }
+
     # 4 vmapped chains vs 1 serial chain: compare per-chain-step rates
     # times chains (throughput), same per-step statistical efficiency
     return {
@@ -344,8 +418,12 @@ def config4(quick):
         "steps_per_sec": n / elapsed,
         "cholesky_evals_per_sec": chols_per_sec,
         "ess_per_sec": eps,
+        "achieved_gflops": gfl,
+        "pct_of_f32_peak": 100.0 * gfl / peak,
         "ref_steps_per_sec_1chain": ref_sps,
         "speedup_chain_steps": (n_chains * n / elapsed) / ref_sps,
+        "variant_n2048": var_2k,
+        "variant_vfe": var_vfe,
     }
 
 

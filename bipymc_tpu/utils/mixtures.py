@@ -109,13 +109,27 @@ def gmm_log_q_diag(params: GmmParams, x) -> jax.Array:
     ``cov_type="diag"`` fit the quadratic form collapses to two [n,d]@
     [d,K] matmuls (MXU) via the expansion Σ(x−μ)²/σ² = x²·(1/σ²) −
     2x·(μ/σ²) + Σμ²/σ². Exact same value as the generic path.
+
+    Precision: the matmuls run at ``Precision.HIGHEST`` (house rule,
+    ops/pallas_solve.py). This is LOAD-BEARING, not style: the three
+    expansion terms are each O(‖μ‖²) (~2500 on the d=100 headline
+    target) and cancel to O(d). The TPU MXU default truncates matmul
+    inputs to bf16, whose 2⁻⁸ relative error on those inputs leaves
+    O(nats) of position-dependent noise on log q — measured downstream
+    as a 0.18 mode-occupancy bias in the northstar pipeline with
+    per-dim R̂ still converging (the noise scales with each mode's
+    ‖μ_m‖², so it biases mode exchange systematically; CPU replay of
+    the identical proposal showed no bias). HIGHEST restores f32-level
+    accumulation and costs ~3× on this tiny [n,d]@[d,K] contraction.
     """
+    hi = jax.lax.Precision.HIGHEST
     lead = x.shape[:-1]
     d = x.shape[-1]
     xf = x.reshape(-1, d)
     var = jnp.sum(params.chol ** 2, axis=-1)             # [K, d]
     inv = 1.0 / var
-    quad = (xf ** 2 @ inv.T - 2.0 * (xf @ (params.mu * inv).T)
+    quad = (jnp.matmul(xf ** 2, inv.T, precision=hi)
+            - 2.0 * jnp.matmul(xf, (params.mu * inv).T, precision=hi)
             + jnp.sum(params.mu ** 2 * inv, axis=-1)[None, :])
     comp = (-0.5 * quad - 0.5 * jnp.sum(jnp.log(var), axis=-1)[None, :]
             - 0.5 * d * math.log(2.0 * math.pi))         # [n, K]

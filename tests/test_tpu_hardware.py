@@ -130,3 +130,28 @@ def test_gp_optimize_cliff_on_hardware():
     compiled Adam scan finite HERE, not just on CPU."""
     import test_gp
     test_gp.test_optimize_noiseless_scores_near_f32_cliff()
+
+
+def test_gmm_diag_logq_precision_on_hardware():
+    """The round-4 northstar bias, pinned (docs/ROUND4.md): the diag GMM
+    log-q expansion cancels three O(‖μ‖²) matmul terms to O(d), so MXU
+    default precision (bf16 truncation of inputs ~2500 ⇒ O(nats) of
+    position-dependent log-q noise) silently biases mode exchange in
+    every independence-MH ratio built on it. With Precision.HIGHEST the
+    diag path must agree with the triangular-solve path ON THE CHIP to
+    float-sum tolerance at headline-scale mode norms (d=100, ‖μ‖≈50).
+    Before the fix this differed by up to ~5 nats here."""
+    from bipymc_tpu.models.targets import baseline_config3_means
+    from bipymc_tpu.utils.mixtures import (GmmParams, gmm_log_q,
+                                           gmm_log_q_diag)
+    d = 100
+    means = jnp.asarray(baseline_config3_means(d))
+    k = means.shape[0]
+    sd = 1.0 + 0.1 * jax.random.normal(jax.random.key(0), (k, d))
+    params = GmmParams(log_w=jnp.full((k,), -np.log(k)), mu=means,
+                       chol=sd[:, :, None] * jnp.eye(d)[None])
+    x = (means[jnp.arange(512) % k]
+         + jax.random.normal(jax.random.key(1), (512, d)))
+    got = np.asarray(jax.jit(lambda p, q: gmm_log_q_diag(p, q))(params, x))
+    ref = np.asarray(jax.jit(lambda p, q: gmm_log_q(p, q))(params, x))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-2)
