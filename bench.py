@@ -344,6 +344,24 @@ def _load_baseline(path):
     return b
 
 
+def run_northstar():
+    """Third phase (round-4 verdict #1): the cold-start → cross-mode
+    R̂<1.1 pipeline on config 3 (benchmarks/northstar_config3.py —
+    explore → GMM fit → bridge/refit iterates → FlowMh until-stop →
+    validation). Returns its result dict and writes the JSON artifact."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    import northstar_config3
+    ns = northstar_config3.pipeline()
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "northstar_config3.json")
+    if SMOKE:
+        path = path.replace(".json", "_smoke.json")
+    with open(path, "w") as f:
+        json.dump(ns, f, indent=1)
+    return ns
+
+
 def main():
     # TPU phase FIRST: measuring the CPU baseline beforehand would
     # initialise the JAX backend as CPU and the 'TPU' run would silently
@@ -351,6 +369,8 @@ def main():
     res = run_tpu()
     signal.alarm(540)
     wall_rhat, rhat_gens, rhat_final = run_wall_to_rhat()
+    signal.alarm(540)
+    ns = run_northstar()
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -389,12 +409,31 @@ def main():
             "single_process_ess_per_sec": round(eps_1, 3),
             "perfect_mpi_cores": PERFECT_MPI_CORES,
         },
-        # second north-star (BASELINE.json:2), compile-excluded; within one
-        # basin — cross-mode R̂ is unreachable by construction (see
-        # run_wall_to_rhat docstring). rhat_stop_final > rhat_tol would
-        # mean the stop hit max_chunks without converging — surfaced in
-        # the JSON, not just stderr
-        "wall_clock_to_rhat_1p1_s": round(wall_rhat, 3),
+        # THE second north-star (BASELINE.json:2), now in its full
+        # sense (round-4 verdict #1): cold-start pipeline → CROSS-MODE
+        # R̂ < 1.1 on the 4-mode config-3 target, compile-excluded
+        # (warm splits + cold totals in the northstar sub-dict and
+        # benchmarks/northstar_config3.json). No within-basin asterisk:
+        # the stop R̂ is over mode-hopping chains and the validation
+        # window pins mode-weight error < 0.03.
+        "wall_clock_to_crossmode_rhat_1p1_s": ns["northstar_wall_s"],
+        "crossmode_split_rhat": ns["validate"]["crossmode_split_rhat"],
+        "mode_weight_abs_err": ns["validate"]["mode_weight_abs_err"],
+        "northstar": {
+            "cold_total_s": ns["cold_total_s"],
+            "warm_s": ns["warm_s"],
+            "stop_gens": ns["stop_gens"],
+            "stop_rhat_streaming": ns["stop_rhat_streaming"],
+            "converged": ns["converged"],
+            "posterior_mean_abs_err":
+                ns["validate"]["posterior_mean_abs_err"],
+            "global_acceptance_per_move":
+                ns["validate"]["global_acceptance_per_move"],
+        },
+        # the round-3 single-kernel number, kept for continuity and
+        # renamed to carry its asterisk explicitly: DREAM-zs alone,
+        # overdispersed WITHIN one basin (see run_wall_to_rhat)
+        "wall_clock_to_rhat_1p1_within_basin_s": round(wall_rhat, 3),
         "rhat_stop_generations": rhat_gens,
         "rhat_stop_final": round(rhat_final, 4),
         "rhat_stop_converged": bool(rhat_final < 1.1),

@@ -25,7 +25,7 @@ from bipymc_tpu.samplers.dream_fused import (
 from bipymc_tpu.utils.init import var_ball
 
 
-def _setup(d=6, n=8, thin=5, burnin=10, **cfg_kw):
+def _setup(d=6, n=8, thin=5, burnin=10, capacity=64, **cfg_kw):
     means = np.zeros((2, d), dtype=np.float32)
     means[1, 0] = 4.0
     log_prob = gaussian_mixture(means, sigma=1.0)
@@ -35,7 +35,7 @@ def _setup(d=6, n=8, thin=5, burnin=10, **cfg_kw):
     k_x, k_z, k_run = jax.random.split(key, 3)
     x0 = var_ball(k_x, np.full(d, 4.0), n)
     z0 = var_ball(k_z, np.full(d, 4.0), n)
-    state = dream.init(x0, log_prob, cfg, archive_capacity=64, z0=z0)
+    state = dream.init(x0, log_prob, cfg, archive_capacity=capacity, z0=z0)
     return log_prob, cfg, state, k_run
 
 
@@ -362,6 +362,11 @@ def test_fused_validation_errors():
         check_fusable(cfg._replace(use_archive=False))
     with pytest.raises(ValueError, match="replicated"):
         check_fusable(cfg._replace(shard_archive=True))
+    # round 4: K>1 at exactly n_chains=8 is a guarded Mosaic compiler
+    # crash (SIGABRT in tpu_compile_helper) — must raise, not abort
+    with pytest.raises(ValueError, match="Mosaic"):
+        make_chunk_runner(log_prob, cfg._replace(n_chains=8),
+                          z_update_every=2)
 
 
 def test_api_fused_matches_default_engine():
@@ -413,7 +418,8 @@ def test_z_update_first_block_matches_exact_second_diverges():
     identical archive as the per-generation engine (bit-equal streams →
     equal trajectories), the SECOND samples a Z stale by one append and
     diverges — the documented staleness boundary."""
-    log_prob, cfg, state, k_run = _setup()
+    # n=16, not the default 8: K>1 at n=8 is the guarded Mosaic crash
+    log_prob, cfg, state, k_run = _setup(n=16, capacity=256)
     step = dream.make_step(log_prob, cfg._replace(pallas_proposal=True),
                            axis_name=None)
     state20, _ = run_scan_thinned(step, state, k_run, n_steps=20, thin=1,
@@ -436,13 +442,14 @@ def test_z_update_first_block_matches_exact_second_diverges():
                               np.asarray(fus_hist["x"][G:]))
     # both appends still published, in time order
     assert int(fus_state.gen) == 30
-    assert int(fus_state.archive.fill) == int(state20.archive.fill) + 16
+    assert (int(fus_state.archive.fill)
+            == int(state20.archive.fill) + 2 * cfg.n_chains)
 
 
 def test_z_update_batched_publish_matches_history():
     """A K=3 super-block's batched append writes exactly the K thinned
     history snapshots, time-ordered, at the sequential ring positions."""
-    d, n, thin = 4, 8, 5
+    d, n, thin = 4, 16, 5   # n!=8: K>1 at n=8 is the guarded Mosaic crash
     log_prob = gaussian_mixture(np.zeros((1, d), np.float32), sigma=1.0)
     cfg = dream.DreamConfig(n_chains=n, archive_thin=thin, burnin_gens=0)
     key = jax.random.key(3)
@@ -469,7 +476,7 @@ def test_api_fused_z_update():
     chunk rounding in run_mcmc_until respects the super-block length,
     and misuse raises."""
     import bipymc_tpu as bp
-    d, n = 4, 8
+    d, n = 4, 16            # not 8: K>1 at n=8 is the guarded Mosaic crash
     lp = gaussian_mixture(np.zeros((1, d), np.float32), sigma=1.0)
     x0 = np.asarray(var_ball(jax.random.key(2), np.full(d, 2.0), n))
     s = bp.DreamZs(lp, n_chains=n, seed=5, archive_thin=5,

@@ -151,7 +151,9 @@ def _banana_sample(key):
 def test_fused_kernel_rng_dreamzs_ranks_uniform():
     import bipymc_tpu as bp
 
-    N_REPL, M, THIN, BURN, N_CH = 128, 63, 10, 400, 8
+    # n_chains=16, not 8: fused_z_update>1 at exactly 8 chains hits a
+    # guarded Mosaic compiler crash (samplers/dream_fused.py)
+    N_REPL, M, THIN, BURN, N_CH = 128, 63, 10, 400, 16
     s = bp.DreamZs(_banana_lp, n_chains=N_CH, seed=0, burnin_gens=0,
                    fused=True, fused_rng="kernel", fused_z_update=4)
     prior_keys = jax.random.split(jax.random.key(999), N_REPL)
