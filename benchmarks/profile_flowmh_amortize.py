@@ -16,7 +16,7 @@ DREAM-zs; target >= 5k. Three levers, measured cumulatively here:
   as ONE Pallas kernel (samplers/flowmh_fused.py).
 
 Throughput-only harness (acceptance/mixing quality of the amortized
-pipeline is measured end-to-end by benchmarks/profile_northstar.py);
+pipeline is measured end-to-end by benchmarks/northstar_config3.py);
 the proposal is fit on synthetic stratified draws to keep the A/B
 self-contained. Protocol per arm: one warm run (compile), then a timed
 continuation with a final-state value fetch as the barrier
