@@ -143,6 +143,14 @@ def _chol_fwd_impl(a, interpret):
     if n_pad != n:
         eye = jnp.eye(n_pad, dtype=a.dtype)
         a = eye.at[:n, :n].set(a)
+    # whole-matrix VMEM residency: in + out alone are 2·n_pad²·4B, over
+    # the 16MB scoped default from n_pad ≥ 1536 (the §10d lesson) —
+    # raise the scoped limit toward the chip's 128MB for big single
+    # matrices (n=2048 → ~38MB requested; measured OOM at the default)
+    params = {}
+    if n_pad >= 1536:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     out = pl.pallas_call(
         _make_kernel(n_pad),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -151,6 +159,7 @@ def _chol_fwd_impl(a, interpret):
         scratch_shapes=[pltpu.VMEM((_B, _B), jnp.float32),
                         pltpu.VMEM((_B, _B), jnp.float32)],
         interpret=interpret,
+        **params,
     )(a)
     return out[:n, :n]
 

@@ -137,10 +137,16 @@ def flow_init(key: jax.Array, d: int, cfg: FlowConfig = FlowConfig(),
 
 
 def _mlp(layer, x):
+    # Precision.HIGHEST: the MLP's outputs become per-dim log-scales
+    # whose SUM enters MH ratios — the same class of matmul the round-4
+    # MXU-precision bug lived in (utils/mixtures.gmm_log_q_diag
+    # docstring; bf16 default truncation × d accumulates to O(0.1-1)
+    # log-density noise at d ≳ 50). Cost is negligible at these widths.
+    hi = jax.lax.Precision.HIGHEST
     h = x
     for w, b in zip(layer["w"][:-1], layer["b"][:-1]):
-        h = jnp.tanh(h @ w + b)
-    return h @ layer["w"][-1] + layer["b"][-1]
+        h = jnp.tanh(jnp.matmul(h, w, precision=hi) + b)
+    return jnp.matmul(h, layer["w"][-1], precision=hi) + layer["b"][-1]
 
 
 def _st(layer, x_masked, d, s_cap):

@@ -83,7 +83,7 @@ QUICK = {
     "test_gp_sparse.py::test_elbo_equals_exact_lml_when_z_is_x",
     "test_gp_sharded.py::test_sharded_gram_matches_dense",
     "test_pallas_solve.py::test_tri_solve_matches_xla[64-1-32]",
-    "test_pallas_bchol.py::test_forward_matches_jnp[3-64]",
+    "test_pallas_bchol.py::test_regressor_dispatch_gates",
     # diagnostics, plotting, checkpoint
     "test_diagnostics.py::test_rhat_matches_numpy_formula",
     "test_diagnostics.py::test_mode_occupancy_and_hops",
@@ -110,7 +110,7 @@ QUICK = {
     "test_laplace.py::test_laplace_cov_exact_on_gaussian",
     # flows / mixtures / global moves / transforms
     "test_flows.py::test_identity_at_init",
-    "test_mixtures.py::test_diag_log_q_matches_generic",
+    "test_mixtures.py::test_gmm_proposal_inflate",
     "test_flowmh_fused.py::test_validation",
     "test_transforms.py::test_roundtrip_all_regimes",
     # targets / external likelihoods / debug utils / f64
