@@ -155,6 +155,28 @@ def main():
     print(f"posterior-mean error: {err:.2f} (modes span ~"
           f"{np.abs(means).max():.0f})")
     assert err < 1.0, err
+
+    # 5. (round 4) the production engine for long runs: amortize the
+    # global move — global_every=10 pays the proposal's density passes
+    # a tenth as often and stays exactly π-invariant by kernel
+    # composition — and run each inter-global local-RW block as ONE
+    # Pallas kernel (fused=True; samplers/flowmh_fused.py). inflate
+    # gives the ML fit the tail domination independence MH needs
+    # (gmm_proposal docstring). Measured 20.7k gens/s on the d=100
+    # headline shape vs the round-3 engine's 565
+    # (benchmarks/flowmh_amortize_ab.json).
+    s3 = bp.FlowMh(log_prob, bp.gmm_proposal(gparams2, inflate=1.05),
+                   n_chains=N_CHAINS, seed=8, local_moves=2,
+                   global_every=10, rw_scale=0.2, fused=True)
+    s3.run_mcmc(2000, jnp.asarray(s.final_state.x), spread=0.0)
+    occ_t = jax.vmap(lambda xt: bp.mode_occupancy(
+        xt, jnp.asarray(means)))(
+        jnp.asarray(np.swapaxes(s3.super_chain, 0, 1)[500:]))
+    w = np.asarray(occ_t.sum(axis=0) / occ_t.sum())
+    acc3 = float(s3.global_acceptance_fraction.mean()) * 10
+    print(f"amortized+fused engine: acceptance/move {acc3:.3f}, "
+          f"mode weights {np.round(w, 3).tolist()} (want ~0.25 each)")
+    assert np.abs(w - 0.25).max() < 0.06, w
     print("OK")
 
 
