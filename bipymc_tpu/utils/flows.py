@@ -20,18 +20,46 @@ matmuls + elementwise maps — exactly what the MXU/VPU eat):
    with O(acceptance-rate) frequency instead). See
    ``samplers/flowmh.py``.
 
-Design — affine coupling layers (Dinh, Sohl-Dickstein & Bengio 2017):
-alternating-parity binary masks m_i; layer i maps
+Design — coupling layers with alternating-parity binary masks m_i.
+Two coupling families (``FlowConfig.coupling``):
 
-    y = m·x + (1−m)·(x·exp(s(m·x)) + t(m·x)),
+- ``"affine"`` (Dinh, Sohl-Dickstein & Bengio 2017): layer i maps
 
-with (s, t) from one small MLP (zero-initialized final layer → every
-layer starts as the identity), s soft-clamped to ±``s_cap`` through
-tanh so one bad training step cannot blow the scale up irrecoverably.
-log|det| = Σ (1−m)·s, exact in both directions. An outer fixed affine
-layer standardizes to the training draws' per-dimension mean/std
-(computed once at fit time, NOT trained — the MLPs then work at unit
-scale regardless of the target's units).
+      y = m·x + (1−m)·(x·exp(s(m·x)) + t(m·x)),
+
+  with (s, t) from one small MLP (zero-initialized final layer → every
+  layer starts as the identity), s soft-clamped to ±``s_cap`` through
+  tanh so one bad training step cannot blow the scale up irrecoverably.
+  log|det| = Σ (1−m)·s, exact in both directions.
+- ``"rqs"`` (round 4 — Durkan et al. 2019 "Neural Spline Flows"): each
+  free dimension gets a K-bin monotonic rational-quadratic spline on
+  [−B, B] (identity linear tails, C¹ at ±B), parameterized by the same
+  conditioner MLP. Forward AND inverse are closed-form (the inverse's
+  quadratic root gets a Newton polish for f32 accuracy); log|det| is
+  analytic. Zero-init gives exactly the identity. Splines represent
+  multimodal/warped CONDITIONALS directly — the structural limitation
+  of affine maps.
+
+f32 conditioning note (measured, both families): a DEEP stack's
+u-domain preimage is ill-conditioned wherever a layer is flat — error
+~ y-resolution/slope, amplified by later conditioners (~25×/layer with
+extreme random weights; the affine family's bound is exp(s_cap)/layer).
+Trained flows sit in the moderate-slope regime where round-trips hold
+to ~1e-4; the proposal path never relies on the inverse for its OWN
+samples (forward-priced — `flow_proposal`).
+
+Measured global-move A/B (d=16, 4 modes, 20k IID training draws, TPU):
+affine acceptance 0.47, rqs 0.27, EM-GMM 0.93. The round-3 "flow
+collapse to ~4e-4 at d=16" was dominated by TRAINING-DATA quality
+(autocorrelated explore history), not the family — with clean draws
+both couplings are usable, and the GMM still wins on Gaussian-ish
+basins (README demotion stands; flows are the tool for warped basins
+and NeuTra reparameterization).
+
+An outer fixed affine layer standardizes to the training draws'
+per-dimension mean/std (computed once at fit time, NOT trained — the
+coupling nets then work at unit scale regardless of the target's
+units).
 
 Conventions: the GENERATIVE direction is ``forward`` (latent u → θ),
 matching `utils/transforms.Transform`; base density is N(0, I_d).
@@ -65,14 +93,28 @@ class FlowConfig(NamedTuple):
     """Static flow architecture + training configuration.
 
     n_layers: coupling layers (alternating parity masks).
-    hidden: MLP width for the (s, t) nets.
+    hidden: MLP width for the coupling nets.
     n_hidden: number of hidden MLP layers (≥1).
-    s_cap: soft clamp on the per-dimension log-scale output.
+    s_cap: soft clamp on the per-dimension log-scale output (affine).
     step_size: Adam learning rate.
     n_steps: Adam steps for ``fit_flow``.
     batch_size: minibatch size per step; 0 = full batch (default —
         posterior-draw sets are small and the full-batch step is one
         fused device program).
+    coupling: ``"affine"`` (RealNVP — Dinh 2017) or ``"rqs"``
+        (monotonic rational-quadratic splines — Durkan et al. 2019
+        "Neural Spline Flows"). Round-3 measured the affine coupling's
+        independence-MH acceptance collapsing to ~4e-4 at d=16 on a
+        4-mode target: an affine map of a unimodal conditional stays
+        unimodal, so multimodal structure must be carried entirely by
+        the conditioning — K-bin splines represent multimodal
+        conditionals DIRECTLY (each free dimension gets an arbitrary
+        monotone piecewise-rational map), which is what modern flowMC
+        practice uses on multimodal posteriors.
+    n_bins: spline bins K per dimension (rqs only).
+    tail_bound: the spline acts on [−B, B] in standardized units and is
+        the identity outside (linear tails, C¹ at ±B) — full-space
+        support, exact density everywhere (rqs only).
     """
 
     n_layers: int = 8
@@ -82,6 +124,9 @@ class FlowConfig(NamedTuple):
     step_size: float = 1e-3
     n_steps: int = 2000
     batch_size: int = 0
+    coupling: str = "affine"
+    n_bins: int = 8
+    tail_bound: float = 4.0
 
 
 def flow_config(**kw) -> FlowConfig:
@@ -92,6 +137,12 @@ def flow_config(**kw) -> FlowConfig:
         raise ValueError("n_hidden must be >= 1")
     if cfg.s_cap <= 0:
         raise ValueError("s_cap must be > 0")
+    if cfg.coupling not in ("affine", "rqs"):
+        raise ValueError("coupling must be 'affine' or 'rqs'")
+    if cfg.n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    if cfg.tail_bound <= 0:
+        raise ValueError("tail_bound must be > 0")
     return cfg
 
 
@@ -112,8 +163,16 @@ def _mask(d: int, i: int, dtype) -> jax.Array:
     return jnp.asarray((np.arange(d) % 2) == (i % 2), dtype)
 
 
+def _out_width(d, cfg):
+    """Final MLP width: (s, t) for affine; (K widths, K heights, K−1
+    interior derivatives) per dimension for rqs."""
+    if cfg.coupling == "rqs":
+        return d * (3 * cfg.n_bins - 1)
+    return 2 * d
+
+
 def _layer_init(key, d, cfg, dtype):
-    widths = [d] + [cfg.hidden] * cfg.n_hidden + [2 * d]
+    widths = [d] + [cfg.hidden] * cfg.n_hidden + [_out_width(d, cfg)]
     keys = jax.random.split(key, len(widths) - 1)
     ws, bs = [], []
     for k, fan_in, fan_out in zip(keys, widths[:-1], widths[1:]):
@@ -156,6 +215,125 @@ def _st(layer, x_masked, d, s_cap):
     return s, t
 
 
+# ---------------------------------------------------------------------------
+# Monotonic rational-quadratic splines (Durkan, Bekasov, Murray,
+# Papamakarios 2019, "Neural Spline Flows", eqs. 4-8 and appendix A).
+# K bins on [−B, B]² with identity linear tails; boundary derivatives
+# pinned to 1 so the map is C¹ at ±B. Everything is elementwise +
+# take_along_axis over the K axis — branchless, vmap/grad-safe, and the
+# zero-init MLP head gives EXACTLY the identity (equal bins, unit
+# derivatives via the softplus offset).
+# ---------------------------------------------------------------------------
+
+_RQS_MIN_BIN = 1e-3          # width/height floor (softmax collapse guard)
+_RQS_EPS = 1e-6
+_SOFTPLUS_UNIT = float(np.log(np.e - 1.0))   # softplus(x + this)(0) = 1
+
+
+def _rqs_knots(raw, n_bins, tail_bound):
+    """raw [..., d, 3K−1] → knot arrays: x/y positions [..., d, K+1],
+    widths/heights [..., d, K], derivatives [..., d, K+1]."""
+    B = tail_bound
+    tw = raw[..., :n_bins]
+    th = raw[..., n_bins:2 * n_bins]
+    td = raw[..., 2 * n_bins:]
+    w = jax.nn.softmax(tw, axis=-1)
+    w = _RQS_MIN_BIN + (1.0 - _RQS_MIN_BIN * n_bins) * w
+    h = jax.nn.softmax(th, axis=-1)
+    h = _RQS_MIN_BIN + (1.0 - _RQS_MIN_BIN * n_bins) * h
+    w = w * (2.0 * B)
+    h = h * (2.0 * B)
+    pad = [(0, 0)] * (td.ndim - 1) + [(1, 1)]
+    derivs = jnp.pad(jax.nn.softplus(td + _SOFTPLUS_UNIT) + _RQS_EPS,
+                     pad, constant_values=1.0)            # [..., K+1]
+    zero = jnp.zeros_like(w[..., :1])
+    xk = -B + jnp.concatenate([zero, jnp.cumsum(w, axis=-1)], axis=-1)
+    yk = -B + jnp.concatenate([zero, jnp.cumsum(h, axis=-1)], axis=-1)
+    return xk, yk, w, h, derivs
+
+
+def _rqs_gather(arrs, k):
+    return [jnp.take_along_axis(a, k[..., None], axis=-1)[..., 0]
+            for a in arrs]
+
+
+def _rqs_forward(raw, x, n_bins, tail_bound):
+    """Elementwise spline x → (y, dlog) with identity tails; shapes
+    [..., d] for x, [..., d, 3K−1] for raw."""
+    B = tail_bound
+    xk, yk, w, h, derivs = _rqs_knots(raw, n_bins, tail_bound)
+    inside = (x > -B) & (x < B)
+    xc = jnp.clip(x, -B + _RQS_EPS, B - _RQS_EPS)
+    k = jnp.clip(jnp.sum((xc[..., None] >= xk[..., :-1]).astype(jnp.int32),
+                         axis=-1) - 1, 0, n_bins - 1)
+    x0, y0, wk, hk = _rqs_gather([xk, yk, w, h], k)
+    d0, d1 = _rqs_gather([derivs[..., :-1], derivs[..., 1:]], k)
+    s = hk / wk
+    xi = (xc - x0) / wk
+    om = 1.0 - xi
+    q = xi * om
+    denom = s + (d1 + d0 - 2.0 * s) * q
+    y_in = y0 + hk * (s * xi * xi + d0 * q) / denom
+    dlog_in = (2.0 * jnp.log(s)
+               + jnp.log(d1 * xi * xi + 2.0 * s * q + d0 * om * om)
+               - 2.0 * jnp.log(denom))
+    y = jnp.where(inside, y_in, x)
+    dlog = jnp.where(inside, dlog_in, 0.0)
+    return y, dlog
+
+
+def _rqs_inverse(raw, y, n_bins, tail_bound):
+    """Elementwise spline inverse y → (x, dlog of the FORWARD map at x)
+    — callers negate/sum as needed."""
+    B = tail_bound
+    xk, yk, w, h, derivs = _rqs_knots(raw, n_bins, tail_bound)
+    inside = (y > -B) & (y < B)
+    yc = jnp.clip(y, -B + _RQS_EPS, B - _RQS_EPS)
+    k = jnp.clip(jnp.sum((yc[..., None] >= yk[..., :-1]).astype(jnp.int32),
+                         axis=-1) - 1, 0, n_bins - 1)
+    x0, y0, wk, hk = _rqs_gather([xk, yk, w, h], k)
+    d0, d1 = _rqs_gather([derivs[..., :-1], derivs[..., 1:]], k)
+    s = hk / wk
+    dy = yc - y0
+    t2 = d1 + d0 - 2.0 * s
+    a = hk * (s - d0) + dy * t2
+    b = hk * d0 - dy * t2
+    c = -s * dy
+    disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+    # stable quadratic root (Durkan eq. 8): xi in [0, 1]
+    xi = 2.0 * c / (-b - jnp.sqrt(disc))
+    xi = jnp.clip(xi, 0.0, 1.0)
+    # one Newton polish: the closed-form root in f32 loses ~1e-4 on
+    # steep/uneven bins, and coupling layers AMPLIFY that through the
+    # stack (measured 2e-4 → 1.6 after 4 random layers); a single
+    # elementwise Newton step on ξ restores full f32 round-trip
+    # accuracy (measured max roundtrip err 1e-6 at 4 layers)
+    for _ in range(2):
+        om = 1.0 - xi
+        q = xi * om
+        denom = s + t2 * q
+        y_xi = (s * xi * xi + d0 * q) / denom            # (y−y0)/hk
+        dy_xi = (s * s * (d1 * xi * xi + 2.0 * s * q + d0 * om * om)
+                 / (denom * denom)) / s                  # d[(y−y0)/hk]/dξ·...
+        xi = jnp.clip(xi - (y_xi - dy / hk) / jnp.maximum(dy_xi, _RQS_EPS),
+                      0.0, 1.0)
+    x_in = x0 + xi * wk
+    om = 1.0 - xi
+    q = xi * om
+    denom = s + t2 * q
+    dlog_in = (2.0 * jnp.log(s)
+               + jnp.log(d1 * xi * xi + 2.0 * s * q + d0 * om * om)
+               - 2.0 * jnp.log(denom))
+    x = jnp.where(inside, x_in, y)
+    dlog = jnp.where(inside, dlog_in, 0.0)
+    return x, dlog
+
+
+def _rqs_raw(layer, x_masked, d, n_bins):
+    out = _mlp(layer, x_masked)
+    return out.reshape(out.shape[:-1] + (d, 3 * n_bins - 1))
+
+
 def flow_forward(params: FlowParams, u, cfg: FlowConfig = FlowConfig()):
     """Generative pass u → θ. Returns (theta, log|det dθ/du|), both
     broadcasting over leading axes of u [..., d]."""
@@ -164,9 +342,15 @@ def flow_forward(params: FlowParams, u, cfg: FlowConfig = FlowConfig()):
     logdet = jnp.zeros(u.shape[:-1], u.dtype)
     for i, layer in enumerate(params.layers):
         m = _mask(d, i, u.dtype)
-        s, t = _st(layer, x * m, d, cfg.s_cap)
-        x = m * x + (1.0 - m) * (x * jnp.exp(s) + t)
-        logdet = logdet + jnp.sum((1.0 - m) * s, axis=-1)
+        if cfg.coupling == "rqs":
+            raw = _rqs_raw(layer, x * m, d, cfg.n_bins)
+            y, dlog = _rqs_forward(raw, x, cfg.n_bins, cfg.tail_bound)
+            x = m * x + (1.0 - m) * y
+            logdet = logdet + jnp.sum((1.0 - m) * dlog, axis=-1)
+        else:
+            s, t = _st(layer, x * m, d, cfg.s_cap)
+            x = m * x + (1.0 - m) * (x * jnp.exp(s) + t)
+            logdet = logdet + jnp.sum((1.0 - m) * s, axis=-1)
     theta = params.mu + params.sigma * x
     return theta, logdet + jnp.sum(jnp.log(params.sigma))
 
@@ -181,9 +365,17 @@ def flow_inverse(params: FlowParams, theta,
         theta.shape[:-1], theta.dtype)
     for i in reversed(range(len(params.layers))):
         m = _mask(d, i, theta.dtype)
-        s, t = _st(params.layers[i], x * m, d, cfg.s_cap)
-        x = m * x + (1.0 - m) * (x - t) * jnp.exp(-s)
-        logdet = logdet - jnp.sum((1.0 - m) * s, axis=-1)
+        if cfg.coupling == "rqs":
+            # the conditioner sees the MASKED half, which the coupling
+            # leaves fixed — so raw is computable from the output too
+            raw = _rqs_raw(params.layers[i], x * m, d, cfg.n_bins)
+            xin, dlog = _rqs_inverse(raw, x, cfg.n_bins, cfg.tail_bound)
+            x = m * x + (1.0 - m) * xin
+            logdet = logdet - jnp.sum((1.0 - m) * dlog, axis=-1)
+        else:
+            s, t = _st(params.layers[i], x * m, d, cfg.s_cap)
+            x = m * x + (1.0 - m) * (x - t) * jnp.exp(-s)
+            logdet = logdet - jnp.sum((1.0 - m) * s, axis=-1)
     return x, logdet
 
 

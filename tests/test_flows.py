@@ -154,3 +154,123 @@ def test_fit_flattens_history_shapes():
     params, info = fl.fit_flow(jax.random.key(14), jnp.asarray(draws), cfg)
     assert params.mu.shape == (2,)
     assert np.isfinite(float(info["final_loss"]))
+
+
+# ---------------------------------------------------------------------------
+# Rational-quadratic-spline couplings (round 4: Durkan et al. 2019 —
+# the multimodal-conditional upgrade over affine couplings)
+# ---------------------------------------------------------------------------
+
+def _rqs_cfg(**kw):
+    base = dict(coupling="rqs", n_bins=8, n_layers=4, hidden=16,
+                n_hidden=2)
+    base.update(kw)
+    return fl.flow_config(**base)
+
+
+def test_rqs_identity_at_init():
+    cfg = _rqs_cfg()
+    p = fl.flow_init(jax.random.key(0), 5, cfg)
+    u = jnp.asarray(np.random.default_rng(0).normal(0, 2, (64, 5)),
+                    jnp.float32)
+    th, ld = fl.flow_forward(p, u, cfg)
+    np.testing.assert_allclose(np.asarray(th), np.asarray(u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld), 0.0, atol=1e-5)
+
+
+def _perturbed(key, d, cfg, scale):
+    p = fl.flow_init(key, d, cfg)
+    layers = jax.tree_util.tree_map(
+        lambda a: a + scale * jax.random.normal(jax.random.key(9),
+                                                a.shape), p.layers)
+    return p._replace(layers=layers)
+
+
+def test_rqs_roundtrip_and_logdet_antisymmetry():
+    """Moderate weights (the trained regime): u-domain roundtrip and
+    logdet antisymmetry to f32 tolerance."""
+    cfg = _rqs_cfg()
+    p = _perturbed(jax.random.key(1), 5, cfg, 0.1)
+    u = jnp.asarray(np.random.default_rng(1).normal(0, 2, (256, 5)),
+                    jnp.float32)
+    th, ldf = fl.flow_forward(p, u, cfg)
+    u2, ldi = fl.flow_inverse(p, th, cfg)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u), rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ldf + ldi), 0.0, atol=3e-4)
+
+
+def test_rqs_y_domain_consistency():
+    """forward(inverse(y)) == y in the trained-weight regime. A SINGLE
+    layer holds this to ~1e-5 even with steep weights (the quadratic
+    root gets a Newton polish); the DEEP composition cannot — a flat
+    region's preimage is ill-conditioned (error ~ y-resolution/slope)
+    and the next layer's conditioner amplifies it, ~25×/layer measured
+    with 0.5-scale random weights. The affine coupling has the
+    identical f32 bound (exp(s_cap) per layer); trained flows sit in
+    the moderate-slope regime this test pins."""
+    cfg = _rqs_cfg()
+    # single steep layer: Newton-polished preimage is y-exact
+    cfg1 = _rqs_cfg(n_layers=1)
+    p1 = _perturbed(jax.random.key(2), 5, cfg1, 0.5)
+    y = jnp.asarray(np.random.default_rng(2).normal(0, 2.5, (512, 5)),
+                    jnp.float32)
+    u, _ = fl.flow_inverse(p1, y, cfg1)
+    y2, _ = fl.flow_forward(p1, u, cfg1)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y), rtol=5e-5,
+                               atol=5e-5)
+    # deep moderate stack: still y-consistent to f32 tolerance
+    p = _perturbed(jax.random.key(2), 5, cfg, 0.15)
+    u, _ = fl.flow_inverse(p, y, cfg)
+    y2, _ = fl.flow_forward(p, u, cfg)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_rqs_logdet_matches_autodiff():
+    cfg = _rqs_cfg()
+    p = _perturbed(jax.random.key(3), 4, cfg, 0.2)
+    p = p._replace(sigma=jnp.full((4,), 1.7))
+    u = jnp.asarray(np.random.default_rng(3).normal(0, 2, (8, 4)),
+                    jnp.float32)
+    _, ldf = fl.flow_forward(p, u, cfg)
+    J = jax.vmap(jax.jacfwd(lambda uu: fl.flow_forward(p, uu, cfg)[0]))(u)
+    _, logabs = np.linalg.slogdet(np.asarray(J))
+    np.testing.assert_allclose(np.asarray(ldf), logabs, rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_rqs_fits_bimodal_marginal():
+    """Spline flow on a bimodal 2-d target: samples land in both modes
+    in the right proportions with ~no mass between, and the likelihood
+    at least MATCHES the affine fit (measured: both reach -logq ≈ 2.8
+    here — at d=2 the affine conditioner carries the multimodality
+    fine; the spline's representational edge is per-dimension
+    multimodal CONDITIONALS, a capability difference that matters on
+    harder geometry, not on this sanity target)."""
+    rng = np.random.default_rng(4)
+    draws = np.concatenate([
+        rng.normal(-4.0, 0.7, (4000, 2)),
+        rng.normal(4.0, 0.7, (4000, 2))]).astype(np.float32)
+    cfg_r = _rqs_cfg(n_layers=6, hidden=32, n_steps=800, step_size=3e-3)
+    pr, ir = fl.fit_flow(jax.random.key(5), jnp.asarray(draws), cfg_r)
+    cfg_a = fl.flow_config(n_layers=6, hidden=32, n_steps=800,
+                           step_size=3e-3)
+    pa, ia = fl.fit_flow(jax.random.key(5), jnp.asarray(draws), cfg_a)
+    assert float(ir["final_loss"]) < float(ia["final_loss"]) + 0.05, (
+        float(ir["final_loss"]), float(ia["final_loss"]))
+    s = np.asarray(fl.flow_sample(pr, jax.random.key(6), 4000, cfg_r))
+    frac = float((s[:, 0] > 0).mean())
+    assert 0.35 < frac < 0.65, frac
+    # samples concentrate near the two modes, not between
+    mid = float((np.abs(s[:, 0]) < 2.0).mean())
+    assert mid < 0.12, mid
+
+
+def test_rqs_config_validation():
+    with pytest.raises(ValueError, match="coupling"):
+        fl.flow_config(coupling="nope")
+    with pytest.raises(ValueError, match="n_bins"):
+        fl.flow_config(coupling="rqs", n_bins=1)
+    with pytest.raises(ValueError, match="tail_bound"):
+        fl.flow_config(coupling="rqs", tail_bound=0.0)
