@@ -63,22 +63,32 @@ def log(*a):
 
 
 def measure_arm(label, lp, prop, theta0, run_gens, **kw):
-    """(gens/s, global acceptance per global gen) with §18 barriers."""
+    """(gens/s, global acceptance per global gen) with §18 barriers.
+
+    thin MUST stay 1: FlowMh routes fused segments only for thin == 1
+    (api.py gate) — the first cut of this harness timed with
+    ``thin=run_gens`` and silently measured the per-generation engine
+    in every 'fused' arm (round-4 code review; the tell was
+    fused_g10 == pergen_g10 within noise in the committed artifact).
+    History stays device-resident ([run_gens, n, d] in HBM; _store's
+    block_until_ready on it is the timing barrier), and the
+    acceptance tail is reduced on device — nothing big crosses the
+    tunnel."""
     s = bp.FlowMh(lp, prop, n_chains=N_CHAINS, seed=2, **kw)
     t0 = time.time()
-    s.run_mcmc(run_gens, theta0, spread=0.1, thin=run_gens)
+    s.run_mcmc(run_gens, theta0, spread=0.1)
     np.asarray(s.final_state.x[0, 0])
     t_compile = time.time() - t0
     t0 = time.time()
-    s.run_mcmc(run_gens, thin=run_gens)
+    s.run_mcmc(run_gens)
     np.asarray(s.final_state.x[0, 0])
     wall = time.time() - t0
     g = kw.get("global_every", 1)
-    # transplant acceptance per GLOBAL move (history has 1 kept row per
-    # run; use a short unthinned tail for the rate)
-    s.run_mcmc(10 * g)
-    acc = s._history["accepted"][-10 * g:]
-    acc_per_move = float(acc.sum() / (acc.shape[1] * 10))
+    # all chunks, not the last (a segment split can end with a
+    # remainder that holds no global generations at all)
+    acch = jnp.concatenate([c["accepted"] for c in s._chunks], axis=0)
+    acc_per_move = float(jnp.sum(acch[-10 * g:].astype(jnp.float32))
+                         / (acch.shape[1] * 10))
     res = {"gens_per_s": round(run_gens / wall, 1),
            "compile_plus_first_run_s": round(t_compile, 2),
            "global_acceptance_per_move": round(acc_per_move, 4)}

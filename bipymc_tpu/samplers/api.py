@@ -2074,9 +2074,13 @@ class FlowMh(McmcSampler):
         launches. Identical streams to ``fused=False`` (the prep
         replicates the per-generation word layout); requires a
         Mosaic-expressible target, ``local_moves >= 1``, float32,
-        single device. ``global_every=K`` in ``config_kw`` amortizes
-        the proposal-density passes 1/K — the round-4 path to ≥5k
-        gens/s on the headline config (benchmarks/flowmh_amortize_ab).
+        single device, AND ``thin == 1`` with no ``progress_every``
+        (those runs fall back to the per-generation engine — same
+        trajectories, slower; run_mcmc warns when that happens so a
+        benchmark can't silently measure the wrong engine — round-4
+        code-review finding). ``global_every=K`` in ``config_kw``
+        amortizes the proposal-density passes 1/K
+        (benchmarks/flowmh_amortize_ab).
         """
         super().__init__(log_like_fn, seed=seed, dtype=dtype)
         from bipymc_tpu.utils.flows import FlowConfig, flow_proposal
@@ -2144,6 +2148,13 @@ class FlowMh(McmcSampler):
                  progress_every=None):
         state, k_run = self._ensure(theta_0, spread)
         use_fused = (self.fused and thin == 1 and progress_every is None)
+        if self.fused and not use_fused:
+            warnings.warn(
+                "FlowMh(fused=True): thin != 1 / progress_every runs "
+                "fall back to the per-generation engine (identical "
+                "trajectories, slower). Use thin=1 and thin the "
+                "history afterwards to keep the fused path.",
+                UserWarning, stacklevel=2)
         if use_fused:
             # [per-gen alignment] -> [fused G-gen chunks] -> [per-gen
             # remainder] — the _RwSampler segment split; fused chunk

@@ -221,16 +221,20 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
     K = int(z_update_every)
     if K < 1:
         raise ValueError(f"z_update_every={z_update_every}: must be >= 1")
-    if K > 1 and cfg.n_chains == 8:
+    _interp = (jax.default_backend() != "tpu" if interpret is None
+               else interpret)
+    if K > 1 and cfg.n_chains == 8 and not _interp:
         # Measured Mosaic compiler crash (round 4): the K>1 super-block
         # kernel SIGABRTs tpu_compile_helper at EXACTLY n_chains=8 (one
         # f32 sublane tile), any d, any K>1 — n=4/6/10/12/16/32 all
         # compile and run. Guard with a clear error rather than let the
-        # backend abort; the per-block engine (z_update_every=1) is
-        # unaffected at n=8.
+        # backend abort. Interpret mode (CPU) never invokes Mosaic and
+        # stays valid (round-4 code review: the first cut raised
+        # unconditionally and broke previously-green CPU configs); the
+        # per-block engine (z_update_every=1) is unaffected at n=8.
         raise ValueError(
             "fused_z_update > 1 with n_chains == 8 hits a Mosaic "
-            "compiler crash (see samplers/dream_fused.py) — use "
+            "compiler crash on TPU (see samplers/dream_fused.py) — use "
             "z_update_every=1 or a different chain count")
     axis = CHAIN_AXIS if mesh is not None else None
     G = cfg.archive_thin

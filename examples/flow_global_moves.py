@@ -162,8 +162,9 @@ def main():
     # composition — and run each inter-global local-RW block as ONE
     # Pallas kernel (fused=True; samplers/flowmh_fused.py). inflate
     # gives the ML fit the tail domination independence MH needs
-    # (gmm_proposal docstring). Measured 20.7k gens/s on the d=100
-    # headline shape vs the round-3 engine's 565
+    # (gmm_proposal docstring). Measured 27.2k gens/s on the d=100
+    # headline shape vs the round-3 engine's 565 — 48×, the fused
+    # engine itself 1.36× the per-generation one at the same schedule
     # (benchmarks/flowmh_amortize_ab.json).
     s3 = bp.FlowMh(log_prob, bp.gmm_proposal(gparams2, inflate=1.05),
                    n_chains=N_CHAINS, seed=8, local_moves=2,

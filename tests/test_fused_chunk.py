@@ -363,10 +363,14 @@ def test_fused_validation_errors():
     with pytest.raises(ValueError, match="replicated"):
         check_fusable(cfg._replace(shard_archive=True))
     # round 4: K>1 at exactly n_chains=8 is a guarded Mosaic compiler
-    # crash (SIGABRT in tpu_compile_helper) — must raise, not abort
+    # crash (SIGABRT in tpu_compile_helper) — must raise on the compile
+    # path (interpret=False), and must NOT block interpret mode, where
+    # Mosaic never runs (round-4 code-review fix)
     with pytest.raises(ValueError, match="Mosaic"):
         make_chunk_runner(log_prob, cfg._replace(n_chains=8),
-                          z_update_every=2)
+                          z_update_every=2, interpret=False)
+    make_chunk_runner(log_prob, cfg._replace(n_chains=8),
+                      z_update_every=2, interpret=True)   # builds fine
 
 
 def test_api_fused_matches_default_engine():
