@@ -178,6 +178,18 @@ class McmcSampler:
             raise RuntimeError("call run_mcmc or run_mcmc_until first")
         return self._final_state
 
+    @staticmethod
+    def _run_fused_segment(runner, cache, state, k_run, n, t0):
+        """Shared jit-cache for fused multi-step segments: ONE compiled
+        executable per segment length n, with t0 riding as a traced
+        int32 so continuations at any offset reuse it. All three fused
+        families (_RwSampler, DreamZs, FlowMh) route here, so the
+        round-2 "fresh closure defeats the jit cache" bug class lives
+        in exactly one place (round-4 review)."""
+        if n not in cache:
+            cache[n] = jax.jit(lambda s, k, t, _n=n: runner(s, k, _n, t))
+        return cache[n](state, k_run, jnp.asarray(t0, jnp.int32))
+
     def reset(self):
         """Discard run state (history, final state, step counter) while
         KEEPING compiled runners/pools — a subsequent run re-samples from
@@ -305,14 +317,10 @@ class _RwSampler(McmcSampler):
         return self._rw_fused_runner
 
     def _rw_fused(self, state, k_run, n_steps, t0):
-        """Jit-cached fused-engine segment (keyed on n_steps; t0 traced)."""
-        self._ensure_rw_fused_runner()
-        if n_steps not in self._rw_fused_jits:
-            runner = self._rw_fused_runner
-            self._rw_fused_jits[n_steps] = jax.jit(
-                lambda s, k, t: runner(s, k, n_steps, t))
-        return self._rw_fused_jits[n_steps](state, k_run,
-                                            jnp.asarray(t0, jnp.int32))
+        """Jit-cached fused-engine segment (shared base-class cache)."""
+        return self._run_fused_segment(
+            self._ensure_rw_fused_runner(), self._rw_fused_jits,
+            state, k_run, n_steps, t0)
 
     def _prepare(self, theta_0, cov_est, spread):
         """Resolve start state + batched step; returns (state, step, key)."""
@@ -1304,7 +1312,7 @@ class DreamZs(McmcSampler):
         return state, k_run
 
     def _fused_run(self, state, k_run, n_gens, t0):
-        """Jit-cached fused-engine segment (keyed on n_gens; t0 traced)."""
+        """Jit-cached fused-engine segment (shared base-class cache)."""
         if self._fused_runner is None:
             from bipymc_tpu.samplers.dream_fused import make_chunk_runner
             self._fused_runner = make_chunk_runner(
@@ -1312,12 +1320,8 @@ class DreamZs(McmcSampler):
                 log_prob_block=self._log_prob_block, mesh=self.mesh,
                 rng=self.fused_rng, z_update_every=self.fused_z_update,
                 gather_mode=self.fused_gather)
-        if n_gens not in self._fused_jits:
-            runner = self._fused_runner
-            self._fused_jits[n_gens] = jax.jit(
-                lambda s, k, t: runner(s, k, n_gens, t))
-        return self._fused_jits[n_gens](state, k_run,
-                                        jnp.asarray(t0, jnp.int32))
+        return self._run_fused_segment(
+            self._fused_runner, self._fused_jits, state, k_run, n_gens, t0)
 
     def run_mcmc(self, n_gens, theta_0=None, thin=1, spread=1.0,
                  progress_every=None):
@@ -2124,14 +2128,10 @@ class FlowMh(McmcSampler):
         return self._fused_runner
 
     def _fused_run(self, state, k_run, n_gens, t0):
-        """Jit-cached fused segment (keyed on n_gens; t0 traced)."""
-        self._ensure_fused_runner()
-        if n_gens not in self._fused_jits:
-            runner = self._fused_runner
-            self._fused_jits[n_gens] = jax.jit(
-                lambda s, k, t, _n=n_gens: runner(s, k, _n, t))
-        return self._fused_jits[n_gens](state, k_run,
-                                        jnp.asarray(t0, jnp.int32))
+        """Jit-cached fused segment (shared base-class cache)."""
+        return self._run_fused_segment(
+            self._ensure_fused_runner(), self._fused_jits,
+            state, k_run, n_gens, t0)
 
     def _ensure(self, theta_0, spread):
         return self._ensure_population(
