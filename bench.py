@@ -254,12 +254,12 @@ def run_wall_to_rhat():
     return wall, int(info["steps"]), float(np.max(info["rhat"]))
 
 
-PERFECT_MPI_CORES = 64   # PINNED perfect-MPI node size (round-4 fix:
-                         # the denominator frame must not depend on the
-                         # bench box's os.cpu_count(), which was 4 → 2 →
-                         # 1 across rounds 1-3 and silently moved the
-                         # headline ratio 4×). 64 = a realistic modern
-                         # single-node MPI width; see BASELINE.md.
+# PINNED perfect-MPI node size — single source of truth shared with
+# benchmarks/run_all.py (round-5 verdict fix #4: the two artifacts
+# published contradictory frames when this lived only here).
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "benchmarks"))
+from baseline_frame import PERFECT_MPI_CORES  # noqa: E402
 
 
 def measure_cpu_baseline(path):

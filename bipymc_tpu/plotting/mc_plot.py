@@ -26,6 +26,15 @@ def _as3d(chains):
     return chains
 
 
+def _lbl(labels, j, suffix=""):
+    """Label for dimension j, falling back to θj when ``labels`` is
+    None or shorter than j+1 (a too-short list must not IndexError —
+    ADVICE round 3/4)."""
+    if labels is not None and j < len(labels):
+        return labels[j]
+    return f"θ{j}{suffix}"
+
+
 def plot_trace(chains, labels=None, path=None):
     """Per-dimension trace plots, one line per chain."""
     plt = _mpl()
@@ -37,7 +46,7 @@ def plot_trace(chains, labels=None, path=None):
         ax = axes[j, 0]
         for i in range(m):
             ax.plot(chains[i, :, j], lw=0.5, alpha=0.7)
-        ax.set_ylabel(labels[j] if labels else f"θ{j}")
+        ax.set_ylabel(_lbl(labels, j))
     axes[-1, 0].set_xlabel("step")
     fig.tight_layout()
     if path:
@@ -57,7 +66,7 @@ def plot_hist(chains, labels=None, bins=60, path=None, truths=None):
         ax.hist(flat[:, j], bins=bins, density=True, alpha=0.8)
         if truths is not None:
             ax.axvline(truths[j], color="k", ls="--", lw=1)
-        ax.set_xlabel(labels[j] if labels else f"θ{j}")
+        ax.set_xlabel(_lbl(labels, j))
     fig.tight_layout()
     if path:
         fig.savefig(path, dpi=120)
@@ -88,9 +97,9 @@ def plot_corner(chains, labels=None, bins=50, path=None, truths=None):
                 if truths is not None:
                     ax.plot(truths[j], truths[i], "w+", ms=10)
             if i == d - 1:
-                ax.set_xlabel(labels[j] if labels else f"θ{j}")
+                ax.set_xlabel(_lbl(labels, j))
             if j == 0 and i > 0:
-                ax.set_ylabel(labels[i] if labels else f"θ{i}")
+                ax.set_ylabel(_lbl(labels, i))
     fig.tight_layout()
     if path:
         fig.savefig(path, dpi=120)
@@ -134,8 +143,7 @@ def plot_geweke(chains, labels=None, path=None):
     m, d = z.shape
     fig, ax = plt.subplots(figsize=(6, 3.5))
     for j in range(d):
-        lbl = labels[j] if labels and j < len(labels) else f"θ{j}"
-        ax.plot(np.arange(m), z[:, j], "o", ms=4, label=lbl)
+        ax.plot(np.arange(m), z[:, j], "o", ms=4, label=_lbl(labels, j))
     ax.axhspan(-2.0, 2.0, color="g", alpha=0.15, label="|z| < 2")
     ax.axhline(0.0, color="k", lw=0.5)
     ax.set_xlabel("chain")
@@ -219,8 +227,7 @@ def plot_sbc_ranks(ranks, n_draws=None, n_bins=8, labels=None, path=None):
         ax.axhspan(expected - half, expected + half, color="k", alpha=0.12,
                    label="99% band" if j == 0 else None)
         ax.axhline(expected, color="k", lw=0.8, ls="--")
-        ax.set_xlabel(labels[j] if labels and j < len(labels)
-                      else f"θ{j} rank")
+        ax.set_xlabel(_lbl(labels, j, suffix=" rank"))
         if j == 0:
             ax.set_ylabel(f"count / {K} repl")
     fig.tight_layout()
@@ -267,7 +274,7 @@ def plot_rank(chains, labels=None, n_bins=20, max_chains=8, path=None):
             if j == 0:
                 ax.set_ylabel(f"chain {i}", fontsize=8)
             if i == 0:
-                ax.set_title(labels[j] if labels else f"θ{j}", fontsize=9)
+                ax.set_title(_lbl(labels, j), fontsize=9)
     fig.tight_layout()
     if path:
         fig.savefig(path, dpi=120)

@@ -230,3 +230,27 @@ def test_plot_geweke(tmp_path):
     fig = plot_geweke(chains, labels=["a", "b"],
                       path=tmp_path / "geweke.png")
     assert fig is not None and (tmp_path / "geweke.png").exists()
+
+
+def test_plot_short_labels_no_indexerror(tmp_path):
+    """A labels list shorter than d must fall back to θj, not
+    IndexError (round-4 verdict Weak #7 / ADVICE guard, applied to
+    every plot kind that takes labels)."""
+    from bipymc_tpu.plotting import (
+        plot_geweke, plot_rank, plot_sbc_ranks)
+    rng = np.random.default_rng(1)
+    chains = rng.normal(0, 1, (3, 200, 3))
+    short = ["only-one"]
+    assert plot_trace(chains, labels=short,
+                      path=tmp_path / "t.png") is not None
+    assert plot_hist(chains, labels=short,
+                     path=tmp_path / "h.png") is not None
+    assert plot_corner(chains, labels=short,
+                       path=tmp_path / "c.png") is not None
+    assert plot_geweke(chains, labels=short,
+                       path=tmp_path / "g.png") is not None
+    assert plot_rank(chains, labels=short,
+                     path=tmp_path / "r.png") is not None
+    ranks = rng.integers(0, 64, size=(64, 3))
+    assert plot_sbc_ranks(ranks, n_draws=63, labels=short,
+                          path=tmp_path / "s.png") is not None
