@@ -2075,10 +2075,13 @@ class FlowMh(McmcSampler):
         fused engine (samplers/flowmh_fused.py): the whole
         ``global_every × local_moves`` local-RW block between global
         moves runs as ONE Pallas kernel, the global move between
-        launches. Identical streams to ``fused=False`` (the prep
+        launches. Composes with ``mesh=`` (round 5): each device runs
+        the fused kernel on its chain shard with zero in-step
+        collectives, bit-identical streams to the single-device run.
+        Identical streams to ``fused=False`` (the prep
         replicates the per-generation word layout); requires a
         Mosaic-expressible target, ``local_moves >= 1``, float32,
-        single device, AND ``thin == 1`` with no ``progress_every``
+        AND ``thin == 1`` with no ``progress_every``
         (those runs fall back to the per-generation engine — same
         trajectories, slower; run_mcmc warns when that happens so a
         benchmark can't silently measure the wrong engine — round-4
@@ -2108,14 +2111,12 @@ class FlowMh(McmcSampler):
         self.fused = bool(fused)
         self._log_prob_block = log_prob_block
         self._fused_runner = None
+        self._fused_runner_local = None
         self._fused_jits = {}
         if self.fused:
             from bipymc_tpu.samplers.flowmh_fused import (
                 check_flowmh_fusable)
-            check_flowmh_fusable(self.cfg)
-            if mesh is not None:
-                raise ValueError("fused=True is single-device; the mesh "
-                                 "path uses the per-generation engine")
+            check_flowmh_fusable(self.cfg, mesh, self.n_chains)
             _check_fused_dtype(self.dtype)
 
     def _ensure_fused_runner(self):
@@ -2124,8 +2125,21 @@ class FlowMh(McmcSampler):
                 make_flowmh_chunk_runner)
             self._fused_runner = make_flowmh_chunk_runner(
                 self.log_like_fn, self.proposal, self.cfg, self.n_chains,
-                log_prob_block=self._log_prob_block)
+                log_prob_block=self._log_prob_block, mesh=self.mesh)
         return self._fused_runner
+
+    def _ensure_fused_runner_local(self):
+        """The per-shard (wrap=False) runner for ChainPool.run_until,
+        which embeds fused chunks inside its OWN shard_map program
+        (same split as DreamZs's _fused_runner_local)."""
+        if self._fused_runner_local is None:
+            from bipymc_tpu.samplers.flowmh_fused import (
+                make_flowmh_chunk_runner)
+            self._fused_runner_local = make_flowmh_chunk_runner(
+                self.log_like_fn, self.proposal, self.cfg, self.n_chains,
+                log_prob_block=self._log_prob_block, mesh=self.mesh,
+                wrap=False)
+        return self._fused_runner_local
 
     def _fused_run(self, state, k_run, n_gens, t0):
         """Jit-cached fused segment (shared base-class cache)."""
@@ -2196,7 +2210,19 @@ class FlowMh(McmcSampler):
             if chunk % G:
                 chunk += G - chunk % G
             if self._steps_run % G == 0:
-                chunk_runner = self._ensure_fused_runner()
+                chunk_runner = self._ensure_fused_runner_local()
+            else:
+                # same loud fallback as run_mcmc — a silent engine swap
+                # is the exact bug class the round-4 A/B harness hit
+                # (f308bdb); round-4 ADVICE asked for symmetry here
+                warnings.warn(
+                    "FlowMh(fused=True).run_mcmc_until: continuation "
+                    f"offset {self._steps_run} is not aligned to "
+                    f"global_every={G}; the whole run falls back to "
+                    "the per-generation engine (identical "
+                    "trajectories, slower). Align prior run lengths "
+                    "to global_every to keep the fused path.",
+                    UserWarning, stacklevel=2)
         final_state, info = self._pool_obj.run_until(
             state, k_run, rhat_tol=rhat_tol, chunk=chunk,
             max_chunks=max_chunks, warmup_chunks=warmup_chunks,

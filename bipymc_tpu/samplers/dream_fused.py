@@ -223,7 +223,13 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
         raise ValueError(f"z_update_every={z_update_every}: must be >= 1")
     _interp = (jax.default_backend() != "tpu" if interpret is None
                else interpret)
-    if K > 1 and cfg.n_chains == 8 and not _interp:
+    # On the mesh path the Pallas kernel runs PER SHARD, so the shape
+    # that reaches Mosaic is the local chain count (round-4 ADVICE: the
+    # first cut gated on the global count, wrongly rejecting 8 global
+    # chains on 2 devices and missing 16 global chains on 2 devices).
+    n_shard = (cfg.n_chains // mesh.devices.size if mesh is not None
+               else cfg.n_chains)
+    if K > 1 and n_shard == 8 and not _interp:
         # Measured Mosaic compiler crash (round 4): the K>1 super-block
         # kernel SIGABRTs tpu_compile_helper at EXACTLY n_chains=8 (one
         # f32 sublane tile), any d, any K>1 — n=4/6/10/12/16/32 all
@@ -233,9 +239,9 @@ def make_chunk_runner(log_prob: Callable, cfg: DreamConfig,
         # unconditionally and broke previously-green CPU configs); the
         # per-block engine (z_update_every=1) is unaffected at n=8.
         raise ValueError(
-            "fused_z_update > 1 with n_chains == 8 hits a Mosaic "
+            "fused_z_update > 1 with 8 chains per device hits a Mosaic "
             "compiler crash on TPU (see samplers/dream_fused.py) — use "
-            "z_update_every=1 or a different chain count")
+            "z_update_every=1 or a different per-device chain count")
     axis = CHAIN_AXIS if mesh is not None else None
     G = cfg.archive_thin
     CG = K * G                     # generations per kernel / super-block

@@ -40,11 +40,14 @@ from jax import lax
 from bipymc_tpu.core.rng import bits_to_normal, bits_to_uniform, step_key
 from bipymc_tpu.ops.fused_chunk import lp_block_cache
 from bipymc_tpu.ops.fused_rw_chunk import fused_rw_chunk_pallas
+from bipymc_tpu.parallel.collectives import chain_offset
+from bipymc_tpu.parallel.mesh import CHAIN_AXIS
 from bipymc_tpu.samplers.flowmh import FlowMhConfig, FlowMhState
 from bipymc_tpu.utils.proposals import Proposal
 
 
-def check_flowmh_fusable(cfg: FlowMhConfig) -> None:
+def check_flowmh_fusable(cfg: FlowMhConfig, mesh=None,
+                         n_chains: int | None = None) -> None:
     """Raise unless the config's trajectory is chunk-fusable."""
     if cfg.local_moves < 1:
         raise ValueError(
@@ -53,13 +56,20 @@ def check_flowmh_fusable(cfg: FlowMhConfig) -> None:
             "sampler has no local block to fuse — use fused=False)")
     if cfg.global_every < 1:
         raise ValueError("global_every must be >= 1")
+    if mesh is not None and n_chains is not None:
+        n_dev = int(mesh.devices.size)
+        if n_chains % n_dev:
+            raise ValueError(
+                f"n_chains={n_chains} must be divisible by the mesh's "
+                f"{n_dev} devices")
 
 
 def make_flowmh_chunk_runner(log_prob: Callable, proposal: Proposal,
                              cfg: FlowMhConfig, n_chains: int,
                              log_prob_block: Callable | None = None,
                              interpret: bool | None = None,
-                             steps_per_cell: int | None = None) -> Callable:
+                             steps_per_cell: int | None = None,
+                             mesh=None, wrap: bool = True) -> Callable:
     """Build ``run(state, base_key, n_gens, t0) -> (state, history)``.
 
     state: the batched FlowMhState. ``n_gens`` must be a multiple of the
@@ -67,10 +77,26 @@ def make_flowmh_chunk_runner(log_prob: Callable, proposal: Proposal,
     global-move schedule ``(t+1) % G == 0`` lands exactly on chunk
     ends; traced ``t0`` skips the check — align at the call site).
     history: ``{"x", "logp", "accepted", "accepted_local"}`` — the same
-    leaves as ``api._flowmh_collect`` per generation. Single-device
-    (the mesh path uses the per-generation engine).
+    leaves as ``api._flowmh_collect`` per generation.
+
+    mesh: optional 1-D chain mesh (round-5 verdict #2 — SURVEY §3.2:
+    "the mesh path turns on above one device with the same step
+    function"). FlowMh chains are fully independent and the proposal is
+    frozen/replicated, so the SPMD program has ZERO in-step
+    collectives: each device runs the fused Pallas kernel on its chain
+    shard and executes the global independence move on its local block.
+    Streams fold on GLOBAL chain ids (``chain_offset``), exactly like
+    the per-generation engine's sharded path, so mesh trajectories are
+    bit-identical in randomness to the single-device runner for the
+    same base key (tests/test_flowmh_fused.py pins vmap-vs-mesh
+    equality on 8 fake devices). ``wrap=False`` with a mesh returns the
+    per-shard body for embedding in a caller's own shard_map
+    (ChainPool.run_until's fused chunks).
     """
-    check_flowmh_fusable(cfg)
+    check_flowmh_fusable(cfg, mesh, n_chains)
+    axis = CHAIN_AXIS if mesh is not None else None
+    n_local_expect = (n_chains // int(mesh.devices.size)
+                      if mesh is not None else n_chains)
     G = int(cfg.global_every)
     L = int(cfg.local_moves)
     K_loc = G * L
@@ -85,12 +111,12 @@ def make_flowmh_chunk_runner(log_prob: Callable, proposal: Proposal,
               else interpret)
     _lp_block_for = lp_block_cache(log_prob, log_prob_block)
 
-    def runner(state: FlowMhState, base_key, n_gens: int, t0):
+    def runner_local(state: FlowMhState, base_key, n_gens: int, t0):
         n, d = state.x.shape
         dtype = state.x.dtype
-        if n != n_chains:
-            raise ValueError(f"state has {n} chains, runner built for "
-                             f"{n_chains}")
+        if n != n_local_expect:
+            raise ValueError(f"state has {n} chains per shard, runner "
+                             f"built for {n_local_expect}")
         if n_gens % G != 0:
             raise ValueError(f"n_gens={n_gens} not a multiple of the "
                              f"chunk length global_every={G}")
@@ -100,7 +126,11 @@ def make_flowmh_chunk_runner(log_prob: Callable, proposal: Proposal,
         n_words = L * (d + 1) + (d + 2)
         scale = (cfg.rw_scale * 2.38 / jnp.sqrt(jnp.asarray(d, dtype))
                  * proposal.sigma.astype(dtype))
-        cids = jnp.arange(n, dtype=jnp.int32)
+        # GLOBAL chain ids: on the mesh path each shard folds its own
+        # offset so streams — and therefore trajectories — match the
+        # single-device runner bit-for-bit (same construction as
+        # samplers/flowmh.py make_step and dream_fused.py)
+        cids = chain_offset(n, axis) + jnp.arange(n, dtype=jnp.int32)
         t0 = jnp.asarray(t0, jnp.int32)
 
         def chunk(st: FlowMhState, ci):
@@ -172,6 +202,29 @@ def make_flowmh_chunk_runner(log_prob: Callable, proposal: Proposal,
         return state, hist
 
     # contract attributes ChainPool.run_until validates at its entry
+    runner_local.chunk_multiple = G
+    runner_local.align = G
+    runner_local.position_field = "x"
+
+    if mesh is None or not wrap:
+        return runner_local
+
+    from jax.sharding import PartitionSpec as P
+    from bipymc_tpu.parallel.pool import _history_spec, _state_specs
+    from bipymc_tpu.samplers.flowmh import SHARDED_FIELDS
+
+    def runner(state: FlowMhState, base_key, n_gens: int, t0):
+        state_specs = _state_specs(state, SHARDED_FIELDS, axis)
+        hist_specs = {"x": _history_spec(3, axis),
+                      "logp": _history_spec(2, axis),
+                      "accepted": _history_spec(2, axis),
+                      "accepted_local": _history_spec(2, axis)}
+        fn = jax.shard_map(
+            lambda s, k, t: runner_local(s, k, n_gens, t),
+            mesh=mesh, in_specs=(state_specs, P(), P()),
+            out_specs=(state_specs, hist_specs), check_vma=False)
+        return fn(state, base_key, jnp.asarray(t0, jnp.int32))
+
     runner.chunk_multiple = G
     runner.align = G
     runner.position_field = "x"

@@ -170,7 +170,11 @@ def gmm_proposal(params: GmmParams, inflate: float = 1.0) -> Proposal:
     log_q = ((lambda x: gmm_log_q_diag(params, x)) if diag
              else (lambda x: gmm_log_q(params, x)))
     if diag:
-        sd = jnp.sqrt(jnp.sum(params.chol ** 2, axis=-1))  # [K, d]
+        # signed diagonal, NOT row norms: sqrt(sum(chol², -1)) = |diag|
+        # silently flips draw signs for a hand-built GmmParams with
+        # negative diagonal entries (fit_gmm always yields positive
+        # diagonals, but external params are legal — round-4 ADVICE)
+        sd = jnp.diagonal(params.chol, axis1=-2, axis2=-1)  # [K, d]
 
     def sample_logq(eps, u):
         comp = jnp.clip(jnp.searchsorted(cum, u), 0, K - 1)
@@ -185,7 +189,8 @@ def gmm_proposal(params: GmmParams, inflate: float = 1.0) -> Proposal:
                     sigma=gmm_marginal_std(params))
 
 
-def _kmeanspp_means(key: jax.Array, x: jax.Array, K: int) -> jax.Array:
+def _kmeanspp_means(key: jax.Array, x: jax.Array, K: int,
+                    valid: jax.Array) -> jax.Array:
     """k-means++ seeding (Arthur & Vassilvitskii 2007): first seed
     uniform, each next drawn ∝ squared distance to the nearest chosen
     seed. On well-separated mixtures this places ~one seed per mode —
@@ -193,11 +198,11 @@ def _kmeanspp_means(key: jax.Array, x: jax.Array, K: int) -> jax.Array:
     K=4), and EM then converges to a local optimum where one component
     spans two modes (measured: per-dim variance ~30× true, global-move
     acceptance 0.15 instead of 0.9)."""
-    n = x.shape[0]
     k0, kloop = jax.random.split(key)
-    idx0 = jax.random.randint(k0, (), 0, n)
+    # uniform over VALID rows only (invalid rows carry -inf logits)
+    idx0 = jax.random.categorical(k0, jnp.where(valid, 0.0, -jnp.inf))
     mus = jnp.zeros((K, x.shape[1]), x.dtype).at[0].set(x[idx0])
-    d2 = jnp.sum((x - x[idx0]) ** 2, axis=-1)
+    d2 = jnp.sum((x - x[idx0]) ** 2, axis=-1) * valid
 
     def body(i, carry):
         mus, d2, k = carry
@@ -253,9 +258,15 @@ def fit_gmm(key: jax.Array, draws, n_components: int, n_iters: int = 200,
     if x.shape[0] < 2 * K:
         raise ValueError(f"need at least {2 * K} draws to fit {K} "
                          "components")
-    # the finiteness guard needs a concrete value — under jit (the fit
-    # is shape-static and fully jittable; benchmark harnesses wrap it to
-    # amortize the EM scan's compile) the caller owns pre-filtering
+    # Non-finite draws: eager callers get a loud error; jitted callers
+    # (the fit is shape-static and fully jittable — benchmark harnesses
+    # wrap it to amortize the EM scan's compile) cannot, so the fit
+    # SANITIZES instead of silently trusting the input (round-4 ADVICE:
+    # a single NaN row would otherwise poison EM): non-finite rows get
+    # zero responsibility in every E-step, are excluded from the
+    # k-means++ seeding, and are replaced by a finite placeholder so no
+    # NaN ever enters the arithmetic. Fitting from a jitted pipeline
+    # therefore never needs caller-side pre-filtering.
     if (not isinstance(x, jax.core.Tracer)
             and not bool(jnp.all(jnp.isfinite(x)))):
         raise ValueError("draws contain non-finite values — filter them "
@@ -271,6 +282,14 @@ def fit_gmm(key: jax.Array, draws, n_components: int, n_iters: int = 200,
         x = x[idx]
     n, d = x.shape
 
+    # sanitize: zero-weight non-finite rows (see guard note above)
+    valid = jnp.all(jnp.isfinite(x), axis=-1)            # [n] bool
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    mean_valid = (jnp.sum(jnp.where(valid[:, None], x, 0.0), axis=0)
+                  / n_valid.astype(x.dtype))
+    x = jnp.where(valid[:, None], x, mean_valid)
+    valid = valid.astype(x.dtype)
+
     # init: k-means++ means; shared data covariance (diagonal — the
     # first M-step replaces it); uniform weights
     var0 = jnp.maximum(jnp.var(x, axis=0), 1e-12)
@@ -282,8 +301,8 @@ def fit_gmm(key: jax.Array, draws, n_components: int, n_iters: int = 200,
             params.mu, params.chol, x)                   # [K, n]
         log_joint = comp + params.log_w[:, None]
         log_norm = jax.scipy.special.logsumexp(log_joint, axis=0)
-        loglik = jnp.mean(log_norm)
-        r = jnp.exp(log_joint - log_norm)                # [K, n]
+        loglik = jnp.sum(log_norm * valid) / n_valid
+        r = jnp.exp(log_joint - log_norm) * valid[None, :]   # [K, n]
         nk = jnp.sum(r, axis=1) + 1e-12                  # [K]
         new_log_w = jnp.log(nk) - jnp.log(jnp.sum(nk))
         new_mu = (r @ x) / nk[:, None]                   # [K, d]
@@ -312,7 +331,7 @@ def fit_gmm(key: jax.Array, draws, n_components: int, n_iters: int = 200,
         return new, loglik
 
     def run_one(k):
-        mu0 = _kmeanspp_means(k, x, K)
+        mu0 = _kmeanspp_means(k, x, K, valid)
         params0 = GmmParams(log_w=jnp.full((K,), -math.log(K), dtype),
                             mu=mu0, chol=chol0)
         return lax.scan(em_step, params0, None, length=n_iters)

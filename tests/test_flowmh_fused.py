@@ -134,3 +134,40 @@ def test_validation():
         bp.FlowMh(lp, prop, global_every=2, local_moves=0)
     with pytest.raises(ValueError, match="local_moves"):
         bp.FlowMh(lp, prop, local_moves=0, fused=True)
+
+
+def test_fused_mesh_matches_vmap(gmm_prop):
+    """FlowMh(mesh=..., fused=True) on 8 fake devices produces the
+    SAME trajectories as the single-device fused run: streams fold on
+    global chain ids, chains are independent, the proposal is
+    replicated (round-5 verdict #2 — SURVEY §3.2 mesh-path parity)."""
+    from bipymc_tpu.parallel.mesh import chain_mesh
+    lp = _mixture_lp()
+    theta0 = jnp.asarray(np.tile(MEANS[0], (16, 1)), jnp.float32)
+    kw = dict(n_chains=16, seed=7, local_moves=2, global_every=2)
+    a = bp.FlowMh(lp, gmm_prop, fused=True, **kw)
+    a.run_mcmc(8, theta0, spread=0.1)
+    b = bp.FlowMh(lp, gmm_prop, fused=True, mesh=chain_mesh(), **kw)
+    b.run_mcmc(8, theta0, spread=0.1)
+    xa, xb = np.asarray(a.super_chain), np.asarray(b.super_chain)
+    np.testing.assert_allclose(xa, xb, rtol=0, atol=2e-6)
+    assert (xa == xb).mean() > 0.99
+    np.testing.assert_array_equal(a._history["accepted"],
+                                  b._history["accepted"])
+    np.testing.assert_array_equal(a._history["accepted_local"],
+                                  b._history["accepted_local"])
+
+
+def test_fused_mesh_run_until(gmm_prop):
+    """run_mcmc_until routes fused chunks through the pool's shard_map
+    with the LOCAL runner on the mesh path and still converges."""
+    from bipymc_tpu.parallel.mesh import chain_mesh
+    lp = _mixture_lp()
+    rng = np.random.default_rng(2)
+    theta0 = jnp.asarray(MEANS[rng.integers(0, 2, 16)]
+                         + rng.standard_normal((16, D)), jnp.float32)
+    s = bp.FlowMh(lp, gmm_prop, fused=True, mesh=chain_mesh(),
+                  n_chains=16, seed=1, local_moves=1, global_every=2)
+    info = s.run_mcmc_until(theta0, rhat_tol=1.2, chunk=20,
+                            max_chunks=40, warmup_chunks=2, spread=0.5)
+    assert float(info["rhat"].max()) < 1.2
