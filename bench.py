@@ -64,6 +64,21 @@ def _watchdog(signum, frame):
 signal.signal(signal.SIGALRM, _watchdog)
 signal.alarm(540)          # re-armed per phase in main()
 
+# Persistent compilation cache (round-5 verdict #6): the north-star
+# cold number was compile-dominated (77–115 s); with the cache a second
+# process loads executables from disk instead of recompiling. Shared
+# dir with benchmarks/northstar_config3.py. BENCH_NO_CACHE=1 disables
+# (for measuring the uncached cold).
+if not os.environ.get("BENCH_NO_CACHE"):
+    import jax as _jax
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "benchmarks", ".jax_cache")))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 D = 100
 N_CHAINS = 256
@@ -345,20 +360,32 @@ def _load_baseline(path):
 
 
 def run_northstar():
-    """Third phase (round-4 verdict #1): the cold-start → cross-mode
-    R̂<1.1 pipeline on config 3 (benchmarks/northstar_config3.py —
-    explore → GMM fit → bridge/refit iterates → FlowMh until-stop →
-    validation). Returns its result dict and writes the JSON artifact."""
+    """Third phase (round-4 verdict #1, round-5 verdict #1): the
+    cold-start → cross-mode R̂<1.1 pipeline on config 3 (benchmarks/
+    northstar_config3.py — SMC mode DISCOVERY (oracle-free) → GMM fit →
+    bridge/refit → FlowMh until-stop → validation). bench.py runs the
+    headline "discovered" arm; the oracle A/B arm is produced by
+    running the harness directly. Returns the arm dict and merges it
+    into the JSON artifact (preserving any other recorded arms)."""
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
     import northstar_config3
-    ns = northstar_config3.pipeline()
+    ns = northstar_config3.pipeline("discovered")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "benchmarks", "northstar_config3.json")
     if SMOKE:
         path = path.replace(".json", "_smoke.json")
+    out = {"arms": {}, "headline": "discovered"}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            out["arms"].update(prev.get("arms", {}))
+        except Exception:
+            pass
+    out["arms"]["discovered"] = ns
     with open(path, "w") as f:
-        json.dump(ns, f, indent=1)
+        json.dump(out, f, indent=1)
     return ns
 
 
@@ -419,6 +446,17 @@ def main():
         "wall_clock_to_crossmode_rhat_1p1_s": ns["northstar_wall_s"],
         "crossmode_split_rhat": ns["validate"]["crossmode_split_rhat"],
         "mode_weight_abs_err": ns["validate"]["mode_weight_abs_err"],
+        # round-5 verdict #3: ESS/s from the engine that MIXES across
+        # modes (fused FlowMh, timed warm window) — parameter ESS plus
+        # the conservative mode-INDICATOR ESS, the frame in which a
+        # within-basin sampler scores ~0 regardless of speed. The
+        # DREAM-zs headline above is the within-basin frame; README
+        # "Two ESS frames" explains both.
+        "ess_per_sec_crossmode":
+            ns["crossmode_ess"]["ess_per_sec_param"],
+        "ess_per_sec_mode_indicator":
+            ns["crossmode_ess"]["ess_per_sec_mode_indicator"],
+        "crossmode_ess": ns["crossmode_ess"],
         "northstar": {
             "cold_total_s": ns["cold_total_s"],
             "warm_s": ns["warm_s"],

@@ -4,44 +4,41 @@
 `BASELINE.json:2` names wall-clock to R̂<1.1 a north-star metric; on the
 100-d 4-mode mixture the number only counts if the R̂ is CROSS-mode
 (mode-hopping mixing), which no DE/archive kernel reaches in practice
-(measured hop rate 2.8e-5/chain-gen — docs/ROUND3.md §2). Round 3 built
-the ingredients separately: stratified exploration, an on-device EM GMM
-fit (utils/mixtures.py), and the FlowMh global-move kernel that reached
-cross-mode R̂ 1.0013 (benchmarks/flowmh_headline.json) — but no single
-harness composed them into one cold-start number (round-4 verdict #1).
-This harness is that composition:
+(measured hop rate 2.8e-5/chain-gen — docs/ROUND3.md §2). Round 4 built
+the composed pipeline; round 5 (verdict #1) makes it ORACLE-FREE: the
+headline arm discovers the modes itself instead of being told where
+they are.
 
-  A explore   stratified 256-chain DreamZs (fused engine, kernel RNG),
-              thinned history kept DEVICE-RESIDENT (no host round-trip
-              into the fit),
-  B fit       diagonal-covariance EM GMM, k-means++ seeds × 4 restarts,
-              jitted end-to-end,
-  C bridge    a short FlowMh run under the first fit, then REFIT on its
-              decorrelated draws (the flowMC iterate — round 3 measured
-              first-fit global acceptance 0.127 vs 0.717 after one
-              refit: explore draws are autocorrelated, so the variance
-              estimates that set exp(−KL(π‖q)) are noisy; one round of
-              independence-move draws fixes n_eff),
-  D sample    FlowMh with amortized global moves (global_every) and the
-              fused local-RW chunk engine (samplers/flowmh_fused.py),
-              run under the ON-DEVICE streaming-R̂ stop at 1.1,
-  E validate  (untimed) further generations → cross-mode SPLIT R̂,
-              per-mode occupancy weights vs the true ¼ each, posterior
-              mean error. Validation draws are reduced on device; only
-              scalars cross the tunnel.
+Two arms, both written to the JSON:
+
+``init="discovered"`` (HEADLINE — no mode knowledge anywhere in A–D):
+  A discover  SMC from a unimodal reference at the ORIGIN (breadth rule
+              ref_var = 10·spread² — docs/ROUND3.md §21; the only prior
+              knowledge is the support SCALE, not mode locations),
+              annealed to π; equal-weight resampled posterior draws.
+  B fit       diagonal-covariance EM GMM on the SMC draws (k-means++
+              seeds × restarts, jitted end-to-end).
+  C bridge    short FlowMh runs under the fit, REFIT on the
+              decorrelated draws (the flowMC iterate).
+  D sample    FlowMh, amortized global moves + fused local-RW engine,
+              under the ON-DEVICE streaming-R̂ stop at 1.1.
+  E validate  (untimed grading, mode knowledge allowed HERE only):
+              cross-mode SPLIT R̂, per-mode occupancy vs ¼, mean error.
+
+``init="oracle"`` (A/B column — the round-4 pipeline): phase A is a
+stratified 256-chain DreamZs explore initialised AT the true mode
+centres; B–E identical. Keeping it quantifies what knowing the modes
+buys (answer, measured round 5: nothing but a faster phase A — the
+discovered arm converges to the same split R̂ / weights).
 
 Every timed phase is measured COLD (compile + run — the true cold-start
-cost, reported as ``cold_total_s``) and WARM (cached executables — the
-compile-excluded frame every other headline in this repo uses;
-``northstar_wall_s`` = warm A + B + C is what BENCH_r04.json reports as
-``wall_clock_to_crossmode_rhat_1p1_s``).
-
-Honesty notes: the explore phase initializes chains stratified over the
-KNOWN mode centres (the §2 recipe — overdispersion across the support
-is what makes the final R̂ meaningful; the verdict endorses exactly this
-composition). The stop R̂ is the streaming (non-split) statistic the
-run_until machinery folds; phase D re-checks with the stricter SPLIT R̂
-on a fresh window and the JSON carries both.
+cost, ``cold_total_s``) and WARM (cached executables — the
+compile-excluded frame every headline in this repo uses;
+``northstar_wall_s``). The JAX persistent compilation cache is enabled
+(verdict #6): a SECOND process's "cold" pays cache-load instead of
+compile — run this script twice and compare ``cold_total_s``; the
+second run auto-records ``cold_total_s_warm_cache`` into the JSON when
+it finds a prior result.
 
 Writes benchmarks/northstar_config3.json (BENCH_SMOKE=1 → *_smoke.json,
 tiny shapes, CPU-safe).
@@ -64,20 +61,40 @@ if os.environ.get("JAX_PLATFORMS"):
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+# Persistent compilation cache (round-5 verdict #6): the deliverable
+# cold number was compile-dominated (77–115 s vs 1.5–2.7 s warm) and a
+# second process re-paid it all. With the cache, a second process loads
+# executables from disk. NORTHSTAR_NO_CACHE=1 disables (for measuring
+# the uncached cold).
+if not os.environ.get("NORTHSTAR_NO_CACHE"):
+    _cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", os.path.join(HERE, ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import bipymc_tpu as bp
 from bipymc_tpu.models.targets import (baseline_config3_means,
                                        gaussian_mixture,
                                        stratified_mode_init)
-from bipymc_tpu.utils.diagnostics import mode_occupancy
+from bipymc_tpu.utils.diagnostics import (effective_sample_size,
+                                          ess_rate, mode_occupancy,
+                                          nearest_mode)
 from bipymc_tpu.utils.mixtures import fit_gmm, gmm_proposal
-
-HERE = os.path.dirname(os.path.abspath(__file__))
 
 D = 100
 N_CHAINS = 256
+SPREAD = 5.0                     # baseline_config3_means scale (support
+                                 # knowledge — NOT mode locations)
 EXPLORE_GENS, EXPLORE_BURN, EXPLORE_THIN = 1500, 500, 4
+SMC_PARTICLES, SMC_MAX_STAGES, SMC_MOVES = 16384, 600, 5
+SMC_REF_VAR = 10.0 * SPREAD ** 2   # breadth rule (profile_smc.py /
+                                   # ROUND3.md §21): caps the mid-β
+                                   # radius imbalance so no basin goes
+                                   # extinct along the geometric path
 GMM_K, GMM_ITERS, GMM_MAX_PTS, GMM_RESTARTS = 8, 100, 50000, 4
 LOCAL_MOVES, GLOBAL_EVERY, RW_SCALE = 2, 10, 0.2
 # tail-domination safeguard for the independence proposal (see
@@ -88,20 +105,14 @@ INFLATE = 1.05
 # the bridge runs MORE frequent global moves (every 5 gens) over a longer
 # window: its job is to hand the refit decorrelated draws, and the refit's
 # acceptance is set by n_eff (diag-GMM estimation error ~ K·d/(2·n_eff) in
-# the exp(−KL) exponent). 500 gens / global_every=10 gave refit acc 0.42
-# and mode-weight error 0.058; the fused engine makes the longer bridge
-# nearly free (~0.1 s warm per 1000 gens).
-#
-# TWO bridge→refit iterates (measured necessity, not taste): the first
-# bridge runs under the exploration fit (acc ~0.1/move), so its draw set's
-# MODE PROPORTIONS are still ~frozen at the explore occupancy — the first
-# refit inherits mis-estimated component weights, and a proposal that
-# under-proposes a mode makes that mode's occupancy mix on the slow
-# 1/(w_q·acc) clock (run with one iterate: final weight error 0.11 with
-# per-move acceptance 0.55 — per-dim R̂ converges, weights don't). The
-# second bridge runs at ~0.5+/move, equilibrates proportions in a few
-# hundred generations, and its refit pins the weights.
-BRIDGE_GENS, BRIDGE_GLOBAL_EVERY, BRIDGE_ITERS = 2000, 5, 2
+# the exp(−KL) exponent). TWO bridge→refit iterates for the oracle arm
+# (measured necessity — the explore draws' mode PROPORTIONS are frozen at
+# the stratified init, so the first refit inherits mis-estimated weights;
+# docs/ROUND4.md §3). The discovered arm's SMC draws already carry the
+# correct weights (±0.03 measured), so one iterate suffices — measured in
+# round 5, see docs/ROUND5.md.
+BRIDGE_GENS, BRIDGE_GLOBAL_EVERY = 2000, 5
+BRIDGE_ITERS = {"oracle": 2, "discovered": 1}
 UNTIL_KW = dict(rhat_tol=1.1, chunk=200, max_chunks=200, warmup_chunks=1)
 VALIDATE_GENS = 2000
 SEED = 11
@@ -113,8 +124,10 @@ SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 if SMOKE:
     D, N_CHAINS = 8, 64
     EXPLORE_GENS, EXPLORE_BURN, EXPLORE_THIN = 300, 100, 2
+    SMC_PARTICLES, SMC_MAX_STAGES, SMC_MOVES = 512, 200, 3
     GMM_K, GMM_ITERS, GMM_MAX_PTS = 6, 40, 10000
-    BRIDGE_GENS, BRIDGE_GLOBAL_EVERY, BRIDGE_ITERS = 400, 5, 2
+    BRIDGE_GENS, BRIDGE_GLOBAL_EVERY = 400, 5
+    BRIDGE_ITERS = {"oracle": 2, "discovered": 1}
     UNTIL_KW = dict(rhat_tol=1.1, chunk=50, max_chunks=60, warmup_chunks=1)
     VALIDATE_GENS = 400
 
@@ -129,40 +142,105 @@ def _explore_draws(s):
     return xh[EXPLORE_BURN // EXPLORE_THIN:].reshape(-1, xh.shape[-1])
 
 
-def pipeline():
-    """Run the full cold+warm protocol; return the result dict."""
-    log("devices:", jax.devices())
-    np.asarray(jnp.ones(()))                      # tunnel warmup
-    on_tpu = jax.default_backend() == "tpu"
-
-    means = baseline_config3_means(D)
-    means_j = jnp.asarray(means)
-    log_prob = gaussian_mixture(means, sigma=1.0)
+def _phase_a_oracle(log_prob, means_j, on_tpu):
+    """Round-4 explore: stratified DreamZs AT the true mode centres."""
     x0 = stratified_mode_init(jax.random.key(SEED), means_j, N_CHAINS,
                               var=4.0)
-
-    out = {"config": {
-        "d": D, "n_chains": N_CHAINS,
-        "explore": {"gens": EXPLORE_GENS, "burn": EXPLORE_BURN,
-                    "thin": EXPLORE_THIN},
-        "gmm": {"K": GMM_K, "iters": GMM_ITERS, "max_points": GMM_MAX_PTS,
-                "restarts": GMM_RESTARTS, "cov_type": "diag"},
-        "flowmh": {"local_moves": LOCAL_MOVES, "global_every": GLOBAL_EVERY,
-                   "rw_scale": RW_SCALE, "fused": True},
-        "until": UNTIL_KW, "seed": SEED,
-    }}
-
-    # ---- A: explore -----------------------------------------------------
     explore = bp.DreamZs(log_prob, n_chains=N_CHAINS, seed=SEED,
                          burnin_gens=EXPLORE_BURN, fused=True,
                          fused_rng="kernel" if on_tpu else "stream")
     t0 = time.time()
     explore.run_mcmc(EXPLORE_GENS, x0, thin=EXPLORE_THIN)
     draws = jax.block_until_ready(_explore_draws(explore))
-    t_explore_cold = time.time() - t0
-    log(f"A explore cold: {t_explore_cold:.2f}s, draws {draws.shape}")
+    t_cold = time.time() - t0
+    theta_b = explore.final_state.x
 
-    # ---- B: fit (jitted; static shapes from the explore history) -------
+    def warm():
+        explore.reset()
+        t0 = time.time()
+        explore.run_mcmc(EXPLORE_GENS, x0, thin=EXPLORE_THIN)
+        dw = jax.block_until_ready(_explore_draws(explore))
+        return dw, time.time() - t0
+
+    meta = {"kind": "stratified DreamZs at TRUE mode centres (oracle)",
+            "gens": EXPLORE_GENS, "burn": EXPLORE_BURN,
+            "thin": EXPLORE_THIN}
+    return draws, theta_b, t_cold, warm, meta
+
+
+def _phase_a_discovered(log_prob, means_j, on_tpu):
+    """Oracle-FREE discovery: SMC annealed from a unimodal origin
+    reference. The only prior input is the support scale (ref breadth
+    10·spread² — a prior a real user has); mode locations, counts and
+    weights all come out of the anneal. Measured (profile_smc.py, chip):
+    1.73 s warm, mode weights ±0.03, log-evidence ±0.13 nats."""
+    def build(seed):
+        return bp.Smc(log_prob, n_particles=SMC_PARTICLES, seed=seed,
+                      ref_mean=np.zeros(D, np.float32),
+                      ref_var=np.full(D, SMC_REF_VAR, np.float32),
+                      ess_alpha=0.95, n_moves=SMC_MOVES, kernel="hmc",
+                      max_stages=SMC_MAX_STAGES)
+
+    smc = build(SEED)
+    t0 = time.time()
+    info = smc.run()
+    draws_h = smc.resample()                        # host [N, d]
+    # bridge-chain init: a permuted subset (systematic resampling
+    # orders rows along the weight CDF — consecutive rows correlate)
+    rng = np.random.default_rng(SEED + 7)
+    theta_b = jnp.asarray(
+        draws_h[rng.permutation(draws_h.shape[0])[:N_CHAINS]],
+        jnp.float32)
+    draws = jax.block_until_ready(jnp.asarray(draws_h, jnp.float32))
+    t_cold = time.time() - t0
+    log(f"  discover: {int(info['n_stages'])} stages, "
+        f"logZ {float(info['log_evidence']):+.3f} (true 0)")
+
+    def warm():
+        s1 = build(SEED)
+        s1._runner = smc._runner                    # compiled program
+        t0 = time.time()
+        s1.run()
+        dh = s1.resample()
+        dw = jax.block_until_ready(jnp.asarray(dh, jnp.float32))
+        return dw, time.time() - t0
+
+    meta = {"kind": "SMC anneal from unimodal origin reference "
+                    "(oracle-free; support-scale prior only)",
+            "particles": SMC_PARTICLES, "ref_var": SMC_REF_VAR,
+            "stages": int(info["n_stages"]),
+            "log_evidence": round(float(info["log_evidence"]), 4)}
+    return draws, theta_b, t_cold, warm, meta
+
+
+def pipeline(init_mode):
+    """Run one arm's full cold+warm protocol; return the result dict."""
+    on_tpu = jax.default_backend() == "tpu"
+    means = baseline_config3_means(D, spread=SPREAD)
+    means_j = jnp.asarray(means)
+    log_prob = gaussian_mixture(means, sigma=1.0)
+    n_bridge = BRIDGE_ITERS[init_mode]
+
+    out = {"init": init_mode, "config": {
+        "d": D, "n_chains": N_CHAINS,
+        "gmm": {"K": GMM_K, "iters": GMM_ITERS, "max_points": GMM_MAX_PTS,
+                "restarts": GMM_RESTARTS, "cov_type": "diag"},
+        "flowmh": {"local_moves": LOCAL_MOVES, "global_every": GLOBAL_EVERY,
+                   "rw_scale": RW_SCALE, "fused": FUSED},
+        "bridge": {"gens": BRIDGE_GENS, "global_every": BRIDGE_GLOBAL_EVERY,
+                   "iters": n_bridge},
+        "until": UNTIL_KW, "seed": SEED,
+    }}
+
+    # ---- A: explore / discover -----------------------------------------
+    phase_a = (_phase_a_oracle if init_mode == "oracle"
+               else _phase_a_discovered)
+    draws, theta_b, t_a_cold, warm_a, meta_a = phase_a(
+        log_prob, means_j, on_tpu)
+    out["config"]["phase_a"] = meta_a
+    log(f"A {init_mode} cold: {t_a_cold:.2f}s, draws {draws.shape}")
+
+    # ---- B: fit (jitted; static shapes) --------------------------------
     @jax.jit
     def _fit(k, dr):
         return fit_gmm(k, dr, GMM_K, n_iters=GMM_ITERS,
@@ -178,17 +256,10 @@ def pipeline():
     out["gmm_final_loglik"] = round(float(ginfo["final_loglik"]), 3)
 
     # ---- C: bridge→refit iterates --------------------------------------
-    @jax.jit
-    def _refit(k, dr):
-        return fit_gmm(k, dr, GMM_K, n_iters=GMM_ITERS,
-                       max_points=GMM_MAX_PTS, n_restarts=GMM_RESTARTS,
-                       cov_type="diag")
-
-    theta_b = explore.final_state.x
     params_i = gparams
     bridges, accs_b, bridge_starts = [], [], []
     t_bridge_cold = t_refit_cold = 0.0
-    for i in range(BRIDGE_ITERS):
+    for i in range(n_bridge):
         bridge_starts.append(theta_b)
         b = bp.FlowMh(log_prob, gmm_proposal(params_i, INFLATE),
                       n_chains=N_CHAINS, seed=SEED + 2 + 10 * i,
@@ -206,9 +277,9 @@ def pipeline():
         accs_b.append(round(acc_i, 4))
         t0 = time.time()
         params_i, ginfo_i = jax.block_until_ready(
-            _refit(jax.random.key(SEED + 3 + 10 * i), bdraws))
+            _fit(jax.random.key(SEED + 3 + 10 * i), bdraws))
         t_refit_cold += time.time() - t0
-        log(f"C bridge {i + 1}/{BRIDGE_ITERS} cold: acc/move {acc_i:.3f}, "
+        log(f"C bridge {i + 1}/{n_bridge} cold: acc/move {acc_i:.3f}, "
             f"refit loglik {float(ginfo_i['final_loglik']):.2f}")
         theta_b = b.final_state.x
         bridges.append(b)
@@ -237,7 +308,7 @@ def pipeline():
     log(f"D sample cold: {t_until_cold:.2f}s, {stop_gens} gens, "
         f"streaming R̂ {stop_rhat:.4f} (converged={converged})")
 
-    # ---- E: validate (untimed) -----------------------------------------
+    # ---- E: validate (untimed; TRUE means allowed here — grading) ------
     s.run_mcmc(VALIDATE_GENS)
     xh = s._chunks[-1]["x"]                               # [T, n, d] device
     occ_t = jax.vmap(lambda xt: mode_occupancy(xt, means_j))(xh)
@@ -289,11 +360,7 @@ def pipeline():
     }
 
     # ---- warm pass (cached executables) --------------------------------
-    explore.reset()
-    t0 = time.time()
-    explore.run_mcmc(EXPLORE_GENS, x0, thin=EXPLORE_THIN)
-    draws_w = jax.block_until_ready(_explore_draws(explore))
-    t_explore_warm = time.time() - t0
+    draws_w, t_a_warm = warm_a()
 
     t0 = time.time()
     jax.block_until_ready(_fit(jax.random.key(SEED + 1), draws_w))
@@ -309,7 +376,7 @@ def pipeline():
         t_bridge_warm += time.time() - t0
         t0 = time.time()
         jax.block_until_ready(
-            _refit(jax.random.key(SEED + 3 + 10 * i), bdraws_w))
+            _fit(jax.random.key(SEED + 3 + 10 * i), bdraws_w))
         t_refit_warm += time.time() - t0
 
     s.reset()
@@ -317,21 +384,62 @@ def pipeline():
     info_w = s.run_mcmc_until(theta_b, **UNTIL_KW)
     t_until_warm = time.time() - t0
     stop_rhat_w = float(np.max(info_w["rhat"]))
-    log(f"warm: explore {t_explore_warm:.2f}s, fit {t_fit_warm:.2f}s, "
+    log(f"warm: A {t_a_warm:.2f}s, fit {t_fit_warm:.2f}s, "
         f"bridge {t_bridge_warm:.2f}s, refit {t_refit_warm:.2f}s, "
         f"sample {t_until_warm:.2f}s (R̂ {stop_rhat_w:.4f})")
 
-    warm_total = (t_explore_warm + t_fit_warm + t_bridge_warm
+    # ---- cross-mode ESS/s (round-5 verdict #3) -------------------------
+    # The engine that actually MIXES across modes supplies its own
+    # throughput frame: a timed warm window of the fused FlowMh at the
+    # headline schedule. Two numbers: parameter ESS/s (same estimator
+    # and window convention as the DREAM-zs headline, ess_rate), and
+    # the conservative mode-INDICATOR ESS/s — the ESS of the
+    # one-hot nearest-mode series, worst mode, which is ~0 for any
+    # within-basin sampler no matter how fast it runs (DREAM-zs hop
+    # rate 1.6e-5/chain-gen ⇒ its indicator ESS barely exceeds the
+    # chain count) and is the honest "effective samples" frame for a
+    # multimodal target (BASELINE.json:2).
+    t0 = time.time()
+    s.run_mcmc(VALIDATE_GENS)
+    xh2 = s._chunks[-1]["x"]                              # [T, n, d]
+    jax.block_until_ready(xh2)
+    t_win = time.time() - t0
+    gps_win = VALIDATE_GENS / t_win
+    window2 = jnp.swapaxes(xh2, 0, 1)                     # [n, T, d]
+    ess_param, eps_param = ess_rate(window2, gps_win,
+                                    window=VALIDATE_GENS)
+    idx2 = nearest_mode(xh2, means_j)                     # [T, n]
+    ind = (idx2[..., None]
+           == jnp.arange(means.shape[0])).astype(jnp.float32)
+    ind_chains = jnp.swapaxes(ind, 0, 1)                  # [n, T, k]
+    ess_mode = float(effective_sample_size(ind_chains, per_dim=True))
+    eps_mode = ess_mode * gps_win / VALIDATE_GENS
+    hop_rate = float(jnp.mean(
+        (idx2[1:] != idx2[:-1]).astype(jnp.float32)))
+    log(f"crossmode ESS: {gps_win:.0f} gens/s, param ESS {ess_param:.0f} "
+        f"({eps_param:.0f}/s), mode-indicator ESS {ess_mode:.0f} "
+        f"({eps_mode:.0f}/s), hop rate {hop_rate:.4f}/chain-gen")
+    out["crossmode_ess"] = {
+        "window_gens": VALIDATE_GENS,
+        "gens_per_sec": round(gps_win, 1),
+        "ess_param": round(ess_param, 1),
+        "ess_per_sec_param": round(eps_param, 1),
+        "ess_mode_indicator": round(ess_mode, 1),
+        "ess_per_sec_mode_indicator": round(eps_mode, 1),
+        "mode_hops_per_chain_gen": round(hop_rate, 5),
+    }
+
+    warm_total = (t_a_warm + t_fit_warm + t_bridge_warm
                   + t_refit_warm + t_until_warm)
-    cold_total = (t_explore_cold + t_fit_cold + t_bridge_cold
+    cold_total = (t_a_cold + t_fit_cold + t_bridge_cold
                   + t_refit_cold + t_until_cold)
     out.update({
-        "cold_s": {"explore": round(t_explore_cold, 3),
+        "cold_s": {"phase_a": round(t_a_cold, 3),
                    "fit": round(t_fit_cold, 3),
                    "bridge": round(t_bridge_cold, 3),
                    "refit": round(t_refit_cold, 3),
                    "sample_until": round(t_until_cold, 3)},
-        "warm_s": {"explore": round(t_explore_warm, 3),
+        "warm_s": {"phase_a": round(t_a_warm, 3),
                    "fit": round(t_fit_warm, 3),
                    "bridge": round(t_bridge_warm, 3),
                    "refit": round(t_refit_warm, 3),
@@ -352,25 +460,57 @@ def pipeline():
             "global_acceptance_per_move": round(acc_g, 4),
         },
     })
-    if SMOKE:
-        out["smoke"] = True
     return out
 
 
 def main():
-    out = pipeline()
+    log("devices:", jax.devices())
+    np.asarray(jnp.ones(()))                      # tunnel warmup
+    arms = os.environ.get("NORTHSTAR_ARMS", "discovered,oracle").split(",")
     path = os.path.join(HERE, "northstar_config3.json")
     if SMOKE:
         path = path.replace(".json", "_smoke.json")
+    prev = None
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+        except Exception:
+            prev = None
+
+    out = {"arms": {}, "headline": "discovered" if "discovered" in arms
+                                   else arms[0]}
+    out["compilation_cache"] = (
+        "disabled" if os.environ.get("NORTHSTAR_NO_CACHE")
+        else jax.config.jax_compilation_cache_dir)
+    for mode in arms:
+        log(f"==== arm: init={mode} ====")
+        out["arms"][mode] = pipeline(mode.strip())
+    if SMOKE:
+        out["smoke"] = True
+
+    head = out["arms"][out["headline"]]
+    # second-process cache A/B (verdict #6): if a prior result exists
+    # and the cache is on, this process's cold = cache-load, record it
+    if (prev is not None and not os.environ.get("NORTHSTAR_NO_CACHE")
+            and prev.get("compilation_cache") == out["compilation_cache"]
+            and out["headline"] in prev.get("arms", {})):
+        head["cold_total_s_first_process"] = (
+            prev["arms"][out["headline"]].get(
+                "cold_total_s_first_process",
+                prev["arms"][out["headline"]]["cold_total_s"]))
+        head["cold_total_s_warm_cache"] = head["cold_total_s"]
+
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({
-        "northstar_wall_s": out["northstar_wall_s"],
-        "cold_total_s": out["cold_total_s"],
-        "stop_rhat": out["stop_rhat_streaming"],
-        "crossmode_split_rhat": out["validate"]["crossmode_split_rhat"],
-        "mode_weight_abs_err": out["validate"]["mode_weight_abs_err"],
-        "converged": out["converged"],
+        "headline_init": out["headline"],
+        "northstar_wall_s": head["northstar_wall_s"],
+        "cold_total_s": head["cold_total_s"],
+        "stop_rhat": head["stop_rhat_streaming"],
+        "crossmode_split_rhat": head["validate"]["crossmode_split_rhat"],
+        "mode_weight_abs_err": head["validate"]["mode_weight_abs_err"],
+        "converged": head["converged"],
     }))
 
 

@@ -399,11 +399,17 @@ def flow_sample(params: FlowParams, key: jax.Array, n: int,
 
 
 def fit_flow(key: jax.Array, draws, cfg: FlowConfig = FlowConfig(),
-             dtype=jnp.float32):
+             dtype=jnp.float32, init_params: FlowParams | None = None):
     """Maximum-likelihood fit to posterior draws.
 
     draws: [..., d] (histories flatten internally — pass
         ``get_chain(flat=True)`` or a raw [M, T, d] super_chain).
+    init_params: optional warm start — training CONTINUES from these
+        layer weights (fresh Adam moments; the standardization affine
+        is re-derived from ``draws``, so warm-starting across draw sets
+        assumes compatible scales). Lets long fits run as several
+        short scans — e.g. to keep individual device programs under a
+        flaky tunnel's timeout (docs/ROUND4.md §10's n_bins=12 probe).
     Returns (FlowParams, info) with info = {"loss": [n_steps],
     "final_loss": scalar} (loss = mean negative log q, standardized
     units).
@@ -425,8 +431,10 @@ def fit_flow(key: jax.Array, draws, cfg: FlowConfig = FlowConfig(),
     sigma = jnp.maximum(jnp.std(x, axis=0), 1e-6)
 
     k_init, k_fit = jax.random.split(key)
-    params0 = flow_init(k_init, d, cfg, dtype)
-    layers0 = params0.layers
+    if init_params is not None:
+        layers0 = init_params.layers
+    else:
+        layers0 = flow_init(k_init, d, cfg, dtype).layers
 
     def neg_log_lik(layers, batch):
         p = FlowParams(layers=layers, mu=mu, sigma=sigma)
