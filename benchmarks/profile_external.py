@@ -35,6 +35,7 @@ TPU host it is sub-ms.
 Writes benchmarks/external_ab.json (BENCH_SMOKE=1 → *_smoke.json).
 """
 
+import contextlib
 import json
 import os
 import sys
@@ -107,38 +108,90 @@ def surrogate_log_like(theta):
     return -0.5 * jnp.sum(r * r) - 0.5 * jnp.sum(theta * theta)
 
 
-def _timed_dreamzs(log_like, n_chains, label):
-    s = bp.DreamZs(log_like, n_chains=n_chains, seed=SEED,
-                   burnin_gens=BURN)
-    x0 = jnp.zeros((n_chains, D), jnp.float32)
-    s.run_mcmc(BURN + TIMED, x0, spread=1.0)     # compile + burn + run
-    s.reset()
-    t0 = time.time()
-    s.run_mcmc(BURN + TIMED, x0, spread=1.0)
-    jax.block_until_ready(s.final_state.x)
-    dt = time.time() - t0
+def _timed_dreamzs(log_like, n_chains, label, device=None):
+    """Timed warm DreamZs segment; ``device`` pins the whole program to
+    a specific backend device (the CPU arms on a TPU session — see the
+    axon_pjrt note in main()). A pinned CPU device in a TPU session
+    must skip the compiled Pallas proposal (samplers key interpret mode
+    on the default BACKEND; compiled Mosaic cannot lower to CPU)."""
+    ctx = (jax.default_device(device) if device is not None
+           else contextlib.nullcontext())
+    kw = ({"pallas_proposal": False}
+          if device is not None and jax.default_backend() == "tpu"
+          else {})
+    with ctx:
+        s = bp.DreamZs(log_like, n_chains=n_chains, seed=SEED,
+                       burnin_gens=BURN, **kw)
+        x0 = jnp.zeros((n_chains, D), jnp.float32)
+        s.run_mcmc(BURN + TIMED, x0, spread=1.0)  # compile + burn + run
+        s.reset()
+        t0 = time.time()
+        s.run_mcmc(BURN + TIMED, x0, spread=1.0)
+        jax.block_until_ready(s.final_state.x)
+        dt = time.time() - t0
     gps = (BURN + TIMED) / dt
-    log(f"  {label:10s} n={n_chains:5d}: {gps:9.1f} gens/s "
+    log(f"  {label:16s} n={n_chains:5d}: {gps:9.1f} gens/s "
         f"({1e3 / gps:7.2f} ms/gen)")
     return gps
+
+
+def _callback_supported():
+    """Probe: can the DEFAULT backend route jax.pure_callback? The axon
+    PJRT tunnel cannot (UNIMPLEMENTED: host send/recv callbacks) — the
+    probe turns that into a recorded fact instead of a crashed run."""
+    try:
+        f = jax.jit(lambda x: jax.pure_callback(
+            lambda a: np.asarray(a), jax.ShapeDtypeStruct((), jnp.float32),
+            x))
+        jax.block_until_ready(f(jnp.float32(1.0)))
+        return True, ""
+    except Exception as e:  # noqa: BLE001 — record, don't crash
+        return False, str(e).splitlines()[0][:200]
 
 
 def main():
     log("devices:", jax.devices())
     np.asarray(jnp.ones(()))                      # tunnel warmup
 
+    on_tpu = jax.default_backend() == "tpu"
+    cb_ok, cb_err = _callback_supported()
+    cpu0 = None
+    if not cb_ok:
+        # Measured deployment fact (round 5): the axon PJRT tunnel has
+        # NO host-callback channel, so external likelihoods cannot
+        # execute against the remote TPU AT ALL on this setup. The
+        # framework-side callback overhead is measured on the
+        # in-process CPU backend instead, against a device-CPU control
+        # (like-for-like Δ); on a standard local TPU host the callback
+        # channel exists and the overhead is the host-transfer + sync
+        # cost, bounded below by the CPU-backend number.
+        cpu0 = jax.devices("cpu")[0]
+        log(f"  NOTE: default backend cannot host callbacks "
+            f"({cb_err}); external arms run on the CPU backend")
+
     results = {"config": {"d": D, "burn": BURN, "timed": TIMED,
                           "sigma": SIGMA, "seed": SEED},
+               "default_backend": jax.default_backend(),
+               "callback_supported_on_default_backend": cb_ok,
+               "callback_probe_error": cb_err,
                "per_chain_count": {}}
 
     for n in CHAIN_COUNTS:
-        gps_dev = _timed_dreamzs(device_log_like, n, "device")
+        row = {}
+        if on_tpu:
+            row["device_tpu_gens_per_sec"] = round(
+                _timed_dreamzs(device_log_like, n, "device_tpu"), 1)
+        gps_dev = _timed_dreamzs(device_log_like, n,
+                                 "device_cpu" if cpu0 is not None
+                                 else "device", device=cpu0)
         gps_ext = _timed_dreamzs(
             external_log_like(host_log_like_batched, batched=True), n,
-            "external")
-        # pure callback overhead per generation (host math is ~free)
+            "external_cpu" if cpu0 is not None else "external",
+            device=cpu0)
+        # pure callback overhead per generation (host math is ~free),
+        # against the SAME-backend device arm
         ovh_ms = 1e3 * (1.0 / gps_ext - 1.0 / gps_dev)
-        results["per_chain_count"][str(n)] = {
+        row.update({
             "device_gens_per_sec": round(gps_dev, 1),
             "external_gens_per_sec": round(gps_ext, 1),
             "callback_overhead_ms_per_gen": round(ovh_ms, 3),
@@ -147,7 +200,8 @@ def main():
             # a simulator batch costing >= 9x the overhead keeps the
             # callback tax under 10% of wall
             "break_even_sim_ms_per_gen_10pct": round(9.0 * ovh_ms, 1),
-        }
+        })
+        results["per_chain_count"][str(n)] = row
 
     # ---- DA masked-promotion arm (the expensive-simulator answer) ------
     host_rows = {"n": 0, "calls": 0}
@@ -161,17 +215,22 @@ def main():
 
     n_da = CHAIN_COUNTS[0]
     masked = external_log_like_masked(host_exact_row)
-    s = bp.DelayedAcceptance(masked, surrogate_log_like, seed=SEED,
-                             n_chains=n_da, masked_exact=True,
-                             adapt=False)
-    x0 = jnp.zeros(D, jnp.float32)
-    s.run_mcmc(DA_STEPS, x0, cov_est=jnp.eye(D, dtype=jnp.float32) * 0.05)
-    host_rows["n"] = 0
-    s.reset()
-    t0 = time.time()
-    s.run_mcmc(DA_STEPS, x0, cov_est=jnp.eye(D, dtype=jnp.float32) * 0.05)
-    jax.block_until_ready(s.final_state.theta)
-    dt = time.time() - t0
+    ctx = (jax.default_device(cpu0) if cpu0 is not None
+           else contextlib.nullcontext())
+    with ctx:
+        s = bp.DelayedAcceptance(masked, surrogate_log_like, seed=SEED,
+                                 n_chains=n_da, masked_exact=True,
+                                 adapt=False)
+        x0 = jnp.zeros(D, jnp.float32)
+        s.run_mcmc(DA_STEPS, x0,
+                   cov_est=jnp.eye(D, dtype=jnp.float32) * 0.05)
+        host_rows["n"] = 0
+        s.reset()
+        t0 = time.time()
+        s.run_mcmc(DA_STEPS, x0,
+                   cov_est=jnp.eye(D, dtype=jnp.float32) * 0.05)
+        jax.block_until_ready(s.final_state.theta)
+        dt = time.time() - t0
     promoted = int(np.asarray(s._history["promoted"]).sum())
     total_rows = DA_STEPS * n_da
     results["da_masked"] = {
