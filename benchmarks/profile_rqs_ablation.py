@@ -35,6 +35,7 @@ a single 4000-step scan) by running the same budget as 8 warm-started
 Writes benchmarks/rqs_ablation.json (BENCH_SMOKE=1 → *_smoke.json).
 """
 
+import argparse
 import json
 import os
 import sys
@@ -73,6 +74,13 @@ def log(*a):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arm", default=None,
+                    help="run ONE arm and merge into the JSON (crash "
+                         "isolation: the round-4/5 chip sessions saw "
+                         "TPU-worker crashes inside RQS eval programs; "
+                         "one process per arm keeps the sweep alive)")
+    cli = ap.parse_args()
     log("devices:", jax.devices())
     np.asarray(jnp.ones(()))
 
@@ -102,9 +110,20 @@ def main():
         return float(jnp.mean(jnp.minimum(1.0, jnp.exp(
             jnp.minimum(delta, 0.0) + 0.0)))), lq_x
 
+    path = os.path.join(HERE, "rqs_ablation.json")
+    if SMOKE:
+        path = path.replace(".json", "_smoke.json")
     results = {"config": {"d": D, "n_train": N_TRAIN, "n_eval": N_EVAL,
                           "seed": SEED},
                "arms": {}}
+    if cli.arm and os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            if prev.get("config") == results["config"]:
+                results["arms"].update(prev.get("arms", {}))
+        except Exception:
+            pass
 
     def run_arm(name, cfg, n_chunks=1):
         t0 = time.time()
@@ -138,30 +157,41 @@ def main():
             f"fit {fit_s:6.1f}s")
 
     base = FlowConfig()
-    run_arm("affine", base)
-    run_arm("rqs", base._replace(coupling="rqs"))
-    if not SMOKE:
-        run_arm("rqs_bins4", base._replace(coupling="rqs", n_bins=4))
-        run_arm("rqs_bins12_chunked",
-                base._replace(coupling="rqs", n_bins=12, n_steps=4000),
-                n_chunks=8)
-        run_arm("rqs_tail3",
-                base._replace(coupling="rqs", tail_bound=3.0))
-        run_arm("rqs_tail6",
-                base._replace(coupling="rqs", tail_bound=6.0))
-        run_arm("rqs_hidden128",
-                base._replace(coupling="rqs", hidden=128))
-        run_arm("rqs_steps6000",
-                base._replace(coupling="rqs", n_steps=6000))
-        run_arm("rqs_lr3e-4",
-                base._replace(coupling="rqs", step_size=3e-4,
-                              n_steps=6000))
-        run_arm("affine_steps6000", base._replace(n_steps=6000))
-        run_arm("rqs_big",
-                base._replace(coupling="rqs", hidden=128, n_steps=6000,
-                              step_size=3e-4))
+    ALL_ARMS = {
+        "affine": (base, 1),
+        "rqs": (base._replace(coupling="rqs"), 1),
+        "rqs_bins4": (base._replace(coupling="rqs", n_bins=4), 1),
+        "rqs_bins12_chunked":
+            (base._replace(coupling="rqs", n_bins=12, n_steps=4000), 8),
+        "rqs_tail3": (base._replace(coupling="rqs", tail_bound=3.0), 1),
+        "rqs_tail6": (base._replace(coupling="rqs", tail_bound=6.0), 1),
+        "rqs_hidden128": (base._replace(coupling="rqs", hidden=128), 1),
+        "rqs_steps6000": (base._replace(coupling="rqs", n_steps=6000), 1),
+        "rqs_lr3e-4": (base._replace(coupling="rqs", step_size=3e-4,
+                                     n_steps=6000), 1),
+        "affine_steps6000": (base._replace(n_steps=6000), 1),
+        "rqs_big": (base._replace(coupling="rqs", hidden=128,
+                                  n_steps=6000, step_size=3e-4), 1),
+    }
+    if cli.arm:
+        if cli.arm != "gmm":
+            cfg, ck = ALL_ARMS[cli.arm]
+            run_arm(cli.arm, cfg, n_chunks=ck)
+    elif SMOKE:
+        run_arm("affine", base)
+        run_arm("rqs", base._replace(coupling="rqs"))
+    else:
+        for name, (cfg, ck) in ALL_ARMS.items():
+            run_arm(name, cfg, n_chunks=ck)
 
     # GMM context row (the production winner)
+    if cli.arm and cli.arm != "gmm":
+        with open(path, "w") as f:
+            json.dump(results, f, indent=1)
+        log("wrote", path)
+        print(json.dumps({k: v["acceptance"]
+                          for k, v in results["arms"].items()}))
+        return
     t0 = time.time()
     gp_params, _ = fit_gmm(jax.random.key(SEED + 3), train, 8,
                            n_iters=100, cov_type="diag")
@@ -178,10 +208,8 @@ def main():
         "fit_s": round(fit_s, 2)}
     log(f"  {'gmm_diag_k8':28s} acc {acc:6.4f}")
 
-    path = os.path.join(HERE, "rqs_ablation.json")
     if SMOKE:
         results["smoke"] = True
-        path = path.replace(".json", "_smoke.json")
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
     log("wrote", path)

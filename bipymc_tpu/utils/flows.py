@@ -253,8 +253,19 @@ def _rqs_knots(raw, n_bins, tail_bound):
 
 
 def _rqs_gather(arrs, k):
-    return [jnp.take_along_axis(a, k[..., None], axis=-1)[..., 0]
-            for a in arrs]
+    """Select each element's bin-k entry from [..., K(+1)] knot arrays.
+
+    One-hot CONTRACTION, not ``take_along_axis``: the gather's VJP is a
+    scatter, which this TPU toolchain lowers catastrophically for the
+    training pass — measured ~100× slower per draw than the affine
+    coupling AND a reproducible `UNAVAILABLE: TPU device error` worker
+    crash at full-batch n=20k, d=16 (round-4's "n_bins=12 tunnel
+    failure" was this, not the tunnel — docs/ROUND5.md §7). The one-hot
+    multiply+reduce is pure VPU work with a multiply VJP; k < n_bins
+    always, so slicing [..., :nb] is exact for the K+1-sized arrays."""
+    nb = min(a.shape[-1] for a in arrs)
+    oh = jax.nn.one_hot(k, nb, dtype=arrs[0].dtype)
+    return [jnp.sum(a[..., :nb] * oh, axis=-1) for a in arrs]
 
 
 def _rqs_forward(raw, x, n_bins, tail_bound):
