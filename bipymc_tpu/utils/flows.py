@@ -48,13 +48,19 @@ Trained flows sit in the moderate-slope regime where round-trips hold
 to ~1e-4; the proposal path never relies on the inverse for its OWN
 samples (forward-priced — `flow_proposal`).
 
-Measured global-move A/B (d=16, 4 modes, 20k IID training draws, TPU):
-affine acceptance 0.47, rqs 0.27, EM-GMM 0.93. The round-3 "flow
-collapse to ~4e-4 at d=16" was dominated by TRAINING-DATA quality
-(autocorrelated explore history), not the family — with clean draws
-both couplings are usable, and the GMM still wins on Gaussian-ish
-basins (README demotion stands; flows are the tool for warped basins
-and NeuTra reparameterization).
+Measured global-move A/B (d=16, 4 modes, 20k IID training draws, TPU —
+round-5 ablation, benchmarks/rqs_ablation.json): affine acceptance
+0.55, rqs 0.37 (0.44 at n_bins=4), EM-GMM 0.83. Acceptance is monotone
+in HELD-OUT NLL across a 12-arm capacity/training sweep (Spearman
+−0.944): the RQS head's ~11× parameter count overfits modest draw
+counts harder, and over-training inverts the ranking (affine at 6k
+steps falls to 0.23, below default rqs). For fitted independence
+proposals, parameter efficiency IS acceptance — hence the GMM default
+(README demotion stands; flows are the tool for warped basins and
+NeuTra reparameterization, and prefer n_bins=4 at ≲10⁵ draws). The
+round-3 "flow collapse to ~4e-4 at d=16" was dominated by
+TRAINING-DATA quality (autocorrelated explore history), not the
+family. docs/ROUND5.md §7.
 
 An outer fixed affine layer standardizes to the training draws'
 per-dimension mean/std (computed once at fit time, NOT trained — the
