@@ -90,7 +90,17 @@ N_CHAINS = 256
 SPREAD = 5.0                     # baseline_config3_means scale (support
                                  # knowledge — NOT mode locations)
 EXPLORE_GENS, EXPLORE_BURN, EXPLORE_THIN = 1500, 500, 4
-SMC_PARTICLES, SMC_MAX_STAGES, SMC_MOVES = 16384, 600, 5
+# Discovery defaults: 8192/0.95/5 (measured round 5,
+# benchmarks/smc_discovery_ab.json + an end-to-end confirm): half the
+# particles of the evidence-grade profile_smc.py config — discovery
+# w_err 0.09, which the bridge/refit equilibrates to <0.01 by
+# validation, at ~half the phase-A wall. Cheaper schedules
+# (ess_alpha=0.9 or n_moves<5) skew weights 0.13-0.53 at discovery and
+# are NOT worth it. Env overrides for A/B probing.
+SMC_PARTICLES = int(os.environ.get("NORTHSTAR_SMC_PARTICLES", "8192"))
+SMC_MAX_STAGES, SMC_MOVES = 600, int(
+    os.environ.get("NORTHSTAR_SMC_MOVES", "5"))
+SMC_ALPHA = float(os.environ.get("NORTHSTAR_SMC_ALPHA", "0.95"))
 SMC_REF_VAR = 10.0 * SPREAD ** 2   # breadth rule (profile_smc.py /
                                    # ROUND3.md §21): caps the mid-β
                                    # radius imbalance so no basin goes
@@ -178,7 +188,7 @@ def _phase_a_discovered(log_prob, means_j, on_tpu):
         return bp.Smc(log_prob, n_particles=SMC_PARTICLES, seed=seed,
                       ref_mean=np.zeros(D, np.float32),
                       ref_var=np.full(D, SMC_REF_VAR, np.float32),
-                      ess_alpha=0.95, n_moves=SMC_MOVES, kernel="hmc",
+                      ess_alpha=SMC_ALPHA, n_moves=SMC_MOVES, kernel="hmc",
                       max_stages=SMC_MAX_STAGES)
 
     smc = build(SEED)
@@ -480,6 +490,10 @@ def main():
 
     out = {"arms": {}, "headline": "discovered" if "discovered" in arms
                                    else arms[0]}
+    # preserve arms from a prior run not re-measured this invocation
+    # (e.g. NORTHSTAR_ARMS=discovered must not drop the oracle column)
+    if prev is not None:
+        out["arms"].update(prev.get("arms", {}))
     out["compilation_cache"] = (
         "disabled" if os.environ.get("NORTHSTAR_NO_CACHE")
         else jax.config.jax_compilation_cache_dir)
