@@ -50,11 +50,14 @@ class GmmParams(NamedTuple):
 
 
 def _comp_logpdf(mu, chol, x):
-    """MVN log-density of x [n, d] under one component."""
+    """MVN log-density of x [n, d] under one component. log|det| uses
+    |L_ii|: L and a sign-flipped column give the same covariance, and
+    hand-built GmmParams with negative diagonals are legal (fit_gmm
+    always yields positive diagonals — round-4 ADVICE)."""
     d = mu.shape[-1]
     y = jax.scipy.linalg.solve_triangular(chol, (x - mu).T, lower=True)
     return (-0.5 * jnp.sum(y * y, axis=0)
-            - jnp.sum(jnp.log(jnp.diagonal(chol)))
+            - jnp.sum(jnp.log(jnp.abs(jnp.diagonal(chol))))
             - 0.5 * d * math.log(2.0 * math.pi))
 
 

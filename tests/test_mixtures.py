@@ -258,3 +258,53 @@ def test_gmm_proposal_inflate():
                                atol=1e-6)
     with pytest.raises(ValueError, match="inflate"):
         mx.gmm_proposal(p, inflate=0.0)
+
+
+def test_fit_gmm_jitted_sanitizes_nonfinite_rows():
+    """Under jit the non-finite-draws check cannot raise; fit_gmm must
+    instead ZERO-WEIGHT bad rows (round-4 ADVICE: a single NaN draw
+    silently poisoned a jitted EM fit). The jitted fit on data with
+    poisoned rows must stay finite and match the eager fit on the
+    clean subset to statistical tolerance."""
+    rng = np.random.default_rng(11)
+    clean = np.concatenate([rng.normal(-3, 1, (1500, 2)),
+                            rng.normal(3, 1, (1500, 2))]).astype(np.float32)
+    bad = clean.copy()
+    bad[::100] = np.nan          # 30 poisoned rows
+    bad[7, 0] = np.inf
+    fit = lambda dd: mx.fit_gmm(jax.random.key(2), dd, 2, n_iters=60,
+                                cov_type="diag")
+    pj, ij = jax.jit(fit)(jnp.asarray(bad))
+    assert np.all(np.isfinite(np.asarray(pj.mu)))
+    assert np.all(np.isfinite(np.asarray(pj.chol)))
+    assert np.isfinite(float(ij["final_loglik"]))
+    mus = np.sort(np.asarray(pj.mu)[:, 0])
+    np.testing.assert_allclose(mus, [-3.0, 3.0], atol=0.3)
+    # eager path still raises loudly
+    with pytest.raises(ValueError, match="non-finite"):
+        fit(jnp.asarray(bad))
+
+
+def test_gmm_proposal_diag_negative_diagonal_signed():
+    """A hand-built diagonal GmmParams with NEGATIVE Cholesky diagonal
+    entries must color draws with the SIGNED diagonal (round-4 ADVICE:
+    the row-norm fast path silently flipped draw signs). L and -L give
+    the same covariance, so draws must satisfy x = mu + diag * eps
+    elementwise with the signed diag."""
+    d = 3
+    diag = jnp.asarray([1.0, -2.0, 0.5], jnp.float32)
+    params = mx.GmmParams(
+        log_w=jnp.zeros((1,), jnp.float32),
+        mu=jnp.zeros((1, d), jnp.float32),
+        chol=jnp.diag(diag)[None, :, :])
+    prop = mx.gmm_proposal(params)
+    eps = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (16, d)).astype(np.float32))
+    u = jnp.zeros((16,), jnp.float32)
+    x, lq = prop.sample_logq(eps, u)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(diag * eps),
+                               rtol=1e-6, atol=1e-6)
+    # density must match the generic (einsum) path at the same points
+    np.testing.assert_allclose(np.asarray(lq),
+                               np.asarray(mx.gmm_log_q(params, x)),
+                               rtol=1e-4, atol=1e-4)
