@@ -67,8 +67,9 @@ signal.alarm(540)          # re-armed per phase in main()
 # Persistent compilation cache (round-5 verdict #6): the north-star
 # cold number was compile-dominated (77–115 s); with the cache a second
 # process loads executables from disk instead of recompiling. Shared
-# dir with benchmarks/northstar_config3.py. BENCH_NO_CACHE=1 disables
-# (for measuring the uncached cold).
+# dir with benchmarks/northstar_config3.py, which honours
+# BENCH_NO_CACHE too (round-5 review: the gate must cover the phase-3
+# import or the 'uncached' cold silently pays cache-load).
 if not os.environ.get("BENCH_NO_CACHE"):
     import jax as _jax
     _jax.config.update(
@@ -371,21 +372,9 @@ def run_northstar():
         os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
     import northstar_config3
     ns = northstar_config3.pipeline("discovered")
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "benchmarks", "northstar_config3.json")
-    if SMOKE:
-        path = path.replace(".json", "_smoke.json")
-    out = {"arms": {}, "headline": "discovered"}
-    if os.path.exists(path):
-        try:
-            with open(path) as f:
-                prev = json.load(f)
-            out["arms"].update(prev.get("arms", {}))
-        except Exception:
-            pass
-    out["arms"]["discovered"] = ns
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+    # single shared artifact writer (round-5 review: a local copy here
+    # dropped the compilation_cache/smoke keys and broke the cache A/B)
+    northstar_config3.write_artifact({"discovered": ns})
     return ns
 
 

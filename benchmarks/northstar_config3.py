@@ -69,7 +69,9 @@ sys.path.insert(0, os.path.dirname(HERE))
 # second process re-paid it all. With the cache, a second process loads
 # executables from disk. NORTHSTAR_NO_CACHE=1 disables (for measuring
 # the uncached cold).
-if not os.environ.get("NORTHSTAR_NO_CACHE"):
+_NO_CACHE = bool(os.environ.get("NORTHSTAR_NO_CACHE")
+                 or os.environ.get("BENCH_NO_CACHE"))
+if not _NO_CACHE:
     _cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", os.path.join(HERE, ".jax_cache"))
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
@@ -80,9 +82,8 @@ import bipymc_tpu as bp
 from bipymc_tpu.models.targets import (baseline_config3_means,
                                        gaussian_mixture,
                                        stratified_mode_init)
-from bipymc_tpu.utils.diagnostics import (effective_sample_size,
-                                          ess_rate, mode_occupancy,
-                                          nearest_mode)
+from bipymc_tpu.utils.diagnostics import (ess_multichain, ess_rate,
+                                          mode_occupancy, nearest_mode)
 from bipymc_tpu.utils.mixtures import fit_gmm, gmm_proposal
 
 D = 100
@@ -403,12 +404,15 @@ def pipeline(init_mode):
     # throughput frame: a timed warm window of the fused FlowMh at the
     # headline schedule. Two numbers: parameter ESS/s (same estimator
     # and window convention as the DREAM-zs headline, ess_rate), and
-    # the conservative mode-INDICATOR ESS/s — the ESS of the
-    # one-hot nearest-mode series, worst mode, which is ~0 for any
-    # within-basin sampler no matter how fast it runs (DREAM-zs hop
-    # rate 1.6e-5/chain-gen ⇒ its indicator ESS barely exceeds the
-    # chain count) and is the honest "effective samples" frame for a
-    # multimodal target (BASELINE.json:2).
+    # the conservative mode-INDICATOR ESS/s — the MULTI-CHAIN
+    # (Vehtari/Stan) ESS of the one-hot nearest-mode series, worst
+    # mode. The multi-chain estimator is load-bearing here (round-5
+    # review): within-chain ACF estimators assign ρ := 0 to a chain
+    # whose indicator never changes, so a fully frozen population would
+    # score near-MAXIMAL within-chain ESS; ess_multichain folds the
+    # between-chain variance and scores it ≈ chain count instead. This
+    # is the honest "effective samples" frame for a multimodal target
+    # (BASELINE.json:2).
     t0 = time.time()
     s.run_mcmc(VALIDATE_GENS)
     xh2 = s._chunks[-1]["x"]                              # [T, n, d]
@@ -422,20 +426,31 @@ def pipeline(init_mode):
     ind = (idx2[..., None]
            == jnp.arange(means.shape[0])).astype(jnp.float32)
     ind_chains = jnp.swapaxes(ind, 0, 1)                  # [n, T, k]
-    ess_mode = float(effective_sample_size(ind_chains, per_dim=True))
+    ess_mode = float(jnp.min(ess_multichain(ind_chains)))
     eps_mode = ess_mode * gps_win / VALIDATE_GENS
+    # the same multi-chain estimator on the parameters (worst dim) —
+    # the cross-chain-honest companion to the ess_rate frame above
+    ess_param_mc = float(jnp.min(ess_multichain(window2)))
     hop_rate = float(jnp.mean(
         (idx2[1:] != idx2[:-1]).astype(jnp.float32)))
     log(f"crossmode ESS: {gps_win:.0f} gens/s, param ESS {ess_param:.0f} "
-        f"({eps_param:.0f}/s), mode-indicator ESS {ess_mode:.0f} "
+        f"({eps_param:.0f}/s; multichain worst-dim {ess_param_mc:.0f}), "
+        f"mode-indicator multichain ESS {ess_mode:.0f} "
         f"({eps_mode:.0f}/s), hop rate {hop_rate:.4f}/chain-gen")
     out["crossmode_ess"] = {
         "window_gens": VALIDATE_GENS,
         "gens_per_sec": round(gps_win, 1),
         "ess_param": round(ess_param, 1),
         "ess_per_sec_param": round(eps_param, 1),
+        "ess_param_multichain_worst_dim": round(ess_param_mc, 1),
         "ess_mode_indicator": round(ess_mode, 1),
         "ess_per_sec_mode_indicator": round(eps_mode, 1),
+        "ess_estimator_note": (
+            "mode-indicator ESS uses ess_multichain (Vehtari/Stan "
+            "between-chain-corrected) — within-chain ACF estimators "
+            "score a frozen population near-maximal on indicator "
+            "series; param ESS uses the repo-wide ess_rate window "
+            "convention plus the multichain worst-dim companion"),
         "mode_hops_per_chain_gen": round(hop_rate, 5),
     }
 
@@ -473,13 +488,23 @@ def pipeline(init_mode):
     return out
 
 
-def main():
-    log("devices:", jax.devices())
-    np.asarray(jnp.ones(()))                      # tunnel warmup
-    arms = os.environ.get("NORTHSTAR_ARMS", "discovered,oracle").split(",")
+def artifact_path():
     path = os.path.join(HERE, "northstar_config3.json")
-    if SMOKE:
-        path = path.replace(".json", "_smoke.json")
+    return path.replace(".json", "_smoke.json") if SMOKE else path
+
+
+def write_artifact(new_arms: dict) -> dict:
+    """Merge newly measured arms into the JSON artifact.
+
+    ONE writer for both entry points (main() here and bench.py's
+    run_northstar — round-5 review: two divergent copies dropped the
+    top-level compilation_cache/smoke keys, breaking the verdict-#6
+    cache-A/B detection for any later direct run). Preserves arms not
+    re-measured this invocation, and records the second-process cache
+    A/B fields on the headline arm when a prior result with the same
+    cache setting exists.
+    """
+    path = artifact_path()
     prev = None
     if os.path.exists(path):
         try:
@@ -487,36 +512,45 @@ def main():
                 prev = json.load(f)
         except Exception:
             prev = None
-
-    out = {"arms": {}, "headline": "discovered" if "discovered" in arms
-                                   else arms[0]}
-    # preserve arms from a prior run not re-measured this invocation
-    # (e.g. NORTHSTAR_ARMS=discovered must not drop the oracle column)
-    if prev is not None:
-        out["arms"].update(prev.get("arms", {}))
-    out["compilation_cache"] = (
-        "disabled" if os.environ.get("NORTHSTAR_NO_CACHE")
-        else jax.config.jax_compilation_cache_dir)
-    for mode in arms:
-        log(f"==== arm: init={mode} ====")
-        out["arms"][mode] = pipeline(mode.strip())
+    merged = dict((prev or {}).get("arms", {}))
+    merged.update(new_arms)
+    headline = ("discovered" if "discovered" in merged
+                else next(iter(merged)))
+    out = {"arms": merged, "headline": headline,
+           "compilation_cache": (
+               "disabled" if _NO_CACHE
+               else jax.config.jax_compilation_cache_dir)}
     if SMOKE:
         out["smoke"] = True
-
-    head = out["arms"][out["headline"]]
-    # second-process cache A/B (verdict #6): if a prior result exists
-    # and the cache is on, this process's cold = cache-load, record it
-    if (prev is not None and not os.environ.get("NORTHSTAR_NO_CACHE")
+    # second-process cache A/B (verdict #6): if the headline arm was
+    # measured FRESH this run and a prior result with the same cache
+    # setting exists, this process's cold = cache-load — record both.
+    if (prev is not None and not _NO_CACHE and headline in new_arms
             and prev.get("compilation_cache") == out["compilation_cache"]
-            and out["headline"] in prev.get("arms", {})):
+            and headline in prev.get("arms", {})):
+        head = out["arms"][headline]
         head["cold_total_s_first_process"] = (
-            prev["arms"][out["headline"]].get(
+            prev["arms"][headline].get(
                 "cold_total_s_first_process",
-                prev["arms"][out["headline"]]["cold_total_s"]))
+                prev["arms"][headline]["cold_total_s"]))
         head["cold_total_s_warm_cache"] = head["cold_total_s"]
-
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
+    return out
+
+
+def main():
+    log("devices:", jax.devices())
+    np.asarray(jnp.ones(()))                      # tunnel warmup
+    arms = [a.strip() for a in
+            os.environ.get("NORTHSTAR_ARMS",
+                           "discovered,oracle").split(",") if a.strip()]
+    new_arms = {}
+    for mode in arms:
+        log(f"==== arm: init={mode} ====")
+        new_arms[mode] = pipeline(mode)
+    out = write_artifact(new_arms)
+    head = out["arms"][out["headline"]]
     print(json.dumps({
         "headline_init": out["headline"],
         "northstar_wall_s": head["northstar_wall_s"],

@@ -46,7 +46,7 @@ from bipymc_tpu.utils.init import var_ball
 from bipymc_tpu.utils.diagnostics import (gelman_rubin,
                                           effective_sample_size,
                                           rank_normalized_rhat,
-                                          ess_bulk, ess_tail,
+                                          ess_bulk, ess_multichain, ess_tail,
                                           mcse_mean, mcse_sd,
                                           mode_occupancy, mode_hops,
                                           geweke, multivariate_rhat,
@@ -99,6 +99,7 @@ __all__ = [
     "effective_sample_size",
     "rank_normalized_rhat",
     "ess_bulk",
+    "ess_multichain",
     "mcse_mean",
     "mcse_sd",
     "ess_tail",

@@ -95,13 +95,14 @@ def _make_kernel(closed_fn, const_shapes, delayed, spc):
             y1 = x + dy1_ref[0, s]
             l1 = closed_fn(y1, *consts)           # [BC, 1]
             log_a1 = jnp.minimum(0.0, l1 - lp)
-            # non-finite hard-reject matches the per-generation engines
-            # (samplers/flowmh.py local move; SURVEY §7.2 sanitizers): a
-            # target returning +inf must reject, not accept (NaN already
-            # rejects via the NaN-poisoned comparison, but keep both
-            # paths symmetric).  Elementwise jnp — traces in Mosaic.
-            acc1 = jnp.logical_and(jnp.isfinite(l1),
-                                   scal[:, S_LU1:S_LU1 + 1] < log_a1)
+            # non-finite hard-reject, sanitizing LOG_A1 itself (round-5
+            # review: guarding only the accept bit leaves log_a1 = 0 in
+            # the Green–Mira denominator below, and a +inf l1 then makes
+            # stage 2 accept almost surely). Identical math to
+            # samplers/rw.py / flowmh.py. Elementwise — traces in Mosaic.
+            log_a1 = jnp.where(jnp.isfinite(l1), log_a1,
+                               jnp.full_like(log_a1, -jnp.inf))
+            acc1 = scal[:, S_LU1:S_LU1 + 1] < log_a1
 
             if delayed:
                 # ---- stage 2: Green–Mira in whitened coordinates --------
@@ -113,10 +114,10 @@ def _make_kernel(closed_fn, const_shapes, delayed, spc):
                 log_num = l2 + _log1mexp(log_a1_rev)
                 log_den = lp + _log1mexp(log_a1)
                 log_a2 = jnp.minimum(0.0, log_num + lq_diff - log_den)
-                acc2 = jnp.logical_and(
-                    jnp.logical_and(jnp.isfinite(l2),
-                                    jnp.logical_not(acc1)),
-                    scal[:, S_LU2:S_LU2 + 1] < log_a2)
+                log_a2 = jnp.where(jnp.isfinite(l2), log_a2,
+                                   jnp.full_like(log_a2, -jnp.inf))
+                acc2 = jnp.logical_and(jnp.logical_not(acc1),
+                                       scal[:, S_LU2:S_LU2 + 1] < log_a2)
             else:
                 y2, l2 = y1, l1
                 acc2 = jnp.zeros_like(acc1)

@@ -183,6 +183,12 @@ def make_step(log_prob: Callable, cfg: RwConfig,
         y1 = state.theta + state.chol @ z1
         l1 = log_prob(y1)
         log_a1 = jnp.minimum(0.0, l1 - state.logp)
+        # non-finite hard-reject (SURVEY §7.2 sanitizer contract; round-5
+        # review): sanitizing log_a1 itself — not just the accept bit —
+        # keeps the Green–Mira denominator below correct too (α₁ := 0
+        # ⇒ log1mexp(log_a1) = 0), where a +inf l1 would otherwise
+        # make stage 2 accept y₂ almost surely
+        log_a1 = jnp.where(jnp.isfinite(l1), log_a1, -jnp.inf)
         u1 = jnp.log(uu1)
         acc1 = u1 < log_a1
 
@@ -203,6 +209,7 @@ def make_step(log_prob: Callable, cfg: RwConfig,
             log_num = l2 + _log1mexp(log_a1_rev)
             log_den = state.logp + _log1mexp(log_a1)
             log_a2 = jnp.minimum(0.0, log_num + lq_diff - log_den)
+            log_a2 = jnp.where(jnp.isfinite(l2), log_a2, -jnp.inf)
             u2 = jnp.log(uu2)
             # NaN from an unused branch (α₁=1 ⇒ stage 1 accepted) compares
             # False, so acc2 is well-defined.

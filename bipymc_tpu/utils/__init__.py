@@ -4,7 +4,7 @@ from bipymc_tpu.utils.diagnostics import (
     effective_sample_size,
     integrated_autocorr_time,
     acceptance_fraction,
-    ess_bulk,
+    ess_bulk, ess_multichain,
     mcse_mean,
     mcse_sd,
     ess_tail,

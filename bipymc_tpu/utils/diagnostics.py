@@ -13,6 +13,7 @@ Chain-history convention: ``chains[M, N, d]`` = M chains × N steps × d dims
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 
 
@@ -178,6 +179,55 @@ def ess_tail(chains, c=5.0, quantiles=(0.05, 0.95)):
         tau = integrated_autocorr_time(ind, c=c, per_dim=True)
         esss.append(m * n / tau)
     return jnp.minimum(*esss)
+
+
+def ess_multichain(chains):
+    """Cross-chain ESS (Vehtari et al. 2021 / Stan): ρ̂_t folds the
+    BETWEEN-chain variance, so chains frozen at different values score
+    ESS ≈ chain count, not ≈ M·N.
+
+    The within-chain estimators above (``effective_sample_size``,
+    ``ess_bulk``) average per-chain ACFs: a chain whose series is
+    CONSTANT contributes ρ := 0 (the zero-variance guard), which reads
+    as perfect mixing — exactly wrong for quantities like a mode
+    indicator, where "every chain stuck in its own basin" must score
+    ~0, not maximal (round-5 review finding on the cross-mode ESS
+    frame). Stan's estimator uses
+
+        ρ̂_t = 1 − (W − s̄_t) / v̂ar⁺,   v̂ar⁺ = (n−1)/n·W + B/n,
+
+    with s̄_t the chain-averaged within-chain autocovariance: frozen
+    heterogeneous chains give W ≈ 0, v̂ar⁺ ≈ B/n, ρ̂_t ≈ 1 for all t →
+    τ ≈ n → ESS ≈ M. Truncation: Geyer initial-monotone-positive pair
+    sums. chains: [M, N, d] → [d]. A dimension with ZERO total
+    variance (all chains constant AND equal) returns NaN — there is no
+    information to certify, and a silent M·N would be the same lie the
+    within-chain guard tells.
+    """
+    chains = _promote(chains)
+    m, n, d = chains.shape
+    x = chains - jnp.mean(chains, axis=1, keepdims=True)
+    nfft = 2 * n
+    f = jnp.fft.rfft(x, n=nfft, axis=1)
+    # biased within-chain autocovariance (Stan convention): acov_t/n
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=1)[:, :n, :] / n
+    s_t = jnp.mean(acov, axis=0)                            # [n, d]
+    w = jnp.mean(acov[:, 0, :] * n / (n - 1), axis=0)       # [d]
+    b_over_n = jnp.var(jnp.mean(chains, axis=1), axis=0, ddof=1)
+    var_plus = (n - 1) / n * w + b_over_n                   # [d]
+    rho = 1.0 - (w[None, :] - s_t) / jnp.maximum(var_plus, 1e-30)
+    # Geyer pairs P_k = ρ_{2k} + ρ_{2k+1}; truncate at the first
+    # non-positive pair, enforce monotone non-increase (both via
+    # cumulative scans — static shapes, jit-safe)
+    n_pairs = n // 2
+    pairs = rho[0:2 * n_pairs:2] + rho[1:2 * n_pairs:2]     # [n/2, d]
+    keep = lax.associative_scan(
+        jnp.logical_and, pairs > 0.0, axis=0)
+    mono = lax.associative_scan(jnp.minimum, pairs, axis=0)
+    tau = jnp.maximum(-1.0 + 2.0 * jnp.sum(
+        jnp.where(keep, jnp.maximum(mono, 0.0), 0.0), axis=0), 1.0)
+    ess = m * n / tau
+    return jnp.where(var_plus > 0.0, ess, jnp.nan)
 
 
 def acceptance_fraction(accepted):

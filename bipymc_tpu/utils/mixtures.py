@@ -285,13 +285,20 @@ def fit_gmm(key: jax.Array, draws, n_components: int, n_iters: int = 200,
         x = x[idx]
     n, d = x.shape
 
-    # sanitize: zero-weight non-finite rows (see guard note above)
+    # sanitize: zero-weight non-finite rows (see guard note above).
+    # n_valid_rows rides in info, and an ALL-invalid input NaN-poisons
+    # the returned weights (round-5 review: a silently returned
+    # point-mass at the placeholder would flow into gmm_proposal with
+    # no error anywhere; under jit we cannot raise, so make the
+    # failure loudly non-finite instead).
     valid = jnp.all(jnp.isfinite(x), axis=-1)            # [n] bool
-    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    n_valid_rows = jnp.sum(valid)
+    n_valid = jnp.maximum(n_valid_rows, 1)
     mean_valid = (jnp.sum(jnp.where(valid[:, None], x, 0.0), axis=0)
                   / n_valid.astype(x.dtype))
     x = jnp.where(valid[:, None], x, mean_valid)
     valid = valid.astype(x.dtype)
+    all_invalid = n_valid_rows == 0
 
     # init: k-means++ means; shared data covariance (diagonal — the
     # first M-step replaces it); uniform weights
@@ -343,6 +350,9 @@ def fit_gmm(key: jax.Array, draws, n_components: int, n_iters: int = 200,
     params_r, logliks_r = jax.vmap(run_one)(keys)
     best = jnp.argmax(logliks_r[:, -1])
     params = jax.tree_util.tree_map(lambda a: a[best], params_r)
+    nanify = lambda a: jnp.where(all_invalid, jnp.nan, a)
+    params = params._replace(log_w=nanify(params.log_w))
     return params, {"loglik": logliks_r[best],
-                    "final_loglik": logliks_r[best, -1],
-                    "restart_logliks": logliks_r[:, -1]}
+                    "final_loglik": nanify(logliks_r[best, -1]),
+                    "restart_logliks": logliks_r[:, -1],
+                    "n_valid_rows": n_valid_rows}

@@ -377,3 +377,35 @@ def test_multivariate_rhat_reduces_to_univariate_in_1d():
     b_over_n = c.mean(axis=1).var(ddof=1)
     want = (n - 1) / n + (m + 1) / m * b_over_n / w
     np.testing.assert_allclose(got, want, rtol=2e-2)
+
+
+def test_ess_multichain_known_cases():
+    """Vehtari/Stan cross-chain ESS (round-5): iid ~ M*N; AR(1) phi=0.9
+    matches tau=(1+phi)/(1-phi)=19; chains FROZEN at different values
+    score ~chain count where the within-chain estimator reads ~M*N
+    (the failure mode that motivated it); zero total variance -> NaN."""
+    from bipymc_tpu.utils.diagnostics import (effective_sample_size,
+                                              ess_multichain)
+    rng = np.random.default_rng(0)
+    iid = rng.standard_normal((8, 1000, 2)).astype(np.float32)
+    e = np.asarray(ess_multichain(jnp.asarray(iid)))
+    assert np.all(np.abs(e - 8000) < 2000), e
+
+    phi = 0.9
+    z = rng.standard_normal((8, 1000))
+    ar = np.zeros((8, 1000), np.float32)
+    for t in range(1, 1000):
+        ar[:, t] = phi * ar[:, t - 1] + np.sqrt(1 - phi ** 2) * z[:, t]
+    e2 = float(ess_multichain(jnp.asarray(ar[..., None]))[0])
+    assert 0.35 * 8000 / 19 < e2 < 2.6 * 8000 / 19, e2
+
+    frozen = np.repeat(rng.integers(0, 2, (8, 1, 1)).astype(np.float32),
+                       1000, axis=1)
+    e3 = float(ess_multichain(jnp.asarray(frozen))[0])
+    e3_old = float(effective_sample_size(jnp.asarray(frozen),
+                                         per_dim=True))
+    assert e3 < 40, e3
+    assert e3_old > 5000, e3_old    # the within-chain estimator's lie
+
+    const = np.ones((8, 1000, 1), np.float32)
+    assert np.isnan(float(ess_multichain(jnp.asarray(const))[0]))

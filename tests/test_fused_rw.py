@@ -154,3 +154,30 @@ def test_steps_per_cell_must_divide(lp):
     with pytest.raises(ValueError, match="divide"):
         make_rw_chunk_runner(lp, rw.dram_config(adapt_interval=20), 2,
                              steps_per_cell=3)
+
+
+def test_nonfinite_target_rejects_identically_both_engines():
+    """A target with a +inf region (round-5 review): sanitizing the
+    accept BIT alone left log_a1 = 0 inside the Green-Mira denominator
+    so stage 2 accepted y2 almost surely. Both engines must sanitize
+    LOG_A1 itself, reject every non-finite proposal, agree with each
+    other, and never land a chain in the +inf region."""
+    def lp(theta):
+        base = -0.5 * jnp.sum(theta ** 2)
+        # +inf spike over a quadrant the RW proposals regularly enter
+        return jnp.where((theta[0] > 0.4) & (theta[1] > 0.4),
+                         jnp.inf, base)
+
+    kw = dict(seed=3, n_chains=4, t0=1000, adapt_interval=20)
+    a = bp.Dram(lp, **kw)
+    b = bp.Dram(lp, fused=True, **kw)
+    for s in (a, b):
+        s.run_mcmc(200, jnp.zeros(2), cov_est=jnp.eye(2) * 0.5,
+                   spread=0.1)
+    xa, xb = np.asarray(a.get_chain()), np.asarray(b.get_chain())
+    np.testing.assert_array_equal(np.asarray(a.acceptance_fraction),
+                                  np.asarray(b.acceptance_fraction))
+    np.testing.assert_allclose(xa, xb, rtol=1e-4, atol=1e-5)
+    # no kept position may sit inside the +inf region
+    assert not np.any((xa[..., 0] > 0.4) & (xa[..., 1] > 0.4))
+    assert np.all(np.isfinite(xa))
