@@ -428,9 +428,13 @@ def pipeline(init_mode):
     ind_chains = jnp.swapaxes(ind, 0, 1)                  # [n, T, k]
     ess_mode = float(jnp.min(ess_multichain(ind_chains)))
     eps_mode = ess_mode * gps_win / VALIDATE_GENS
-    # the same multi-chain estimator on the parameters (worst dim) —
-    # the cross-chain-honest companion to the ess_rate frame above
-    ess_param_mc = float(jnp.min(ess_multichain(window2)))
+    # the same multi-chain estimator on the parameters — on a strided
+    # 16-dim subset: the full [256, 2000, 100] FFT+scan program hung
+    # the axon remote compile (measured round 5; the [.., 4] indicator
+    # program compiles fine), and a worst-of-16-dims sanity column is
+    # all this companion needs to certify the ess_rate frame
+    ess_param_mc = float(jnp.min(ess_multichain(
+        window2[..., :: max(1, window2.shape[-1] // 16)])))
     hop_rate = float(jnp.mean(
         (idx2[1:] != idx2[:-1]).astype(jnp.float32)))
     log(f"crossmode ESS: {gps_win:.0f} gens/s, param ESS {ess_param:.0f} "
@@ -442,7 +446,7 @@ def pipeline(init_mode):
         "gens_per_sec": round(gps_win, 1),
         "ess_param": round(ess_param, 1),
         "ess_per_sec_param": round(eps_param, 1),
-        "ess_param_multichain_worst_dim": round(ess_param_mc, 1),
+        "ess_param_multichain_worst_of_16dims": round(ess_param_mc, 1),
         "ess_mode_indicator": round(ess_mode, 1),
         "ess_per_sec_mode_indicator": round(eps_mode, 1),
         "ess_estimator_note": (
